@@ -1,0 +1,21 @@
+"""simd_dct_tpu — a TPU-native 8x8 block DCT/quantize/reorder engine.
+
+Brand-new JAX/XLA/Pallas framework with the full capability surface of the
+CPU SIMD reference ``rainerzufalldererste/simd_dct`` (see SURVEY.md), plus
+the north-star decode path, RGB/zigzag layout transforms, and multi-host
+sharding.  Layer map (SURVEY.md §7):
+
+* ``core``     — DCT basis / quantization math + scalar NumPy golden model
+* ``layout``   — blockize, the three reference output layouts, zigzag, RGB
+* ``kernels``  — fused Pallas TPU fast path + pure-XLA fallback
+* ``dispatch`` — backend capability probe & tiering (≙ CPUID/--max-simd)
+* ``api``      — validated public entry points (≙ simd_dct.h)
+* ``dist``     — mesh sharding / multi-host scaling
+* ``bench``    — statistics-grade benchmark harness (≙ main.cpp harness)
+"""
+
+__version__ = "0.1.0"
+
+from . import core
+
+__all__ = ["core", "__version__"]
