@@ -17,5 +17,21 @@ sharding.  Layer map (SURVEY.md §7):
 __version__ = "0.1.0"
 
 from . import core
+from . import layout
+from . import dispatch
+from . import api
+from .api import (
+    SimdDctResult, SimdDctError, InvalidParameterError, NotSupportedError,
+    encode_quantize, encode_quantize32, encode_quantize_stereo,
+    decode_quantize, decode_quantize32, decode_quantize_stereo,
+)
+from .core.quantize import default_quant_lut
 
-__all__ = ["core", "__version__"]
+__all__ = [
+    "core", "layout", "dispatch", "api", "__version__",
+    "SimdDctResult", "SimdDctError", "InvalidParameterError",
+    "NotSupportedError",
+    "encode_quantize", "encode_quantize32", "encode_quantize_stereo",
+    "decode_quantize", "decode_quantize32", "decode_quantize_stereo",
+    "default_quant_lut",
+]

@@ -1,0 +1,246 @@
+"""Public API: validated encode/decode entry points with tiered dispatch.
+
+The TPU analog of ``src/simd_dct.h:29-31`` — three encode entry points with
+identical validation contracts (simdDctResult semantics), plus the
+north-star decode inverses.  Errors are typed exceptions carrying the
+matching reference error code; ``try_*`` wrappers return the code instead
+(for callers porting code written against the C enum API).
+
+Validation parity (src/simd_dct.cpp:75-76,97-98,117-118):
+  * null input -> InvalidParameter
+  * W or H not multiple of 8 -> NotSupported
+  * enc-quant32: W not multiple of 64 -> NotSupported
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Any
+
+import numpy as np
+import jax.numpy as jnp
+
+from .core import golden as _golden
+from .core.quantize import ROUNDING_MODES
+from .dispatch.capability import select_backend
+from .kernels import xla_path as _xla
+
+
+class SimdDctResult(enum.IntEnum):
+    """Mirror of simdDctResult (src/simd_dct.h:22-27)."""
+    SUCCESS = 0
+    INVALID_PARAMETER = 1
+    NOT_SUPPORTED = 2
+
+
+class SimdDctError(Exception):
+    result: SimdDctResult = SimdDctResult.INVALID_PARAMETER
+
+
+class InvalidParameterError(SimdDctError):
+    result = SimdDctResult.INVALID_PARAMETER
+
+
+class NotSupportedError(SimdDctError):
+    result = SimdDctResult.NOT_SUPPORTED
+
+
+_END_Y_SENTINEL = 1 << 30
+
+
+def _validate(image: Any, lut: Any, *, multiple_of_64: bool = False):
+    if image is None or lut is None:
+        raise InvalidParameterError("image and lut must not be None")
+    img = jnp.asarray(image)
+    if img.ndim != 2:
+        raise InvalidParameterError(
+            f"expected a 2-D (H, W) image, got shape {img.shape}")
+    h, w = img.shape
+    if (w % 8) or (h % 8):
+        raise NotSupportedError(
+            f"image dims must be multiples of 8, got {(w, h)}")
+    if multiple_of_64 and (w % 64):
+        raise NotSupportedError(
+            f"enc-quant32 requires W % 64 == 0 (src/simd_dct.cpp:118), got {w}")
+    if img.dtype != jnp.uint8:
+        raise InvalidParameterError(f"image must be uint8, got {img.dtype}")
+    lut_arr = np.asarray(lut, np.float32).reshape(-1)
+    if lut_arr.size != 64:
+        raise InvalidParameterError(f"lut must have 64 entries, got {lut_arr.size}")
+    return img, lut_arr, h, w
+
+
+def _check_rounding(rounding: str):
+    if rounding not in ROUNDING_MODES:
+        raise InvalidParameterError(
+            f"rounding must be one of {ROUNDING_MODES}, got {rounding!r}")
+
+
+def _resolve_end_y(end_y, h):
+    return _END_Y_SENTINEL if end_y is None else int(end_y)
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+def encode_quantize(image, lut, start_y: int = 0, end_y: int | None = None, *,
+                    rounding: str = "rne", layout: str = "scalar",
+                    backend: str | None = None,
+                    legacy_range: bool = False):
+    """≙ simdDCT_EncodeQuantizeBuffer: block-contiguous (or SIMD pair-cell)
+    encode of the TOP view.  Returns a flat u8 array of H/2*W bytes."""
+    img, lut_arr, h, w = _validate(image, lut)
+    _check_rounding(rounding)
+    if layout not in ("scalar", "pair"):
+        raise InvalidParameterError(f"layout must be 'scalar' or 'pair', got {layout!r}")
+    tier = select_backend(backend)
+    if tier == "numpy":
+        return _golden.encode_quantize_golden(
+            np.asarray(img), lut_arr, start_y, _resolve_end_y(end_y, h),
+            rounding=rounding, layout=layout, legacy_range=legacy_range)
+    if tier == "pallas":
+        from .kernels import pallas_encode as _pl
+        fn = getattr(_pl, "encode_quantize", None)
+        if fn is not None:
+            return fn(img, jnp.asarray(lut_arr), int(start_y),
+                      _resolve_end_y(end_y, h), rounding, layout, legacy_range)
+        tier = "xla"  # pallas kernel for this mode not yet built
+    return _xla.encode_quantize(img, jnp.asarray(lut_arr), int(start_y),
+                                _resolve_end_y(end_y, h), rounding, layout,
+                                legacy_range)
+
+
+def encode_quantize32(image, lut, start_y: int = 0, end_y: int | None = None, *,
+                      rounding: str = "rne", backend: str | None = None):
+    """≙ simdDCT_EncodeQuantize32ReorderBuffer: 8-block coefficient-major
+    encode of the TOP view in the raw 0..255 domain.  Flat u8, H/2*W bytes."""
+    img, lut_arr, h, w = _validate(image, lut, multiple_of_64=True)
+    _check_rounding(rounding)
+    tier = select_backend(backend)
+    if tier == "numpy":
+        return _golden.encode_quantize32_golden(
+            np.asarray(img), lut_arr, start_y, _resolve_end_y(end_y, h),
+            rounding=rounding)
+    if tier == "pallas":
+        from .kernels import pallas_encode as _pl
+        fn = getattr(_pl, "encode_quantize32", None)
+        if fn is not None:
+            return fn(img, jnp.asarray(lut_arr), int(start_y),
+                      _resolve_end_y(end_y, h), rounding)
+        tier = "xla"
+    return _xla.encode_quantize32(img, jnp.asarray(lut_arr), int(start_y),
+                                  _resolve_end_y(end_y, h), rounding)
+
+
+def encode_quantize_stereo(image, lut, start_y: int = 0,
+                           end_y: int | None = None, *,
+                           rounding: str = "rne", backend: str | None = None):
+    """≙ simdDCT_EncodeQuantizeReorderStereoBuffer: coefficient-planar
+    encode of BOTH views.  Flat u8, H*W bytes (64 planes)."""
+    img, lut_arr, h, w = _validate(image, lut)
+    _check_rounding(rounding)
+    tier = select_backend(backend)
+    if tier == "numpy":
+        return _golden.encode_quantize_stereo_golden(
+            np.asarray(img), lut_arr, start_y, _resolve_end_y(end_y, h),
+            rounding=rounding)
+    if tier == "pallas":
+        from .kernels import pallas_encode as _pl
+        fn = getattr(_pl, "encode_quantize_stereo", None)
+        if fn is not None:
+            return fn(img, jnp.asarray(lut_arr), int(start_y),
+                      _resolve_end_y(end_y, h), rounding)
+        tier = "xla"
+    return _xla.encode_quantize_stereo(img, jnp.asarray(lut_arr), int(start_y),
+                                       _resolve_end_y(end_y, h), rounding)
+
+
+# ---------------------------------------------------------------------------
+# decode (north-star additions; no reference analogs)
+# ---------------------------------------------------------------------------
+
+def _validate_decode(data, lut, size_x, size_y, expect_bytes):
+    if data is None or lut is None:
+        raise InvalidParameterError("data and lut must not be None")
+    if (size_x % 8) or (size_y % 8):
+        raise NotSupportedError(
+            f"dims must be multiples of 8, got {(size_x, size_y)}")
+    d = jnp.asarray(data).reshape(-1)
+    if d.shape[0] != expect_bytes:
+        raise InvalidParameterError(
+            f"expected {expect_bytes} bytes for {(size_x, size_y)}, got {d.shape[0]}")
+    lut_arr = np.asarray(lut, np.float32).reshape(-1)
+    if lut_arr.size != 64:
+        raise InvalidParameterError("lut must have 64 entries")
+    return d, lut_arr
+
+
+def decode_quantize(data, lut, size_x: int, size_y: int, *,
+                    layout: str = "scalar", backend: str | None = None):
+    d, lut_arr = _validate_decode(data, lut, size_x, size_y,
+                                  (size_y // 2) * size_x)
+    tier = select_backend(backend)
+    if tier == "numpy":
+        return _golden.decode_quantize_golden(np.asarray(d), lut_arr,
+                                              size_x, size_y, layout=layout)
+    return _xla.decode_quantize(d, jnp.asarray(lut_arr), size_x, size_y, layout)
+
+
+def decode_quantize32(data, lut, size_x: int, size_y: int, *,
+                      backend: str | None = None):
+    if size_x % 64:
+        raise NotSupportedError("enc-quant32 requires W % 64 == 0")
+    d, lut_arr = _validate_decode(data, lut, size_x, size_y,
+                                  (size_y // 2) * size_x)
+    tier = select_backend(backend)
+    if tier == "numpy":
+        return _golden.decode_quantize32_golden(np.asarray(d), lut_arr,
+                                                size_x, size_y)
+    return _xla.decode_quantize32(d, jnp.asarray(lut_arr), size_x, size_y)
+
+
+def decode_quantize_stereo(data, lut, size_x: int, size_y: int, *,
+                           backend: str | None = None):
+    d, lut_arr = _validate_decode(data, lut, size_x, size_y, size_y * size_x)
+    tier = select_backend(backend)
+    if tier == "numpy":
+        return _golden.decode_quantize_stereo_golden(np.asarray(d), lut_arr,
+                                                     size_x, size_y)
+    return _xla.decode_quantize_stereo(d, jnp.asarray(lut_arr), size_x, size_y)
+
+
+# ---------------------------------------------------------------------------
+# C-enum-style wrappers
+# ---------------------------------------------------------------------------
+
+def try_encode_quantize(image, out, lut, size_x, size_y, start_y, end_y,
+                        **kw) -> SimdDctResult:
+    """Reference-shaped call: writes into ``out`` (np.uint8, H/2*W) and
+    returns a SimdDctResult instead of raising."""
+    try:
+        result = encode_quantize(image, lut, start_y, end_y, **kw)
+    except SimdDctError as e:
+        return e.result
+    np.copyto(out, np.asarray(result))
+    return SimdDctResult.SUCCESS
+
+
+def try_encode_quantize32(image, out, lut, size_x, size_y, start_y, end_y,
+                          **kw) -> SimdDctResult:
+    try:
+        result = encode_quantize32(image, lut, start_y, end_y, **kw)
+    except SimdDctError as e:
+        return e.result
+    np.copyto(out, np.asarray(result))
+    return SimdDctResult.SUCCESS
+
+
+def try_encode_quantize_stereo(image, out, lut, size_x, size_y, start_y, end_y,
+                               **kw) -> SimdDctResult:
+    try:
+        result = encode_quantize_stereo(image, lut, start_y, end_y, **kw)
+    except SimdDctError as e:
+        return e.result
+    np.copyto(out, np.asarray(result))
+    return SimdDctResult.SUCCESS

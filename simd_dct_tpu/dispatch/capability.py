@@ -1,0 +1,97 @@
+"""Runtime capability detection and backend tiering.
+
+The TPU analog of the reference's CPUID feature probe + ISA dispatch
+(src/simd_platform.c:68-178, src/simd_dct.cpp:71-133):
+
+    tier "pallas" ≙ AVX-512 fast path  (fused Pallas kernels, TPU only)
+    tier "xla"    ≙ SSE fallback       (pure-jnp, any XLA backend)
+    tier "numpy"  ≙ NoSimd golden      (scalar NumPy reference model)
+
+Like the reference's mutable feature bools (cleared by ``--max-simd``,
+src/main.cpp:283-438), the active cap is process-global mutable state via
+``set_max_backend`` and can also be set per call through the api layer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+
+# Tier order, strongest first.
+TIERS = ("pallas", "xla", "numpy")
+
+_max_backend: str = "pallas"
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceInfo:
+    """What CPUID told the reference, jax tells us."""
+    platform: str          # 'tpu' / 'axon' / 'cpu' / ...
+    device_kind: str       # e.g. 'TPU v5 lite'
+    num_devices: int
+    supports_pallas: bool
+
+    @property
+    def banner(self) -> str:
+        return (f"{self.device_kind} x{self.num_devices} "
+                f"[{self.platform}] pallas={self.supports_pallas}")
+
+
+@functools.lru_cache(maxsize=1)
+def probe() -> DeviceInfo:
+    devs = jax.devices()
+    platform = devs[0].platform if devs else "none"
+    kind = devs[0].device_kind if devs else "none"
+    # Pallas TPU kernels need a real TPU (the 'axon' tunnel platform exposes
+    # TPU devices); interpret mode covers CPU for tests.
+    is_tpu = "tpu" in kind.lower() or platform in ("tpu", "axon")
+    return DeviceInfo(platform=platform, device_kind=kind,
+                      num_devices=len(devs), supports_pallas=is_tpu)
+
+
+def set_max_backend(tier: str) -> None:
+    """Cap dispatch at a tier (≙ --max-simd).  'numpy' forces the golden."""
+    global _max_backend
+    if tier not in TIERS:
+        raise ValueError(f"unknown backend tier {tier!r}; expected one of {TIERS}")
+    _max_backend = tier
+
+
+def get_max_backend() -> str:
+    return _max_backend
+
+
+def available_tiers(pallas_interpret: bool = False) -> tuple[str, ...]:
+    """Tiers usable right now, strongest first."""
+    info = probe()
+    out = []
+    if info.supports_pallas or pallas_interpret:
+        out.append("pallas")
+    out.append("xla")
+    out.append("numpy")
+    return tuple(out)
+
+
+def select_backend(requested: str | None = None, *,
+                   pallas_interpret: bool = False) -> str:
+    """Resolve the backend for a call: explicit request > global cap >
+    strongest available (the reference's dispatch cascade,
+    src/simd_dct.cpp:78-85)."""
+    avail = available_tiers(pallas_interpret)
+    if requested is not None:
+        if requested not in TIERS:
+            raise ValueError(
+                f"unknown backend {requested!r}; expected one of {TIERS}")
+        if requested not in avail:
+            from ..api import NotSupportedError
+            raise NotSupportedError(
+                f"backend {requested!r} not available on this platform "
+                f"(available: {avail})")
+        return requested
+    cap_idx = TIERS.index(_max_backend)
+    for tier in TIERS[cap_idx:]:
+        if tier in avail:
+            return tier
+    return "numpy"

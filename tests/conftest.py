@@ -7,14 +7,20 @@ jax initializes a backend, hence at conftest import time.
 
 import os
 
-# The session environment pins JAX_PLATFORMS=axon (the real-TPU tunnel);
-# tests must run on the virtual CPU mesh, so override rather than default.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# The session sitecustomize registers the 'axon' TPU-tunnel PJRT plugin and
+# programmatically sets jax.config.jax_platforms = "axon,cpu", which wins
+# over the JAX_PLATFORMS env var.  Tests must run on the local virtual CPU
+# mesh (fast, hermetic, 8 fake devices), so override via jax.config before
+# any backend initializes.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

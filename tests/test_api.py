@@ -1,0 +1,106 @@
+"""Public API contract: validation parity with the reference dispatch layer."""
+
+import numpy as np
+import pytest
+
+import simd_dct_tpu as sd
+from simd_dct_tpu.dispatch import set_max_backend, get_max_backend, select_backend
+
+
+@pytest.fixture(autouse=True)
+def _reset_backend():
+    prev = get_max_backend()
+    yield
+    set_max_backend(prev)
+
+
+def test_null_input_invalid_parameter():
+    with pytest.raises(sd.InvalidParameterError) as e:
+        sd.encode_quantize(None, sd.default_quant_lut())
+    assert e.value.result == sd.SimdDctResult.INVALID_PARAMETER
+
+
+def test_non_multiple_of_8_not_supported():
+    img = np.zeros((12, 10), np.uint8)
+    with pytest.raises(sd.NotSupportedError) as e:
+        sd.encode_quantize(img, sd.default_quant_lut())
+    assert e.value.result == sd.SimdDctResult.NOT_SUPPORTED
+
+
+def test_quant32_requires_multiple_of_64():
+    """src/simd_dct.cpp:118: sizeX must be a multiple of 64 for mode32."""
+    img = np.zeros((16, 24), np.uint8)
+    with pytest.raises(sd.NotSupportedError):
+        sd.encode_quantize32(img, sd.default_quant_lut())
+    # but 24 is fine for the other modes
+    sd.encode_quantize(img, sd.default_quant_lut())
+    sd.encode_quantize_stereo(img, sd.default_quant_lut())
+
+
+def test_wrong_dtype_rejected():
+    img = np.zeros((16, 16), np.float32)
+    with pytest.raises(sd.InvalidParameterError):
+        sd.encode_quantize(img, sd.default_quant_lut())
+
+
+def test_bad_lut_rejected():
+    img = np.zeros((16, 16), np.uint8)
+    with pytest.raises(sd.InvalidParameterError):
+        sd.encode_quantize(img, np.ones(10, np.float32))
+
+
+def test_try_wrappers_return_codes():
+    lut = sd.default_quant_lut(50)
+    img = np.zeros((16, 16), np.uint8)
+    out = np.zeros(8 * 16, np.uint8)
+    rc = sd.api.try_encode_quantize(img, out, lut, 16, 16, 0, 16)
+    assert rc == sd.SimdDctResult.SUCCESS
+    assert np.all(out.reshape(-1, 64)[:, 0] == 127)  # zero image -> bias bytes
+    rc = sd.api.try_encode_quantize32(np.zeros((16, 24), np.uint8), out, lut,
+                                      24, 16, 0, 16)
+    assert rc == sd.SimdDctResult.NOT_SUPPORTED
+
+
+def test_backend_dispatch_and_cap():
+    lut = sd.default_quant_lut(50)
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    via_xla = np.asarray(sd.encode_quantize(img, lut, backend="xla"))
+    via_numpy = sd.encode_quantize(img, lut, backend="numpy")
+    assert isinstance(via_numpy, np.ndarray)
+    diff = via_xla.astype(int) - via_numpy.astype(int)
+    assert np.abs(diff).max() <= 1
+    # Global cap (≙ --max-simd): capping at numpy routes everything there.
+    set_max_backend("numpy")
+    assert select_backend() == "numpy"
+    capped = sd.encode_quantize(img, lut)
+    assert isinstance(capped, np.ndarray)
+    np.testing.assert_array_equal(capped, via_numpy)
+
+
+def test_unknown_backend_rejected():
+    img = np.zeros((16, 16), np.uint8)
+    with pytest.raises(ValueError):
+        sd.encode_quantize(img, sd.default_quant_lut(), backend="cuda")
+
+
+def test_decode_size_validation():
+    lut = sd.default_quant_lut(50)
+    with pytest.raises(sd.InvalidParameterError):
+        sd.decode_quantize(np.zeros(100, np.uint8), lut, 16, 16)
+
+
+def test_api_roundtrip_all_modes():
+    rng = np.random.default_rng(2)
+    yy, xx = np.mgrid[0:32, 0:64]
+    img = np.clip(128 + 40 * np.sin(xx / 9) * np.cos(yy / 7), 0, 255).astype(np.uint8)
+    lut = sd.default_quant_lut(100)
+    e1 = sd.encode_quantize(img, lut)
+    d1 = np.asarray(sd.decode_quantize(np.asarray(e1), lut, 64, 32))
+    e2 = sd.encode_quantize32(img, lut * 255.0)
+    d2 = np.asarray(sd.decode_quantize32(np.asarray(e2), lut * 255.0, 64, 32))
+    e3 = sd.encode_quantize_stereo(img, lut)
+    d3 = np.asarray(sd.decode_quantize_stereo(np.asarray(e3), lut, 64, 32))
+    for ref, dec in [(img[:16], d1), (img[:16], d2), (img, d3)]:
+        mse = ((ref.astype(float) - dec.astype(float)) ** 2).mean()
+        assert 10 * np.log10(255 ** 2 / mse) > 30
