@@ -124,10 +124,10 @@ def encode_quantize32(image, lut, start_y: int = 0, end_y: int | None = None, *,
             rounding=rounding)
     if tier == "pallas":
         from .kernels import pallas_encode as _pl
-        fn = getattr(_pl, "encode_quantize32", None)
-        if fn is not None:
-            return fn(img, jnp.asarray(lut_arr), int(start_y),
-                      _resolve_end_y(end_y, h), rounding)
+        if _pl.supports("enc_quant32", h, w):
+            return _pl.encode_quantize32(img, jnp.asarray(lut_arr),
+                                         int(start_y),
+                                         _resolve_end_y(end_y, h), rounding)
         tier = "xla"
     return _xla.encode_quantize32(img, jnp.asarray(lut_arr), int(start_y),
                                   _resolve_end_y(end_y, h), rounding)
@@ -197,6 +197,11 @@ def decode_quantize32(data, lut, size_x: int, size_y: int, *,
     if tier == "numpy":
         return _golden.decode_quantize32_golden(np.asarray(d), lut_arr,
                                                 size_x, size_y)
+    if tier == "pallas":
+        from .kernels import pallas_encode as _pl
+        if _pl.supports("dec_quant32", size_y, size_x):
+            return _pl.decode_quantize32(d, jnp.asarray(lut_arr),
+                                         size_x, size_y)
     return _xla.decode_quantize32(d, jnp.asarray(lut_arr), size_x, size_y)
 
 

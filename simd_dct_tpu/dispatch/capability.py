@@ -40,15 +40,40 @@ class DeviceInfo:
 
 
 @functools.lru_cache(maxsize=1)
+def _pallas_functional() -> bool:
+    """Actually try compiling a trivial Pallas TPU kernel — the analog of
+    the reference's CPUID+XGETBV probe (src/simd_platform.c:68-178): the
+    platform may advertise a TPU while the Mosaic compile service is
+    unavailable, in which case dispatch must degrade to the XLA tier."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    try:
+        def k(x_ref, o_ref):
+            o_ref[...] = x_ref[...] + jnp.uint8(1)
+        out = pl.pallas_call(
+            k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.uint8),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(jnp.zeros((8, 128), jnp.uint8))
+        jax.block_until_ready(out)
+        return True
+    except Exception:
+        return False
+
+
+@functools.lru_cache(maxsize=1)
 def probe() -> DeviceInfo:
     devs = jax.devices()
     platform = devs[0].platform if devs else "none"
     kind = devs[0].device_kind if devs else "none"
     # Pallas TPU kernels need a real TPU (the 'axon' tunnel platform exposes
-    # TPU devices); interpret mode covers CPU for tests.
+    # TPU devices) AND a working Mosaic compile path; interpret mode covers
+    # CPU for tests.
     is_tpu = "tpu" in kind.lower() or platform in ("tpu", "axon")
     return DeviceInfo(platform=platform, device_kind=kind,
-                      num_devices=len(devs), supports_pallas=is_tpu)
+                      num_devices=len(devs),
+                      supports_pallas=is_tpu and _pallas_functional())
 
 
 def set_max_backend(tier: str) -> None:

@@ -1,0 +1,254 @@
+"""Fused Pallas TPU kernels — the speed-of-light tier (mode enc-quant32).
+
+Design (SURVEY.md §3.2: the TPU translation of the AVX-512 kernel's
+"one register lane = one block" trick):
+
+* The image is processed in 128-row panels (16 strips of 8 rows) and
+  128-column chunks (2 groups of 8 blocks).  Both DCT passes are full
+  (128,128) MXU matmuls against permuted block-diagonal basis matrices
+  built from ``kron(I_16, D)`` — XLA's lowering of ``(...,8,8)`` einsums
+  wastes 15/16 of every vreg (measured 0.7 GB/s vs 726 GB/s elementwise
+  roofline on v5e); this formulation keeps the MXU fully fed.
+* ALL output-layout permutations are folded into the constant basis
+  matrices: the row basis ``B[u*16+m, :]`` and column basis
+  ``A[:, g*64+v*8+b]`` are chosen so the quantized coefficient tile
+  ``Z[u*16+m, g*64+v*8+b]`` maps onto the mode32 byte records
+  (``record byte = g*512 + u*64 + v*8 + b``, src/simd_dct.cpp:2021-2025)
+  through nothing but contiguous sublane slices concatenated into
+  contiguous lane stores.  Mosaic supports no multi-dim u8 reshapes, so
+  permute-by-constant is the whole game.
+* Quantize + bias + clamp + u8 pack fuse in; the decode kernel inverts
+  the same scheme (slices -> dequant -> transposed-basis matmuls).
+
+f32 everywhere: byte-compatible with the XLA/golden tiers (up to the
+usual last-ulp rounding-boundary flips).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.dct import dct_basis_np
+from ..core.quantize import quant_scales, dequant_scales
+
+PANEL = 128          # rows per grid step = 16 strips
+CHUNK = 128          # columns per inner step = 2 groups of 8 blocks
+
+
+@functools.lru_cache(maxsize=None)
+def _row_basis_np() -> np.ndarray:
+    """B with B[u*16 + m, 8m' + r] = D[u, r] * (m == m'): the column-DCT
+    basis with output rows ordered u-major so that coefficient row u of
+    every strip is a contiguous 16-sublane band."""
+    d = dct_basis_np("float32")
+    b = np.zeros((128, 128), np.float32)
+    for u in range(8):
+        for m in range(16):
+            b[u * 16 + m, m * 8: m * 8 + 8] = d[u]
+    return b
+
+
+@functools.lru_cache(maxsize=None)
+def _col_basis_np() -> np.ndarray:
+    """A with A[8n + c, g*64 + v*8 + b] = D[v, c] * (n == 8g + b): the
+    row-DCT basis with output columns ordered (group, v, block)."""
+    d = dct_basis_np("float32")
+    a = np.zeros((128, 128), np.float32)
+    for g in range(2):
+        for v in range(8):
+            for b in range(8):
+                n = 8 * g + b
+                a[n * 8: n * 8 + 8, g * 64 + v * 8 + b] = d[v]
+    return a
+
+
+def _q_big(scales64: jax.Array) -> jax.Array:
+    """(128,128) quant multiplier aligned with Z: [u*16+m, g*64+v*8+b]
+    -> scales[u*8+v] (fy-major LUT order, the mode32 convention)."""
+    q8 = jnp.asarray(scales64, jnp.float32).reshape(8, 8)
+    rows = jnp.repeat(q8, 16, axis=0)            # (128, 8): u-major rows
+    qb = jnp.repeat(rows, 8, axis=1)             # (128, 64): v-major cols
+    return jnp.concatenate([qb, qb], axis=1)     # both groups
+
+
+def _quantize_tile(x, rounding):
+    """f32 scaled coeffs -> u8 with reference rounding semantics."""
+    if rounding == "rne":
+        v = jnp.rint(x).astype(jnp.int32) + 127
+        return jnp.clip(v, 0, 255).astype(jnp.uint8)
+    if rounding == "clamp_first":
+        return jnp.rint(jnp.clip(x + 127.0, 0.0, 255.0)) \
+            .astype(jnp.int32).astype(jnp.uint8)
+    # 'scalar' (roundf-based golden variant)
+    v = jnp.clip(x / 255.0 + np.float32(127.0 / 255.0), 0.0, 1.0) * 255.0
+    return jnp.floor(v + 0.5).astype(jnp.int32).astype(jnp.uint8)
+
+
+def _enc32_kernel(x_ref, b_ref, a_ref, q_ref, out_ref, *, normalize: bool,
+                  rounding: str, num_chunks: int):
+    bmat = b_ref[...]
+    amat = a_ref[...]
+    q_big = q_ref[...]
+    scale = jnp.float32(1.0 / 255.0) if normalize else jnp.float32(1.0)
+
+    def chunk(c, carry):
+        # u8 -> f32 (via i32: Mosaic has no direct u8->f32 cast).
+        x = x_ref[:, pl.ds(c * CHUNK, CHUNK)].astype(jnp.int32) \
+            .astype(jnp.float32) * scale
+        y = jnp.dot(x, amat, preferred_element_type=jnp.float32)   # row DCT
+        z = jnp.dot(bmat, y, preferred_element_type=jnp.float32)   # col DCT
+        bytes_tile = _quantize_tile(z * q_big, rounding)
+        # Z rows are u-major 16-sublane bands; the mode32 record for strip m
+        # is [g*512 + u*64 + v*8 + b], i.e. per group g four 128-lane
+        # stores, each the concat of two u-bands' 64-lane group slices.
+        for g in range(2):
+            for k in range(4):
+                piece = jnp.concatenate(
+                    [bytes_tile[(2 * k) * 16:(2 * k + 1) * 16,
+                                g * 64:(g + 1) * 64],
+                     bytes_tile[(2 * k + 1) * 16:(2 * k + 2) * 16,
+                                g * 64:(g + 1) * 64]], axis=1)
+                out_ref[:, pl.ds(c * 1024 + g * 512 + k * 128, 128)] = piece
+        return carry
+
+    jax.lax.fori_loop(0, num_chunks, chunk, None, unroll=True)
+
+
+@functools.partial(jax.jit, static_argnames=("normalize", "rounding",
+                                             "interpret"))
+def _enc32_panels(view: jax.Array, scales: jax.Array, *, normalize: bool,
+                  rounding: str, interpret: bool = False) -> jax.Array:
+    """(H2, W) u8 view -> (S, 8W) u8 mode32 strip records.
+    Requires H2 % 128 == 0 and W % 128 == 0 (else dispatcher uses XLA)."""
+    h2, w = view.shape
+    assert h2 % PANEL == 0 and w % CHUNK == 0
+    num_panels = h2 // PANEL
+    num_chunks = w // CHUNK
+
+    kernel = functools.partial(_enc32_kernel, normalize=normalize,
+                               rounding=rounding, num_chunks=num_chunks)
+    grid_spec = pl.GridSpec(
+        grid=(num_panels,),
+        in_specs=[
+            pl.BlockSpec((PANEL, w), lambda p: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda p: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((16, 8 * w), lambda p: (p, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((h2 // 8, 8 * w), jnp.uint8),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * 128 * 128 * w * num_panels,
+            bytes_accessed=2 * h2 * w, transcendentals=0),
+        interpret=interpret,
+    )(view, jnp.asarray(_row_basis_np()), jnp.asarray(_col_basis_np()),
+      _q_big(scales))
+
+
+def _dec32_kernel(rec_ref, b_ref, a_ref, qi_ref, out_ref, *, normalize: bool,
+                  num_chunks: int):
+    bmat = b_ref[...]
+    amat = a_ref[...]
+    qi_big = qi_ref[...]
+    scale = jnp.float32(255.0) if normalize else jnp.float32(1.0)
+
+    def chunk(c, carry):
+        # Reassemble Z bytes from the record stream (inverse of the
+        # encode stores): u-band rows from 64-lane halves.
+        bands = []
+        for k in range(4):
+            g0 = rec_ref[:, pl.ds(c * 1024 + k * 128, 128)]
+            g1 = rec_ref[:, pl.ds(c * 1024 + 512 + k * 128, 128)]
+            bands.append(jnp.concatenate([g0[:, :64], g1[:, :64]], axis=1))
+            bands.append(jnp.concatenate([g0[:, 64:], g1[:, 64:]], axis=1))
+        zb = jnp.concatenate(bands, axis=0)      # (128, 128) u8
+        z = (zb.astype(jnp.int32).astype(jnp.float32) - 127.0) * qi_big
+        # Invert the orthonormal (permuted) bases: X = B^T @ Z @ A^T.
+        y = jax.lax.dot_general(z, amat, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        x = jax.lax.dot_general(bmat, y, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        v = jnp.clip(jnp.rint(x * scale), 0.0, 255.0)
+        out_ref[:, pl.ds(c * CHUNK, CHUNK)] = v.astype(jnp.int32) \
+            .astype(jnp.uint8)
+        return carry
+
+    jax.lax.fori_loop(0, num_chunks, chunk, None, unroll=True)
+
+
+@functools.partial(jax.jit, static_argnames=("normalize", "interpret"))
+def _dec32_panels(records: jax.Array, qi: jax.Array, *, normalize: bool,
+                  interpret: bool = False) -> jax.Array:
+    """(S, 8W) u8 mode32 records -> (H2, W) u8 view."""
+    s, w8 = records.shape
+    w = w8 // 8
+    assert (s * 8) % PANEL == 0 and w % CHUNK == 0
+    num_panels = s // 16
+    num_chunks = w // CHUNK
+    kernel = functools.partial(_dec32_kernel, normalize=normalize,
+                               num_chunks=num_chunks)
+    grid_spec = pl.GridSpec(
+        grid=(num_panels,),
+        in_specs=[
+            pl.BlockSpec((16, 8 * w), lambda p: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda p: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((PANEL, w), lambda p: (p, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s * 8, w), jnp.uint8),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * 128 * 128 * w * num_panels,
+            bytes_accessed=2 * s * 8 * w, transcendentals=0),
+        interpret=interpret,
+    )(records, jnp.asarray(_row_basis_np()), jnp.asarray(_col_basis_np()),
+      _q_big(qi))
+
+
+def supports(h: int, w: int) -> bool:
+    """Pallas fast path geometry requirement (else XLA tier)."""
+    return (h // 2) % PANEL == 0 and w % CHUNK == 0
+
+
+def _mask_strips(records: jax.Array, start_y: int, end_y: int) -> jax.Array:
+    s = np.arange(records.shape[0])
+    mask = (s * 16 >= start_y) & (s * 16 <= end_y)
+    if mask.all():
+        return records
+    return jnp.where(jnp.asarray(mask)[:, None], records, jnp.uint8(0))
+
+
+# -- public mode entry points ----------------------------------------------
+
+def encode_quantize32(img, lut, start_y=0, end_y=1 << 30, rounding="rne",
+                      interpret=False):
+    """Pallas fast path for simdDCT_EncodeQuantize32ReorderBuffer
+    semantics (raw 0..255 domain, fy-major, coefficient-major groups)."""
+    h, w = img.shape
+    view = img[: h // 2, :]
+    records = _enc32_panels(view, quant_scales(lut), normalize=False,
+                            rounding=rounding, interpret=interpret)
+    return _mask_strips(records, start_y, end_y).reshape(-1)
+
+
+def decode_quantize32(data, lut, size_x, size_y, interpret=False):
+    """Pallas fast path for the mode32 inverse (north-star decode)."""
+    records = jnp.asarray(data).reshape((size_y // 2) // 8, 8 * size_x)
+    return _dec32_panels(records, dequant_scales(lut), normalize=False,
+                         interpret=interpret)

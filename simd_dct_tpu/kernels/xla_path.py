@@ -24,6 +24,7 @@ from ..core.dct import dct8x8, idct8x8
 from ..core.quantize import quantize_to_u8, dequantize_from_u8, quant_scales, dequant_scales
 from ..layout import blocks as L_blocks
 from ..layout import reorder as L_reorder
+from . import panel as P
 
 
 def _strip_mask(num_strips: int, start_y: int, end_y: int,
@@ -77,11 +78,17 @@ def encode_quantize(img: jnp.ndarray, lut: jnp.ndarray,
     """simdDCT_EncodeQuantizeBuffer semantics (src/simd_dct.cpp:93-111)."""
     h, w = img.shape
     top = img[: h // 2, :]
-    bufs = _coeff_buffers(top, normalize=True, orientation="fx")
     scales = quant_scales(lut)
-    data = quantize_to_u8(bufs, scales, rounding)
-    flat = (L_reorder.block_contiguous(data) if layout == "scalar"
-            else L_reorder.pair_cells(data))
+    if P.supports(h // 2, w):
+        tiles = P.forward_tiles(top, scales, normalize=True,
+                                orientation="fx", rounding=rounding)
+        flat = (P.tiles_to_block_contiguous(tiles) if layout == "scalar"
+                else P.tiles_to_pair(tiles))
+    else:
+        bufs = _coeff_buffers(top, normalize=True, orientation="fx")
+        data = quantize_to_u8(bufs, scales, rounding)
+        flat = (L_reorder.block_contiguous(data) if layout == "scalar"
+                else L_reorder.pair_cells(data))
     mask = _strip_mask(h // 16, start_y, end_y, legacy_range)
     return _apply_mask(flat, mask, 8 * w)
 
@@ -91,6 +98,12 @@ def decode_quantize(data: jnp.ndarray, lut: jnp.ndarray,
                     size_x: int, size_y: int,
                     layout: str = "scalar") -> jnp.ndarray:
     """Inverse of encode_quantize -> reconstructed top view (H/2, W) u8."""
+    if P.supports(size_y // 2, size_x):
+        tiles = (P.block_contiguous_to_tiles(data, size_y // 2, size_x)
+                 if layout == "scalar"
+                 else P.pair_to_tiles(data, size_y // 2, size_x))
+        return P.inverse_tiles(tiles, dequant_scales(lut), normalize=True,
+                               orientation="fx")
     bw = size_x // 8
     bufs = (L_reorder.block_contiguous_inverse(data, bw) if layout == "scalar"
             else L_reorder.pair_cells_inverse(data, bw))
@@ -111,9 +124,14 @@ def encode_quantize32(img: jnp.ndarray, lut: jnp.ndarray,
     coefficient-major 512-byte group records."""
     h, w = img.shape
     top = img[: h // 2, :]
-    bufs = _coeff_buffers(top, normalize=False, orientation="fy")
-    data = quantize_to_u8(bufs, quant_scales(lut), rounding)
-    flat = L_reorder.group8(data)
+    if P.supports(h // 2, w):
+        tiles = P.forward_tiles(top, quant_scales(lut), normalize=False,
+                                orientation="fy", rounding=rounding)
+        flat = P.tiles_to_group8(tiles)
+    else:
+        bufs = _coeff_buffers(top, normalize=False, orientation="fy")
+        data = quantize_to_u8(bufs, quant_scales(lut), rounding)
+        flat = L_reorder.group8(data)
     mask = _strip_mask(h // 16, start_y, end_y)
     return _apply_mask(flat, mask, 8 * w)
 
@@ -121,6 +139,10 @@ def encode_quantize32(img: jnp.ndarray, lut: jnp.ndarray,
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def decode_quantize32(data: jnp.ndarray, lut: jnp.ndarray,
                       size_x: int, size_y: int) -> jnp.ndarray:
+    if P.supports(size_y // 2, size_x):
+        tiles = P.group8_to_tiles(data, size_y // 2, size_x)
+        return P.inverse_tiles(tiles, dequant_scales(lut), normalize=False,
+                               orientation="fy")
     bufs = L_reorder.group8_inverse(data, size_x // 8)
     coeffs = dequantize_from_u8(bufs, dequant_scales(lut))
     return _buffers_to_view(coeffs, normalize=False, orientation="fy")
@@ -139,11 +161,18 @@ def encode_quantize_stereo(img: jnp.ndarray, lut: jnp.ndarray,
     planes with per-strip left/right interleave."""
     h, w = img.shape
     views = img.reshape(2, h // 2, w)
-    bufs = jax.vmap(
-        lambda v: _coeff_buffers(v, normalize=True, orientation="fy")
-    )(views)  # (2, S, BW, 64)
-    data = quantize_to_u8(bufs, quant_scales(lut), rounding)
-    flat = L_reorder.planar_stereo(data)
+    if P.supports(h // 2, w):
+        tiles = jax.vmap(
+            lambda v: P.forward_tiles(v, quant_scales(lut), normalize=True,
+                                      orientation="fy", rounding=rounding)
+        )(views)
+        flat = P.tiles_to_planar(tiles)
+    else:
+        bufs = jax.vmap(
+            lambda v: _coeff_buffers(v, normalize=True, orientation="fy")
+        )(views)  # (2, S, BW, 64)
+        data = quantize_to_u8(bufs, quant_scales(lut), rounding)
+        flat = L_reorder.planar_stereo(data)
     # plane bytes per strip = W/4 (both views), cursor semantics of
     # src/simd_dct.cpp:275: mask each strip's slice within every plane.
     mask = _strip_mask(h // 16, start_y, end_y)
@@ -156,6 +185,13 @@ def encode_quantize_stereo(img: jnp.ndarray, lut: jnp.ndarray,
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def decode_quantize_stereo(data: jnp.ndarray, lut: jnp.ndarray,
                            size_x: int, size_y: int) -> jnp.ndarray:
+    if P.supports(size_y // 2, size_x):
+        tiles = P.planar_to_tiles(data, size_y // 2, size_x)
+        views = jax.vmap(
+            lambda t: P.inverse_tiles(t, dequant_scales(lut), normalize=True,
+                                      orientation="fy")
+        )(tiles)
+        return views.reshape(size_y, size_x)
     s = size_y // 16
     bufs = L_reorder.planar_stereo_inverse(data, s, size_x // 8)
     coeffs = dequantize_from_u8(bufs, dequant_scales(lut))

@@ -1,0 +1,62 @@
+"""Pallas kernel correctness in interpreter mode (CPU-runnable).
+
+The compiled-TPU path is exercised by bench.py / the graft entry on real
+hardware; here the same kernel bodies run under the Pallas interpreter and
+must agree with the golden model byte-for-byte (up to float
+rounding-boundary flips).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from simd_dct_tpu.core import default_quant_lut
+from simd_dct_tpu.core import golden as G
+from simd_dct_tpu.kernels import pallas_dct as PK
+
+
+@pytest.fixture(scope="module")
+def img():
+    rng = np.random.default_rng(0xFADE)
+    return rng.integers(0, 256, (256, 128), dtype=np.uint8)
+
+
+def _agree(a, b, tol_rate=0.002):
+    a, b = np.asarray(a).reshape(-1), np.asarray(b).reshape(-1)
+    diff = a.astype(np.int16) - b.astype(np.int16)
+    assert np.abs(diff).max(initial=0) <= 1
+    assert np.count_nonzero(diff) <= max(2, a.size * tol_rate)
+
+
+def test_supports():
+    assert PK.supports(256, 128)
+    assert not PK.supports(192, 128)   # H2=96 not a panel multiple
+    assert not PK.supports(256, 192)
+
+
+def test_enc32_interpret(img):
+    lut = default_quant_lut(50) * 255.0
+    got = PK.encode_quantize32(jnp.asarray(img), lut, interpret=True)
+    _agree(got, G.encode_quantize32_golden(img, lut))
+
+
+def test_enc32_strip_range_interpret(img):
+    lut = default_quant_lut(50) * 255.0
+    got = PK.encode_quantize32(jnp.asarray(img), lut, 32, 63, interpret=True)
+    _agree(got, G.encode_quantize32_golden(img, lut, 32, 63))
+
+
+def test_dec32_interpret(img):
+    lut = default_quant_lut(50) * 255.0
+    enc = G.encode_quantize32_golden(img, lut)
+    got = PK.decode_quantize32(enc, lut, 128, 256, interpret=True)
+    want = G.decode_quantize32_golden(enc, lut, 128, 256)
+    _agree(got, want)
+
+
+def test_enc32_rounding_variants(img):
+    lut = default_quant_lut(50) * 255.0
+    for rounding in ("rne", "clamp_first", "scalar"):
+        got = PK.encode_quantize32(jnp.asarray(img), lut,
+                                   rounding=rounding, interpret=True)
+        _agree(got, G.encode_quantize32_golden(img, lut, rounding=rounding))
