@@ -49,8 +49,12 @@ def _pallas_functional() -> bool:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     try:
+        # Probe the op classes the kernels actually use (u8 load/store,
+        # widening casts, i32 math, narrowing) — NOT u8 vector arithmetic,
+        # which some libtpu builds cannot lower and which the kernels avoid.
         def k(x_ref, o_ref):
-            o_ref[...] = x_ref[...] + jnp.uint8(1)
+            v = x_ref[...].astype(jnp.int32) + 1
+            o_ref[...] = jnp.clip(v, 0, 255).astype(jnp.uint8)
         out = pl.pallas_call(
             k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.uint8),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],

@@ -1,0 +1,17 @@
+"""Multi-chip / multi-host sharding (≙ the reference's startY/endY hook)."""
+
+from .mesh import (
+    DATA_AXIS, make_mesh, make_mesh_2d, strip_sharding, replicated,
+)
+from .sharding import (
+    encode_quantize32_sharded, decode_quantize32_sharded,
+    encode_quantize_stereo_sharded, decode_quantize_stereo_sharded,
+    encode_quantize32_batch, roundtrip_quantize32_batch,
+)
+
+__all__ = [
+    "DATA_AXIS", "make_mesh", "make_mesh_2d", "strip_sharding", "replicated",
+    "encode_quantize32_sharded", "decode_quantize32_sharded",
+    "encode_quantize_stereo_sharded", "decode_quantize_stereo_sharded",
+    "encode_quantize32_batch", "roundtrip_quantize32_batch",
+]

@@ -1,0 +1,45 @@
+"""Device mesh construction and topology probing.
+
+The TPU analog of the reference's "caller may shard rows" contract
+(``startY``/``endY``, src/simd_dct.h:29-31): instead of a thread pool
+splitting the strip loop, a ``jax.sharding.Mesh`` splits the strip axis
+across chips/hosts, and XLA inserts any collectives (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+DATA_AXIS = "data"
+
+
+def make_mesh(num_devices: int | None = None,
+              axis_name: str = DATA_AXIS) -> Mesh:
+    """1-D mesh over the first ``num_devices`` devices (default: all).
+
+    DCT blocks are embarrassingly parallel, so a single data axis covers
+    dp over strips/frames; ICI vs DCN placement follows device order."""
+    devs = jax.devices()
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    return Mesh(np.array(devs), (axis_name,))
+
+
+def make_mesh_2d(shape: tuple[int, int],
+                 axis_names: tuple[str, str] = ("host", "chip")) -> Mesh:
+    """(host, chip) mesh for multi-host layouts: shard frames over hosts
+    (DCN) and strips over chips (ICI)."""
+    devs = np.array(jax.devices()[: shape[0] * shape[1]]).reshape(shape)
+    return Mesh(devs, axis_names)
+
+
+def strip_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Sharding for a (H, W) image: rows split across the mesh axis."""
+    return NamedSharding(mesh, P(axis_name, None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

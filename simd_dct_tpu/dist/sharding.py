@@ -1,0 +1,183 @@
+"""Sharded encode/decode: strip-axis and frame-axis parallelism.
+
+Strategy (SURVEY.md §2.6, §7.5): 8x8 blocks never cross a 16-image-row
+boundary (8 rows in each of the two stacked views), so sharding the strip
+axis needs NO halo exchange — each shard runs the single-chip encoder on
+its local rows via ``jax.shard_map``.  The only cross-chip pattern is the
+stereo planar layout, whose 64 planes are naturally strip-segmented: each
+shard owns the ``W/4``-byte segment of every plane for its strips
+(mirroring the reference's per-strip plane-cursor advance,
+src/simd_dct.cpp:1075-1083); ``gather=True`` all-gathers the segments into
+replicated planes at the end.
+
+Frame-axis (video) parallelism shards a leading batch axis; with a
+(host, chip) mesh, frames ride DCN and strips ride ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..kernels import xla_path as X
+from .mesh import DATA_AXIS
+
+
+def _num_shards(mesh: Mesh, axis_name: str) -> int:
+    return mesh.shape[axis_name]
+
+
+# ---------------------------------------------------------------------------
+# strip-sharded single images
+# ---------------------------------------------------------------------------
+
+def encode_quantize32_sharded(img: jax.Array, lut, mesh: Mesh, *,
+                              axis_name: str = DATA_AXIS,
+                              rounding: str = "rne") -> jax.Array:
+    """Mode32 encode with the TOP view's strips sharded over the mesh.
+
+    ``img`` is (H, W); each shard encodes H/2/n contiguous view rows.
+    Returns records (S, 8W) sharded on the strip axis — a pure local
+    computation, zero collectives (the TPU analog of handing each thread a
+    ``startY/endY`` range)."""
+    h, w = img.shape
+    n = _num_shards(mesh, axis_name)
+    assert (h // 2) % (n * 8) == 0, "strips must divide evenly over shards"
+    top = img[: h // 2, :]
+    lut = jnp.asarray(lut, jnp.float32)
+
+    def shard_fn(local, lut_r):
+        return X.encode32_view(local, lut_r, rounding) \
+            .reshape(local.shape[0] // 8, -1)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis_name, None), P()),
+        out_specs=P(axis_name, None))
+    return fn(top, lut)
+
+
+def decode_quantize32_sharded(records: jax.Array, lut, size_x: int,
+                              size_y: int, mesh: Mesh, *,
+                              axis_name: str = DATA_AXIS) -> jax.Array:
+    """Inverse: records (S, 8W) sharded on strips -> (H/2, W) top view
+    sharded on rows."""
+    lut = jnp.asarray(lut, jnp.float32)
+
+    def shard_fn(local, lut_r):
+        s_local = local.shape[0]
+        return X.decode_quantize32(local.reshape(-1), lut_r,
+                                   size_x, s_local * 16)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis_name, None), P()),
+        out_specs=P(axis_name, None))
+    return fn(records, lut)
+
+
+def encode_quantize_stereo_sharded(img: jax.Array, lut, mesh: Mesh, *,
+                                   axis_name: str = DATA_AXIS,
+                                   rounding: str = "rne",
+                                   gather: bool = False) -> jax.Array:
+    """Stereo planar encode, strips sharded; both views stay local to the
+    shard that owns their strip range.
+
+    Returns plane segments shaped (64, S, W/4) with the strip axis
+    sharded; flattening axis order (plane, strip, segment-byte) equals the
+    reference byte stream.  ``gather=True`` replicates the full planes
+    (the only collective in the framework — an all-gather over ICI)."""
+    h, w = img.shape
+    n = _num_shards(mesh, axis_name)
+    assert (h // 2) % (n * 8) == 0
+    views = img.reshape(2, h // 2, w)
+    lut = jnp.asarray(lut, jnp.float32)
+
+    def shard_fn(local_views, lut_r):
+        # local_views: (2, H2/n, W) — this shard's strip range of BOTH views.
+        local = local_views.reshape(-1, w)
+        flat = X.encode_quantize_stereo(local, lut_r, 0, 1 << 30, rounding)
+        s_local = local_views.shape[1] // 8
+        return flat.reshape(64, s_local, w // 4)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, axis_name, None), P()),
+        out_specs=P(None, axis_name, None))
+    out = fn(views, lut)
+    if gather:
+        out = jax.lax.with_sharding_constraint(
+            out, NamedSharding(mesh, P()))
+    return out
+
+
+def decode_quantize_stereo_sharded(planes: jax.Array, lut, size_x: int,
+                                   size_y: int, mesh: Mesh, *,
+                                   axis_name: str = DATA_AXIS) -> jax.Array:
+    """Inverse: (64, S, W/4) plane segments (strip-sharded) -> (H, W) image
+    as (2, H/2, W) views stacked, rows sharded within each view."""
+    lut = jnp.asarray(lut, jnp.float32)
+    w = size_x
+
+    def shard_fn(local_planes, lut_r):
+        s_local = local_planes.shape[1]
+        flat = local_planes.reshape(-1)
+        local = X.decode_quantize_stereo(flat, lut_r, w, s_local * 16)
+        return local.reshape(2, s_local * 8, w)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, axis_name, None), P()),
+        out_specs=P(None, axis_name, None))
+    views = fn(planes, lut)
+    return views.reshape(size_y, size_x)
+
+
+# ---------------------------------------------------------------------------
+# frame-sharded batches (video workload, BASELINE config 4-5)
+# ---------------------------------------------------------------------------
+
+def encode_quantize32_batch(frames: jax.Array, lut, mesh: Mesh, *,
+                            frame_axis: str = DATA_AXIS,
+                            rounding: str = "rne") -> jax.Array:
+    """(B, H, W) u8 frames, B sharded over the mesh -> (B, S, 8W) records.
+
+    The per-frame encode is vmapped inside each shard; with a 2-D
+    (host, chip) mesh pass ``frame_axis='host'`` and additionally shard
+    strips by wrapping this in a second shard_map level."""
+    lut = jnp.asarray(lut, jnp.float32)
+
+    def shard_fn(local_frames, lut_r):
+        def one(fr):
+            return X.encode_quantize32(fr, lut_r, 0, 1 << 30, rounding)
+        return jax.vmap(one)(local_frames)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(frame_axis, None, None), P()),
+        out_specs=P(frame_axis, None))
+    b, h, w = frames.shape
+    return fn(frames, lut).reshape(b, (h // 2) // 8, 8 * w)
+
+
+def roundtrip_quantize32_batch(frames: jax.Array, lut, mesh: Mesh, *,
+                               frame_axis: str = DATA_AXIS) -> jax.Array:
+    """Fused encode -> decode round-trip per frame (BASELINE config 4:
+    batched video, frames/s per chip)."""
+    lut = jnp.asarray(lut, jnp.float32)
+
+    def shard_fn(local_frames, lut_r):
+        def one(fr):
+            h, w = fr.shape
+            rec = X.encode_quantize32(fr, lut_r, 0, 1 << 30, "rne")
+            return X.decode_quantize32(rec, lut_r, w, h)
+        return jax.vmap(one)(local_frames)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(frame_axis, None, None), P()),
+        out_specs=P(frame_axis, None, None))
+    return fn(frames, lut)

@@ -115,6 +115,20 @@ def decode_quantize(data: jnp.ndarray, lut: jnp.ndarray,
 # enc-quant32 (group-of-8 coefficient-major), raw domain, top view only
 # ---------------------------------------------------------------------------
 
+def encode32_view(view: jnp.ndarray, lut: jnp.ndarray,
+                  rounding: str = "rne") -> jnp.ndarray:
+    """Mode32 encode of a bare (H2, W) view (no dual-view slicing) ->
+    flat records.  Building block for the sharded path (dist.sharding)."""
+    h2, w = view.shape
+    if P.supports(h2, w):
+        tiles = P.forward_tiles(view, quant_scales(lut), normalize=False,
+                                orientation="fy", rounding=rounding)
+        return P.tiles_to_group8(tiles)
+    bufs = _coeff_buffers(view, normalize=False, orientation="fy")
+    data = quantize_to_u8(bufs, quant_scales(lut), rounding)
+    return L_reorder.group8(data)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def encode_quantize32(img: jnp.ndarray, lut: jnp.ndarray,
                       start_y: int = 0, end_y: int = 1 << 30,

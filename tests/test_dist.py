@@ -1,0 +1,102 @@
+"""Sharded paths on the 8-device virtual CPU mesh: sharded == single-chip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from simd_dct_tpu import dist
+from simd_dct_tpu.core import default_quant_lut
+from simd_dct_tpu.kernels import xla_path as X
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must fake 8 CPU devices"
+    return dist.make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def img():
+    rng = np.random.default_rng(0xD157)
+    # H2 = 1024 -> 8 shards x 128 rows: every shard is panel-aligned so
+    # sharded and single-chip runs use identical float paths (bit-equal).
+    return rng.integers(0, 256, (2048, 128), dtype=np.uint8)
+
+
+def test_mesh_shapes(mesh):
+    assert mesh.shape["data"] == 8
+    m2 = dist.make_mesh_2d((2, 4))
+    assert m2.shape == {"host": 2, "chip": 4}
+
+
+def test_enc32_sharded_matches(img, mesh):
+    lut = default_quant_lut(50) * 255.0
+    sharded = dist.encode_quantize32_sharded(jnp.asarray(img), lut, mesh)
+    single = np.asarray(X.encode_quantize32(jnp.asarray(img), jnp.asarray(lut)))
+    np.testing.assert_array_equal(np.asarray(sharded).reshape(-1), single)
+    # output really is sharded over the strip axis
+    s = sharded.sharding
+    assert s.spec[0] == "data"
+
+
+def test_dec32_sharded_roundtrip(img, mesh):
+    lut = default_quant_lut(50) * 255.0
+    rec = dist.encode_quantize32_sharded(jnp.asarray(img), lut, mesh)
+    dec = dist.decode_quantize32_sharded(rec, lut, 128, 2048, mesh)
+    single = np.asarray(X.decode_quantize32(
+        jnp.asarray(np.asarray(rec).reshape(-1)), jnp.asarray(lut), 128, 2048))
+    np.testing.assert_array_equal(np.asarray(dec), single)
+
+
+def test_stereo_sharded_matches(img, mesh):
+    lut = default_quant_lut(50)
+    seg = dist.encode_quantize_stereo_sharded(jnp.asarray(img), lut, mesh)
+    assert seg.shape == (64, 128, 32)  # (planes, strips, W/4)
+    single = np.asarray(X.encode_quantize_stereo(jnp.asarray(img),
+                                                 jnp.asarray(lut)))
+    np.testing.assert_array_equal(np.asarray(seg).reshape(-1), single)
+
+
+def test_stereo_sharded_gather(img, mesh):
+    lut = default_quant_lut(50)
+    full = dist.encode_quantize_stereo_sharded(jnp.asarray(img), lut, mesh,
+                                               gather=True)
+    # gathered output is replicated
+    assert full.sharding.is_fully_replicated
+
+
+def test_stereo_sharded_decode(img, mesh):
+    lut = default_quant_lut(100)
+    seg = dist.encode_quantize_stereo_sharded(jnp.asarray(img), lut, mesh)
+    dec = dist.decode_quantize_stereo_sharded(seg, lut, 128, 2048, mesh)
+    single = np.asarray(X.decode_quantize_stereo(
+        jnp.asarray(np.asarray(seg).reshape(-1)), jnp.asarray(lut), 128, 2048))
+    np.testing.assert_array_equal(np.asarray(dec), single)
+
+
+def test_batch_sharded(mesh):
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, (16, 256, 128), dtype=np.uint8)
+    lut = default_quant_lut(50) * 255.0
+    rec = dist.encode_quantize32_batch(jnp.asarray(frames), lut, mesh)
+    assert rec.shape == (16, 16, 8 * 128)
+    single0 = np.asarray(X.encode_quantize32(jnp.asarray(frames[3]),
+                                             jnp.asarray(lut)))
+    np.testing.assert_array_equal(np.asarray(rec[3]).reshape(-1), single0)
+    rt = dist.roundtrip_quantize32_batch(jnp.asarray(frames),
+                                         default_quant_lut(100) * 255.0, mesh)
+    assert rt.shape == (16, 128, 128)
+
+
+def test_2d_mesh_batch():
+    """(host, chip) mesh: frames over 'host', strips over 'chip' composes."""
+    m2 = dist.make_mesh_2d((2, 4))
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 256, (4, 256, 128), dtype=np.uint8)
+    lut = default_quant_lut(50) * 255.0
+    rec = dist.encode_quantize32_batch(jnp.asarray(frames), lut, m2,
+                                       frame_axis="host")
+    single = np.asarray(X.encode_quantize32(jnp.asarray(frames[1]),
+                                            jnp.asarray(lut)))
+    np.testing.assert_array_equal(np.asarray(rec[1]).reshape(-1), single)
