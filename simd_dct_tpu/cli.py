@@ -1,0 +1,172 @@
+"""Benchmark/encode CLI mirroring the reference harness.
+
+Reference usage (src/main.cpp:106-119):
+
+    simd_dct <raw_grayscale_image_file> <resolutionX> <resolutionY>
+        --to <file>           store the last output
+        --quality <0-100>     quantization quality level
+        --runs <uint>         benchmark run count (default 128, max 1024)
+        --cpu-core <n>        pin thread (accepted; advisory on TPU)
+        --max-simd <tier>     cap the backend tier (pallas/xla/numpy accepted
+                              natively; the reference's ISA names map onto
+                              tiers: avx* -> pallas, sse* -> xla, none -> numpy)
+        --mode <mode>         enc-quant / enc-quant32 / enc-quant-stereo
+                              (repeatable; default: all supported)
+
+Differences from the reference, by design: the default quality is only
+applied when --quality is passed (matching src/main.cpp:123,214 where the
+declared default 50 is never applied without the flag — reproduced
+faithfully), and a --decode flag adds the north-star inverse path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+MAX_SIMD_TO_TIER = {
+    # native tier names
+    "pallas": "pallas", "xla": "xla", "numpy": "numpy",
+    # reference ISA names (src/main.cpp:89-98) mapped onto tiers
+    "avx512bw": "pallas", "avx512f": "pallas", "avx2": "pallas",
+    "avx": "pallas",
+    "sse4.2": "xla", "sse4.1": "xla", "ssse3": "xla", "sse3": "xla",
+    "sse2": "xla",
+    "none": "numpy",
+}
+
+MODES = ("enc-quant", "enc-quant32", "enc-quant-stereo")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="simd_dct_tpu",
+        description="TPU-native 8x8 block DCT encode/decode benchmark")
+    p.add_argument("file", help="raw grayscale image file")
+    p.add_argument("resolution_x", type=int)
+    p.add_argument("resolution_y", type=int)
+    p.add_argument("--to", dest="out_file", default=None,
+                   help="store the last output in the specified file")
+    p.add_argument("--quality", type=float, default=None,
+                   help="quantization quality level (scales the LUT)")
+    p.add_argument("--runs", type=int, default=None,
+                   help="benchmark run count (default 128, max 1024)")
+    p.add_argument("--cpu-core", dest="cpu_core", type=int, default=None,
+                   help="pin the host thread to a core (best-effort)")
+    p.add_argument("--max-simd", dest="max_simd", default=None,
+                   choices=sorted(MAX_SIMD_TO_TIER),
+                   help="cap the backend tier")
+    p.add_argument("--mode", action="append", dest="modes",
+                   choices=MODES, default=None,
+                   help="benchmark only the given mode(s); repeatable")
+    p.add_argument("--decode", action="store_true",
+                   help="also run the inverse path and report round-trip PSNR")
+    p.add_argument("--start-y", type=int, default=0)
+    p.add_argument("--end-y", type=int, default=None)
+    return p
+
+
+def _pin_cpu(core: int) -> None:
+    try:
+        os.sched_setaffinity(0, {core})
+    except (AttributeError, OSError) as e:  # pragma: no cover
+        print(f"warning: could not pin cpu core {core}: {e}")
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.cpu_core is not None:
+        _pin_cpu(args.cpu_core)
+
+    try:
+        data = np.fromfile(args.file, dtype=np.uint8)
+    except OSError:
+        print("Failed to read file.")
+        return 1
+    w, h = args.resolution_x, args.resolution_y
+    if w <= 0 or h <= 0:
+        print("Invalid Resolution Specified. Aborting.")
+        return 1
+    if data.size < w * h:
+        print(f"File too small: {data.size} bytes for {w}x{h}.")
+        return 1
+    img = data[: w * h].reshape(h, w)
+
+    import jax
+    import simd_dct_tpu as sd
+    from simd_dct_tpu.bench.stats import (time_fn, HEADER, DEFAULT_RUN_COUNT,
+                                          MAX_RUN_COUNT)
+    from simd_dct_tpu.dispatch import probe, set_max_backend
+
+    runs = args.runs if args.runs is not None else DEFAULT_RUN_COUNT
+    if runs > MAX_RUN_COUNT:
+        print("Invalid Parameter.")
+        return 1
+
+    if args.max_simd is not None:
+        set_max_backend(MAX_SIMD_TO_TIER[args.max_simd])
+
+    lut = sd.default_quant_lut(args.quality)
+
+    info = probe()
+    print(f"device: {info.banner}")
+    print()
+
+    modes = args.modes or list(MODES)
+    end_y = args.end_y if args.end_y is not None else h
+    imgj = jax.numpy.asarray(img)
+    last_output = None
+    print(HEADER)
+
+    def run_mode(name, enc, dec, ref_for_psnr):
+        nonlocal last_output
+        out = enc()
+        jax.block_until_ready(out)
+        stats = time_fn(name, lambda: jax.block_until_ready(enc()),
+                        bytes_processed=img.size, runs=runs)
+        print(stats.row())
+        last_output = np.asarray(out)
+        if args.decode and dec is not None:
+            rec = np.asarray(dec(last_output))
+            print(f"{name + ' round-trip':<28} | PSNR "
+                  f"{_psnr(ref_for_psnr, rec):6.2f} dB")
+
+    if "enc-quant" in modes:
+        run_mode(
+            "enc-quant",
+            lambda: sd.encode_quantize(imgj, lut, args.start_y, end_y),
+            lambda d: sd.decode_quantize(d, lut, w, h),
+            img[: h // 2])
+    if "enc-quant32" in modes:
+        if w % 64:
+            print(f"{'enc-quant32':<28} | not supported (W % 64 != 0)")
+        else:
+            run_mode(
+                "enc-quant32",
+                lambda: sd.encode_quantize32(imgj, lut * 255.0,
+                                             args.start_y, end_y),
+                lambda d: sd.decode_quantize32(d, lut * 255.0, w, h),
+                img[: h // 2])
+    if "enc-quant-stereo" in modes:
+        run_mode(
+            "enc-quant-stereo",
+            lambda: sd.encode_quantize_stereo(imgj, lut, args.start_y, end_y),
+            lambda d: sd.decode_quantize_stereo(d, lut, w, h),
+            img)
+
+    if args.out_file and last_output is not None:
+        last_output.tofile(args.out_file)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,84 @@
+"""CLI parity tests (flags, dump, modes) — run on the CPU backend."""
+
+import numpy as np
+import pytest
+
+from simd_dct_tpu import cli
+
+
+@pytest.fixture()
+def raw_image(tmp_path):
+    rng = np.random.default_rng(0xC11)
+    img = rng.integers(0, 256, (64, 128), dtype=np.uint8)
+    path = tmp_path / "img.raw"
+    img.tofile(path)
+    return path, img
+
+
+def test_basic_bench(raw_image, capsys, tmp_path):
+    path, img = raw_image
+    out = tmp_path / "out.raw"
+    rc = cli.main([str(path), "128", "64", "--runs", "2",
+                   "--mode", "enc-quant32", "--quality", "50",
+                   "--to", str(out)])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "enc-quant32" in text and "GB/s" in text
+    dumped = np.fromfile(out, dtype=np.uint8)
+    # dump equals the API output at the same settings
+    import simd_dct_tpu as sd
+    want = np.asarray(sd.encode_quantize32(img, sd.default_quant_lut(50) * 255.0))
+    np.testing.assert_array_equal(dumped, want)
+
+
+def test_quality_only_applied_with_flag(raw_image, capsys, tmp_path):
+    """src/main.cpp:123,214: the declared default 50 is never applied
+    unless --quality is passed; our CLI reproduces that."""
+    path, img = raw_image
+    o1, o2 = tmp_path / "a.raw", tmp_path / "b.raw"
+    cli.main([str(path), "128", "64", "--runs", "1", "--mode", "enc-quant",
+              "--to", str(o1)])
+    cli.main([str(path), "128", "64", "--runs", "1", "--mode", "enc-quant",
+              "--quality", "50", "--to", str(o2)])
+    a = np.fromfile(o1, np.uint8)
+    b = np.fromfile(o2, np.uint8)
+    assert not np.array_equal(a, b)
+
+
+def test_all_modes_and_decode(raw_image, capsys):
+    path, _ = raw_image
+    rc = cli.main([str(path), "128", "64", "--runs", "1", "--quality", "100",
+                   "--decode"])
+    assert rc == 0
+    text = capsys.readouterr().out
+    for m in ("enc-quant", "enc-quant32", "enc-quant-stereo"):
+        assert m in text
+    assert "PSNR" in text
+
+
+def test_max_simd_mapping(raw_image, capsys):
+    path, _ = raw_image
+    rc = cli.main([str(path), "128", "64", "--runs", "1",
+                   "--mode", "enc-quant", "--max-simd", "none"])
+    assert rc == 0
+    from simd_dct_tpu.dispatch import get_max_backend, set_max_backend
+    assert get_max_backend() == "numpy"
+    set_max_backend("pallas")  # restore
+
+
+def test_bad_runs(raw_image):
+    path, _ = raw_image
+    assert cli.main([str(path), "128", "64", "--runs", "99999"]) == 1
+
+
+def test_missing_file(tmp_path):
+    assert cli.main([str(tmp_path / "nope.raw"), "8", "8"]) == 1
+
+
+def test_quant32_width_guard(tmp_path, capsys):
+    img = np.zeros((16, 24), np.uint8)
+    p = tmp_path / "img.raw"
+    img.tofile(p)
+    rc = cli.main([str(p), "24", "16", "--runs", "1", "--mode", "enc-quant32"])
+    assert rc == 0
+    assert "not supported" in capsys.readouterr().out
