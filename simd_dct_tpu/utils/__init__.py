@@ -1,0 +1,12 @@
+"""Auxiliary subsystems: profiling/roofline, debug/determinism."""
+
+from .profiling import (
+    HBM_PEAK_GBPS, hbm_peak_gbps, RooflineReport, device_timer, trace, measure,
+)
+from .debug import interpret_kernels, check_deterministic, compare_backends
+
+__all__ = [
+    "HBM_PEAK_GBPS", "hbm_peak_gbps", "RooflineReport", "device_timer",
+    "trace", "measure",
+    "interpret_kernels", "check_deterministic", "compare_backends",
+]

@@ -1,0 +1,49 @@
+"""Aux subsystem tests: roofline math, determinism check, backend diff."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from simd_dct_tpu import utils
+from simd_dct_tpu.core import default_quant_lut
+from simd_dct_tpu.core import golden as G
+from simd_dct_tpu.kernels import xla_path as X
+
+
+def test_roofline_report():
+    r = utils.RooflineReport(bytes_processed=819_000_000, seconds=1.0,
+                             device_kind="TPU v5 lite")
+    assert abs(r.gbps - 0.819) < 1e-9
+    assert abs(r.fraction_of_roofline - 0.001) < 1e-6
+    assert "HBM roofline" in str(r)
+    assert utils.hbm_peak_gbps("TPU v99 future") == 819.0
+
+
+def test_measure_runs():
+    f = lambda x: x + 1
+    rep = utils.measure(f, (jnp.zeros((8, 128)),), bytes_processed=1024,
+                        runs=3, warmup=1)
+    assert rep.seconds > 0 and rep.gbps > 0
+
+
+def test_determinism():
+    img = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (64, 128), np.uint8))
+    lut = default_quant_lut(50)
+    assert utils.check_deterministic(
+        lambda: X.encode_quantize(img, jnp.asarray(lut)))
+
+
+def test_compare_backends():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (64, 128), dtype=np.uint8)
+    lut = default_quant_lut(50)
+    report = utils.compare_backends({
+        "xla": X.encode_quantize(jnp.asarray(img), jnp.asarray(lut)),
+        "numpy": G.encode_quantize_golden(img, lut, rounding="rne",
+                                          legacy_range=False),
+    })
+    entry = report["xla-vs-numpy"]
+    assert entry["ok"], entry
+    bad = utils.compare_backends({
+        "a": np.zeros(64, np.uint8), "b": np.full(64, 9, np.uint8)})
+    assert not bad["a-vs-b"]["ok"]
