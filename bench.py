@@ -1,15 +1,22 @@
 #!/usr/bin/env python
-"""Headline benchmark: fused DCT+quant encode/decode throughput per chip.
+"""Headline benchmark: fused mode32 DCT+quant encode throughput per chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
-the fraction of this chip's *measured* HBM copy roofline achieved by the
-fused mode32 encode (the north-star criterion: >= 0.9 of roofline).
-Bytes counted as in+out (1 u8 read + 1 u8 write per pixel), matching the
-reference's bytes-processed accounting (src/main.cpp:72-78).
+Methodology (hard-won on the tunnel platform): per-invocation dispatch
+overhead through the remote-TPU relay is ~1 ms, so throughput is measured
+as the SLOPE between two single-dispatch batched (vmapped) runs of
+different batch sizes — overhead and constant costs cancel.  A checksum
+consumes every output byte so nothing can be elided (pallas calls are
+opaque to XLA, so a linear checksum is safe here).
 
-Runs on the default JAX platform (the real TPU under the driver).
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
+the fraction of the detected device's PUBLISHED HBM-bandwidth roofline
+achieved by the fused encode (north star: >= 0.9; a measured copy
+roofline would be preferable but its ~5 us/frame signal drowns in the
+tunnel's per-dispatch jitter).  Bytes counted as logical in+out (1 u8
+read + 1 u8 write per pixel), matching the reference's accounting
+(src/main.cpp:72-78).
 """
 
 import json
@@ -19,18 +26,21 @@ import time
 import numpy as np
 
 
-def _pipeline_time(fn, args_cycle, runs):
-    jax_block(fn(args_cycle[0]))
-    t0 = time.perf_counter()
-    rs = [fn(args_cycle[i % len(args_cycle)]) for i in range(runs)]
-    jax_block(rs)
-    return (time.perf_counter() - t0) / runs
-
-
-def jax_block(x):
+def _slope_ms(make_fn, batches, reps=10):
+    """Best-of wall per batch size; returns per-frame seconds via slope."""
     import jax
-    jax.block_until_ready(x)
-    return x
+    walls = {}
+    for bsz, xb in batches:
+        f = make_fn()
+        jax.block_until_ready(f(xb))
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(xb))
+            best = min(best, time.perf_counter() - t0)
+        walls[bsz] = best
+    (b0, _), (b1, _) = batches
+    return (walls[b1] - walls[b0]) / (b1 - b0)
 
 
 def main():
@@ -40,62 +50,62 @@ def main():
         jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     except Exception:
         pass
-    from simd_dct_tpu.kernels import xla_path as X
-    from simd_dct_tpu.kernels import pallas_dct as PK
-    from simd_dct_tpu.dispatch import probe
-    from simd_dct_tpu.core.quantize import default_quant_lut
-
-    H, W = 4096, 3840          # 4K-class frame, dual-view geometry
-    runs = 40
-    rng = np.random.default_rng(0)
-    base = rng.integers(0, 256, (H, W), dtype=np.uint8)
-    inputs = [jnp.asarray(base + np.uint8(i)) for i in range(4)]
-    jax_block(inputs)
-    lut = jnp.asarray(default_quant_lut(100) * 255.0)
-    logical_bytes = (H // 2) * W * 2   # u8 in + u8 out
-
-    # Measured copy roofline (same harness, same shapes).
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+    from simd_dct_tpu.kernels import pallas_dct as PK
+    from simd_dct_tpu.kernels import xla_path as X
+    from simd_dct_tpu.dispatch import probe
+    from simd_dct_tpu.core.quantize import default_quant_lut, quant_scales
 
+    H2, W = 2048, 3840           # 4K-class view (H = 4096 dual-view)
+    rng = np.random.default_rng(0)
+    lut = jnp.asarray(default_quant_lut(100) * 255.0)
+    logical_bytes = H2 * W * 2
+
+    def batches(sizes):
+        out = []
+        for bsz in sizes:
+            out.append((bsz, jnp.asarray(
+                rng.integers(0, 256, (bsz, H2, W), dtype=np.uint8))))
+        jax.block_until_ready([b for _, b in out])
+        return out
+
+    # the constant per-dispatch cost (~25 ms through the tunnel) cancels
+    # in the slope; batch spreads are sized so the signal dominates its
+    # run-to-run variance (copy is ~5 us/frame -> needs a huge spread).
+    bs_enc = batches((16, 144))
     info = probe()
 
-    def copy_roofline():
-        def k(x_ref, o_ref):
-            o_ref[...] = x_ref[...]
-        f = jax.jit(lambda x: pl.pallas_call(
-            k, out_shape=jax.ShapeDtypeStruct((H // 2, W), jnp.uint8),
-            grid_spec=pl.GridSpec(
-                grid=(H // 2 // 256,),
-                in_specs=[pl.BlockSpec((256, W), lambda p: (p, 0),
-                                       memory_space=pltpu.VMEM)],
-                out_specs=pl.BlockSpec((256, W), lambda p: (p, 0),
-                                       memory_space=pltpu.VMEM)))(x))
-        views = [x[: H // 2] for x in inputs]
-        dt = _pipeline_time(f, views, runs)
-        return logical_bytes / dt
+    def checksum(one):
+        return lambda: jax.jit(
+            lambda xs: jnp.sum(jax.vmap(one)(xs).astype(jnp.int32)))
 
-    # Fused encode: pallas tier if the Mosaic service is up, else XLA panel.
-    if info.supports_pallas and PK.supports(H, W):
-        enc = jax.jit(lambda im: PK.encode_quantize32(im, lut))
-        tier = "pallas"
+    if info.supports_pallas:
+        scales = quant_scales(lut)
+
+        def one_enc(v):
+            return PK._enc32_panels(v, scales, normalize=False,
+                                    rounding="rne", precision="bf16")
+        enc_s = _slope_ms(checksum(one_enc), bs_enc)
+        tier = "pallas_bf16"
     else:
-        enc = jax.jit(lambda im: X.encode_quantize32(im, lut, 0, 1 << 30, "rne"))
+        def one_enc(v):
+            return X.encode32_view(v, lut, "rne")
+        # XLA output feeds a square-checksum so layout work can't be elided
+        def mk():
+            return jax.jit(lambda xs: jnp.sum(jnp.square(
+                jax.vmap(one_enc)(xs).astype(jnp.float32))))
+        enc_s = _slope_ms(mk, bs_enc)
         tier = "xla"
 
-    try:
-        roof = copy_roofline()
-    except Exception:
-        roof = 819e9  # v5e HBM spec fallback when pallas cannot compile
-
-    dt = _pipeline_time(enc, inputs, runs)
-    gbps = logical_bytes / dt / 1e9
-
+    from simd_dct_tpu.utils.profiling import hbm_peak_gbps
+    gbps = logical_bytes / enc_s / 1e9
+    roof_gbps = hbm_peak_gbps(info.device_kind)
     print(json.dumps({
         "metric": f"enc_quant32_fused_{tier}_4k",
-        "value": round(gbps, 3),
+        "value": round(gbps, 2),
         "unit": "GB/s",
-        "vs_baseline": round(gbps / (roof / 1e9), 4),
+        "vs_baseline": round(gbps / roof_gbps, 4),
     }))
     return 0
 

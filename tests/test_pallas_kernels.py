@@ -36,20 +36,32 @@ def test_supports():
 
 def test_enc32_interpret(img):
     lut = default_quant_lut(50) * 255.0
-    got = PK.encode_quantize32(jnp.asarray(img), lut, interpret=True)
+    got = PK.encode_quantize32(jnp.asarray(img), lut, interpret=True,
+                               precision="f32")
     _agree(got, G.encode_quantize32_golden(img, lut))
+
+
+def test_enc32_bf16_interpret(img):
+    """bf16 MXU-operand mode: same bytes within the looser +-1 contract
+    (~1-2% rounding-boundary flips vs the f32 golden)."""
+    lut = default_quant_lut(50) * 255.0
+    got = PK.encode_quantize32(jnp.asarray(img), lut, interpret=True,
+                               precision="bf16")
+    _agree(got, G.encode_quantize32_golden(img, lut), tol_rate=0.03)
 
 
 def test_enc32_strip_range_interpret(img):
     lut = default_quant_lut(50) * 255.0
-    got = PK.encode_quantize32(jnp.asarray(img), lut, 32, 63, interpret=True)
+    got = PK.encode_quantize32(jnp.asarray(img), lut, 32, 63, interpret=True,
+                               precision="f32")
     _agree(got, G.encode_quantize32_golden(img, lut, 32, 63))
 
 
 def test_dec32_interpret(img):
     lut = default_quant_lut(50) * 255.0
     enc = G.encode_quantize32_golden(img, lut)
-    got = PK.decode_quantize32(enc, lut, 128, 256, interpret=True)
+    got = PK.decode_quantize32(enc, lut, 128, 256, interpret=True,
+                               precision="f32")
     want = G.decode_quantize32_golden(enc, lut, 128, 256)
     _agree(got, want)
 
@@ -58,5 +70,6 @@ def test_enc32_rounding_variants(img):
     lut = default_quant_lut(50) * 255.0
     for rounding in ("rne", "clamp_first", "scalar"):
         got = PK.encode_quantize32(jnp.asarray(img), lut,
-                                   rounding=rounding, interpret=True)
+                                   rounding=rounding, interpret=True,
+                                   precision="f32")
         _agree(got, G.encode_quantize32_golden(img, lut, rounding=rounding))
