@@ -24,6 +24,7 @@ from .api import (
     SimdDctResult, SimdDctError, InvalidParameterError, NotSupportedError,
     encode_quantize, encode_quantize32, encode_quantize_stereo,
     decode_quantize, decode_quantize32, decode_quantize_stereo,
+    roundtrip_quantize32,
 )
 from .core.quantize import default_quant_lut
 
@@ -33,5 +34,5 @@ __all__ = [
     "NotSupportedError",
     "encode_quantize", "encode_quantize32", "encode_quantize_stereo",
     "decode_quantize", "decode_quantize32", "decode_quantize_stereo",
-    "default_quant_lut",
+    "roundtrip_quantize32", "default_quant_lut",
 ]

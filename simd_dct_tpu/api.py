@@ -215,6 +215,25 @@ def decode_quantize_stereo(data, lut, size_x: int, size_y: int, *,
     return _xla.decode_quantize_stereo(d, jnp.asarray(lut_arr), size_x, size_y)
 
 
+def roundtrip_quantize32(image, lut, *, backend: str | None = None):
+    """Fused mode32 encode->decode of the TOP view (north-star round-trip;
+    BASELINE config 4's per-frame DCT/quant/IDCT).  Returns (H/2, W) u8.
+    Bit-identical to composing encode_quantize32 + decode_quantize32 on
+    the same backend; fused to halve HBM traffic on the pallas tier."""
+    img, lut_arr, h, w = _validate(image, lut, multiple_of_64=True)
+    tier = select_backend(backend)
+    if tier == "pallas":
+        from .kernels import pallas_encode as _pl
+        if _pl.supports("roundtrip32", h, w):
+            return _pl.roundtrip_quantize32(img, jnp.asarray(lut_arr))
+        tier = "xla"
+    if tier == "numpy":
+        enc = _golden.encode_quantize32_golden(np.asarray(img), lut_arr)
+        return _golden.decode_quantize32_golden(enc, lut_arr, w, h)
+    rec = _xla.encode_quantize32(img, jnp.asarray(lut_arr), 0, 1 << 30, "rne")
+    return _xla.decode_quantize32(rec, jnp.asarray(lut_arr), w, h)
+
+
 # ---------------------------------------------------------------------------
 # C-enum-style wrappers
 # ---------------------------------------------------------------------------

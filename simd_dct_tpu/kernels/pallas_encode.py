@@ -18,7 +18,7 @@ from . import pallas_dct
 
 
 def supports(mode: str, h: int, w: int) -> bool:
-    if mode in ("enc_quant32", "dec_quant32"):
+    if mode in ("enc_quant32", "dec_quant32", "roundtrip32"):
         return pallas_dct.supports(h, w)
     return False
 
@@ -29,3 +29,7 @@ def encode_quantize32(img, lut, start_y=0, end_y=1 << 30, rounding="rne"):
 
 def decode_quantize32(data, lut, size_x, size_y):
     return pallas_dct.decode_quantize32(data, lut, size_x, size_y)
+
+
+def roundtrip_quantize32(img, lut):
+    return pallas_dct.roundtrip_quantize32(img, lut)

@@ -73,3 +73,36 @@ def test_enc32_rounding_variants(img):
                                    rounding=rounding, interpret=True,
                                    precision="f32")
         _agree(got, G.encode_quantize32_golden(img, lut, rounding=rounding))
+
+
+def test_roundtrip_fused_equals_composed(img):
+    """The fused encode->decode kernel must match the composed pair
+    bit-exactly on the same backend (here: interpret mode)."""
+    lut = default_quant_lut(100) * 255.0
+    fused = np.asarray(PK.roundtrip_quantize32(jnp.asarray(img), lut,
+                                               interpret=True,
+                                               precision="f32"))
+    rec = PK.encode_quantize32(jnp.asarray(img), lut, interpret=True,
+                               precision="f32")
+    composed = np.asarray(PK.decode_quantize32(
+        np.asarray(rec), lut, img.shape[1], img.shape[0],
+        interpret=True, precision="f32"))
+    np.testing.assert_array_equal(fused, composed)
+
+
+def test_roundtrip_psnr_parity(img):
+    """Fused round-trip PSNR within 0.3 dB of the golden composition."""
+    lut = default_quant_lut(100) * 255.0
+    fused = np.asarray(PK.roundtrip_quantize32(jnp.asarray(img), lut,
+                                               interpret=True,
+                                               precision="f32"))
+    gold = G.decode_quantize32_golden(
+        G.encode_quantize32_golden(img, lut), lut,
+        img.shape[1], img.shape[0])
+    ref = img[: img.shape[0] // 2].astype(float)
+
+    def psnr(x):
+        mse = ((ref - x.astype(float)) ** 2).mean()
+        return 10 * np.log10(255 ** 2 / mse)
+
+    assert abs(psnr(fused) - psnr(gold)) < 0.3
