@@ -3,6 +3,7 @@
 from .mesh import (
     DATA_AXIS, make_mesh, make_mesh_2d, strip_sharding, replicated,
 )
+from . import collectives
 from .sharding import (
     encode_quantize32_sharded, decode_quantize32_sharded,
     encode_quantize_stereo_sharded, decode_quantize_stereo_sharded,
@@ -10,7 +11,7 @@ from .sharding import (
 )
 
 __all__ = [
-    "DATA_AXIS", "make_mesh", "make_mesh_2d", "strip_sharding", "replicated",
+    "collectives", "DATA_AXIS", "make_mesh", "make_mesh_2d", "strip_sharding", "replicated",
     "encode_quantize32_sharded", "decode_quantize32_sharded",
     "encode_quantize_stereo_sharded", "decode_quantize_stereo_sharded",
     "encode_quantize32_batch", "roundtrip_quantize32_batch",

@@ -100,3 +100,19 @@ def test_2d_mesh_batch():
     single = np.asarray(X.encode_quantize32(jnp.asarray(frames[1]),
                                             jnp.asarray(lut)))
     np.testing.assert_array_equal(np.asarray(rec[1]).reshape(-1), single)
+
+
+def test_collective_gathers_agree(img, mesh):
+    """All three plane-gather implementations produce identical planes."""
+    from simd_dct_tpu.dist import collectives as C
+    lut = default_quant_lut(50)
+    seg = dist.encode_quantize_stereo_sharded(jnp.asarray(img), lut, mesh)
+    a = np.asarray(jax.jit(lambda s: C.gather_planes_auto(s, mesh))(seg))
+    b = np.asarray(jax.jit(lambda s: C.gather_planes_allgather(s, mesh))(seg))
+    c = np.asarray(jax.jit(lambda s: C.gather_planes_ring(s, mesh))(seg))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, c)
+    # and the gathered planes equal the single-chip byte stream
+    single = np.asarray(X.encode_quantize_stereo(jnp.asarray(img),
+                                                 jnp.asarray(lut)))
+    np.testing.assert_array_equal(a.reshape(-1), single)
