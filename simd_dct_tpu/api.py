@@ -15,7 +15,10 @@ Validation parity (src/simd_dct.cpp:75-76,97-98,117-118):
 from __future__ import annotations
 
 import enum
+import functools
 from typing import Any
+
+import jax
 
 import numpy as np
 import jax.numpy as jnp
@@ -52,13 +55,21 @@ def _validate(image: Any, lut: Any, *, multiple_of_64: bool = False):
     if image is None or lut is None:
         raise InvalidParameterError("image and lut must not be None")
     img = jnp.asarray(image)
-    if img.ndim != 2:
+    if img.ndim not in (2, 3):
         raise InvalidParameterError(
-            f"expected a 2-D (H, W) image, got shape {img.shape}")
-    h, w = img.shape
+            f"expected a (H, W) image or (B, H, W) batch, got shape {img.shape}")
+    h, w = img.shape[-2:]
     if (w % 8) or (h % 8):
         raise NotSupportedError(
             f"image dims must be multiples of 8, got {(w, h)}")
+    if h % 16:
+        # The reference accepts any H % 8 == 0 but its dual-view strip loop
+        # (y < H/2 step 8, src/simd_dct.cpp:268) then reads the last strip
+        # past the first view into the second and writes past H/2*W output
+        # bytes — spill semantics we deliberately reject rather than
+        # reproduce (SURVEY.md §7 "odd geometry rules").
+        raise NotSupportedError(
+            f"dual-view geometry requires H % 16 == 0, got H={h}")
     if multiple_of_64 and (w % 64):
         raise NotSupportedError(
             f"enc-quant32 requires W % 64 == 0 (src/simd_dct.cpp:118), got {w}")
@@ -80,6 +91,19 @@ def _resolve_end_y(end_y, h):
     return _END_Y_SENTINEL if end_y is None else int(end_y)
 
 
+def _maybe_batch(img, fn_2d, numpy_tier: bool):
+    """Apply a per-image function over an optional leading batch axis.
+
+    jax tiers vmap (one compile, one dispatch); the numpy golden tier
+    loops host-side."""
+    if img.ndim == 2:
+        return fn_2d(img)
+    if numpy_tier:
+        import numpy as _np
+        return _np.stack([fn_2d(_np.asarray(f)) for f in _np.asarray(img)])
+    return jax.vmap(fn_2d)(img)
+
+
 # ---------------------------------------------------------------------------
 # encode
 # ---------------------------------------------------------------------------
@@ -95,20 +119,20 @@ def encode_quantize(image, lut, start_y: int = 0, end_y: int | None = None, *,
     if layout not in ("scalar", "pair"):
         raise InvalidParameterError(f"layout must be 'scalar' or 'pair', got {layout!r}")
     tier = select_backend(backend)
+    ey = _resolve_end_y(end_y, h)
     if tier == "numpy":
-        return _golden.encode_quantize_golden(
-            np.asarray(img), lut_arr, start_y, _resolve_end_y(end_y, h),
-            rounding=rounding, layout=layout, legacy_range=legacy_range)
-    if tier == "pallas":
-        from .kernels import pallas_encode as _pl
-        fn = getattr(_pl, "encode_quantize", None)
-        if fn is not None:
-            return fn(img, jnp.asarray(lut_arr), int(start_y),
-                      _resolve_end_y(end_y, h), rounding, layout, legacy_range)
-        tier = "xla"  # pallas kernel for this mode not yet built
-    return _xla.encode_quantize(img, jnp.asarray(lut_arr), int(start_y),
-                                _resolve_end_y(end_y, h), rounding, layout,
-                                legacy_range)
+        return _maybe_batch(
+            img, lambda im: _golden.encode_quantize_golden(
+                np.asarray(im), lut_arr, start_y, ey, rounding=rounding,
+                layout=layout, legacy_range=legacy_range),
+            numpy_tier=True)
+    # no pallas kernel for this mode's byte layouts (lane-granular u8
+    # interleaves are not lowerable in-kernel; see pallas_encode docstring)
+    return _maybe_batch(
+        img, lambda im: _xla.encode_quantize(
+            im, jnp.asarray(lut_arr), int(start_y), ey, rounding, layout,
+            legacy_range),
+        numpy_tier=False)
 
 
 def encode_quantize32(image, lut, start_y: int = 0, end_y: int | None = None, *,
@@ -118,19 +142,24 @@ def encode_quantize32(image, lut, start_y: int = 0, end_y: int | None = None, *,
     img, lut_arr, h, w = _validate(image, lut, multiple_of_64=True)
     _check_rounding(rounding)
     tier = select_backend(backend)
+    ey = _resolve_end_y(end_y, h)
     if tier == "numpy":
-        return _golden.encode_quantize32_golden(
-            np.asarray(img), lut_arr, start_y, _resolve_end_y(end_y, h),
-            rounding=rounding)
+        return _maybe_batch(
+            img, lambda im: _golden.encode_quantize32_golden(
+                np.asarray(im), lut_arr, start_y, ey, rounding=rounding),
+            numpy_tier=True)
     if tier == "pallas":
         from .kernels import pallas_encode as _pl
         if _pl.supports("enc_quant32", h, w):
-            return _pl.encode_quantize32(img, jnp.asarray(lut_arr),
-                                         int(start_y),
-                                         _resolve_end_y(end_y, h), rounding)
+            return _maybe_batch(
+                img, lambda im: _pl.encode_quantize32(
+                    im, jnp.asarray(lut_arr), int(start_y), ey, rounding),
+                numpy_tier=False)
         tier = "xla"
-    return _xla.encode_quantize32(img, jnp.asarray(lut_arr), int(start_y),
-                                  _resolve_end_y(end_y, h), rounding)
+    return _maybe_batch(
+        img, lambda im: _xla.encode_quantize32(
+            im, jnp.asarray(lut_arr), int(start_y), ey, rounding),
+        numpy_tier=False)
 
 
 def encode_quantize_stereo(image, lut, start_y: int = 0,
@@ -141,19 +170,16 @@ def encode_quantize_stereo(image, lut, start_y: int = 0,
     img, lut_arr, h, w = _validate(image, lut)
     _check_rounding(rounding)
     tier = select_backend(backend)
+    ey = _resolve_end_y(end_y, h)
     if tier == "numpy":
-        return _golden.encode_quantize_stereo_golden(
-            np.asarray(img), lut_arr, start_y, _resolve_end_y(end_y, h),
-            rounding=rounding)
-    if tier == "pallas":
-        from .kernels import pallas_encode as _pl
-        fn = getattr(_pl, "encode_quantize_stereo", None)
-        if fn is not None:
-            return fn(img, jnp.asarray(lut_arr), int(start_y),
-                      _resolve_end_y(end_y, h), rounding)
-        tier = "xla"
-    return _xla.encode_quantize_stereo(img, jnp.asarray(lut_arr), int(start_y),
-                                       _resolve_end_y(end_y, h), rounding)
+        return _maybe_batch(
+            img, lambda im: _golden.encode_quantize_stereo_golden(
+                np.asarray(im), lut_arr, start_y, ey, rounding=rounding),
+            numpy_tier=True)
+    return _maybe_batch(
+        img, lambda im: _xla.encode_quantize_stereo(
+            im, jnp.asarray(lut_arr), int(start_y), ey, rounding),
+        numpy_tier=False)
 
 
 # ---------------------------------------------------------------------------

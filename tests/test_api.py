@@ -104,3 +104,31 @@ def test_api_roundtrip_all_modes():
     for ref, dec in [(img[:16], d1), (img[:16], d2), (img, d3)]:
         mse = ((ref.astype(float) - dec.astype(float)) ** 2).mean()
         assert 10 * np.log10(255 ** 2 / mse) > 30
+
+
+def test_odd_dual_view_height_rejected():
+    """H % 8 == 0 but H % 16 != 0: the reference's strip loop would spill
+    the last strip across the view boundary (src/simd_dct.cpp:268); we
+    reject explicitly instead of reproducing the spill."""
+    img = np.zeros((24, 16), np.uint8)
+    with pytest.raises(sd.NotSupportedError, match="H % 16"):
+        sd.encode_quantize(img, sd.default_quant_lut())
+    with pytest.raises(sd.NotSupportedError):
+        sd.encode_quantize_stereo(img, sd.default_quant_lut())
+
+
+def test_batched_encode():
+    """(B, H, W) batches vmap through the jax tiers and loop through the
+    numpy tier, matching per-frame calls exactly."""
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, (3, 32, 64), dtype=np.uint8)
+    lut = sd.default_quant_lut(50)
+    batched = np.asarray(sd.encode_quantize32(frames, lut * 255.0))
+    for i in range(3):
+        single = np.asarray(sd.encode_quantize32(frames[i], lut * 255.0))
+        np.testing.assert_array_equal(batched[i], single)
+    b_np = sd.encode_quantize32(frames, lut * 255.0, backend="numpy")
+    assert b_np.shape[0] == 3
+    batched_st = np.asarray(sd.encode_quantize_stereo(frames, lut))
+    single_st = np.asarray(sd.encode_quantize_stereo(frames[1], lut))
+    np.testing.assert_array_equal(batched_st[1], single_st)
