@@ -126,8 +126,14 @@ def encode_quantize(image, lut, start_y: int = 0, end_y: int | None = None, *,
                 np.asarray(im), lut_arr, start_y, ey, rounding=rounding,
                 layout=layout, legacy_range=legacy_range),
             numpy_tier=True)
-    # no pallas kernel for this mode's byte layouts (lane-granular u8
-    # interleaves are not lowerable in-kernel; see pallas_encode docstring)
+    if tier == "pallas":
+        from .kernels import pallas_encode as _pl
+        if _pl.supports("enc_quant", h, w):
+            return _maybe_batch(
+                img, lambda im: _pl.encode_quantize(
+                    im, jnp.asarray(lut_arr), int(start_y), ey, rounding,
+                    layout, legacy_range),
+                numpy_tier=False)
     return _maybe_batch(
         img, lambda im: _xla.encode_quantize(
             im, jnp.asarray(lut_arr), int(start_y), ey, rounding, layout,
@@ -176,6 +182,13 @@ def encode_quantize_stereo(image, lut, start_y: int = 0,
             img, lambda im: _golden.encode_quantize_stereo_golden(
                 np.asarray(im), lut_arr, start_y, ey, rounding=rounding),
             numpy_tier=True)
+    if tier == "pallas":
+        from .kernels import pallas_encode as _pl
+        if _pl.supports("enc_quant_stereo", h, w):
+            return _maybe_batch(
+                img, lambda im: _pl.encode_quantize_stereo(
+                    im, jnp.asarray(lut_arr), int(start_y), ey, rounding),
+                numpy_tier=False)
     return _maybe_batch(
         img, lambda im: _xla.encode_quantize_stereo(
             im, jnp.asarray(lut_arr), int(start_y), ey, rounding),
@@ -210,6 +223,11 @@ def decode_quantize(data, lut, size_x: int, size_y: int, *,
     if tier == "numpy":
         return _golden.decode_quantize_golden(np.asarray(d), lut_arr,
                                               size_x, size_y, layout=layout)
+    if tier == "pallas":
+        from .kernels import pallas_encode as _pl
+        if _pl.supports("dec_quant", size_y, size_x):
+            return _pl.decode_quantize(d, jnp.asarray(lut_arr),
+                                       size_x, size_y, layout)
     return _xla.decode_quantize(d, jnp.asarray(lut_arr), size_x, size_y, layout)
 
 
@@ -238,6 +256,11 @@ def decode_quantize_stereo(data, lut, size_x: int, size_y: int, *,
     if tier == "numpy":
         return _golden.decode_quantize_stereo_golden(np.asarray(d), lut_arr,
                                                      size_x, size_y)
+    if tier == "pallas":
+        from .kernels import pallas_encode as _pl
+        if _pl.supports("dec_quant_stereo", size_y, size_x):
+            return _pl.decode_quantize_stereo(d, jnp.asarray(lut_arr),
+                                              size_x, size_y)
     return _xla.decode_quantize_stereo(d, jnp.asarray(lut_arr), size_x, size_y)
 
 

@@ -71,10 +71,13 @@ def _col_basis_np() -> np.ndarray:
     return a
 
 
-def _q_big(scales64: jax.Array) -> jax.Array:
+def _q_big(scales64: jax.Array, orientation: str = "fy") -> jax.Array:
     """(128,128) quant multiplier aligned with Z: [u*16+m, g*64+v*8+b]
-    -> scales[u*8+v] (fy-major LUT order, the mode32 convention)."""
+    -> scales[p] with p = u*8+v ('fy', the mode32/stereo convention) or
+    p = v*8+u ('fx', the enc-quant convention)."""
     q8 = jnp.asarray(scales64, jnp.float32).reshape(8, 8)
+    if orientation == "fx":
+        q8 = q8.T
     rows = jnp.repeat(q8, 16, axis=0)            # (128, 8): u-major rows
     qb = jnp.repeat(rows, 8, axis=1)             # (128, 64): v-major cols
     return jnp.concatenate([qb, qb], axis=1)     # both groups
@@ -238,6 +241,131 @@ def _dec32_panels(records: jax.Array, qi: jax.Array, *, normalize: bool,
       jnp.asarray(_col_basis_np()).astype(dtype), _q_big(qi))
 
 
+def _tiles_kernel(x_ref, b_ref, a_ref, q_ref, out_ref, *, normalize: bool,
+                  rounding: str, num_chunks: int, dtype):
+    """Quantized coefficient tiles in NATURAL Z layout (aligned stores);
+    the mode-specific byte records are assembled by a cheap XLA permute
+    outside (the hybrid path for modes whose byte layouts need
+    lane-granular u8 interleaves Mosaic cannot lower)."""
+    bmat = b_ref[...]
+    amat = a_ref[...]
+    q_big = q_ref[...]
+    scale = jnp.float32(1.0 / 255.0) if normalize else jnp.float32(1.0)
+
+    def chunk(c, carry):
+        x = (x_ref[:, pl.ds(c * CHUNK, CHUNK)].astype(jnp.int32)
+             .astype(jnp.float32) * scale).astype(dtype)
+        y = jnp.dot(x, amat, preferred_element_type=jnp.float32) \
+            .astype(dtype)
+        z = jnp.dot(bmat, y, preferred_element_type=jnp.float32)
+        out_ref[:, pl.ds(c * CHUNK, CHUNK)] = _quantize_tile(z * q_big,
+                                                             rounding)
+        return carry
+
+    jax.lax.fori_loop(0, num_chunks, chunk, None, unroll=True)
+
+
+@functools.partial(jax.jit, static_argnames=("normalize", "rounding",
+                                             "orientation", "interpret",
+                                             "precision"))
+def _tiles_panels(view: jax.Array, scales: jax.Array, *, normalize: bool,
+                  rounding: str, orientation: str,
+                  interpret: bool = False,
+                  precision: str = "bf16") -> jax.Array:
+    """(H2, W) u8 -> (P, 128, NJ, 128) u8 quantized tiles
+    (kernels.panel tile tensor layout: [u*16+m, g*64+v*8+b])."""
+    h2, w = view.shape
+    assert h2 % PANEL == 0 and w % CHUNK == 0
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    kernel = functools.partial(_tiles_kernel, normalize=normalize,
+                               rounding=rounding, num_chunks=w // CHUNK,
+                               dtype=dtype)
+    grid_spec = pl.GridSpec(
+        grid=(h2 // PANEL,),
+        in_specs=[
+            pl.BlockSpec((PANEL, w), lambda p: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda p: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((PANEL, w), lambda p: (p, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((h2, w), jnp.uint8),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * 128 * 128 * w * (h2 // PANEL),
+            bytes_accessed=2 * h2 * w, transcendentals=0),
+        interpret=interpret,
+    )(view, jnp.asarray(_row_basis_np()).astype(dtype),
+      jnp.asarray(_col_basis_np()).astype(dtype),
+      _q_big(scales, orientation))
+    return out.reshape(h2 // PANEL, PANEL, w // CHUNK, CHUNK)
+
+
+def _detile_kernel(t_ref, b_ref, a_ref, qi_ref, out_ref, *, normalize: bool,
+                   num_chunks: int, dtype):
+    """Inverse of _tiles_kernel: quantized tiles -> pixels."""
+    bmat = b_ref[...]
+    amat = a_ref[...]
+    qi_big = qi_ref[...]
+    scale = jnp.float32(255.0) if normalize else jnp.float32(1.0)
+
+    def chunk(c, carry):
+        zb = t_ref[:, pl.ds(c * CHUNK, CHUNK)]
+        z = ((zb.astype(jnp.int32).astype(jnp.float32) - 127.0)
+             * qi_big).astype(dtype)
+        y = jax.lax.dot_general(z, amat, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) \
+            .astype(dtype)
+        x = jax.lax.dot_general(bmat, y, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        px = jnp.clip(jnp.rint(x * scale), 0.0, 255.0)
+        out_ref[:, pl.ds(c * CHUNK, CHUNK)] = px.astype(jnp.int32) \
+            .astype(jnp.uint8)
+        return carry
+
+    jax.lax.fori_loop(0, num_chunks, chunk, None, unroll=True)
+
+
+@functools.partial(jax.jit, static_argnames=("normalize", "orientation",
+                                             "interpret", "precision"))
+def _detile_panels(tiles: jax.Array, inv_scales: jax.Array, *,
+                   normalize: bool, orientation: str,
+                   interpret: bool = False,
+                   precision: str = "bf16") -> jax.Array:
+    """(P, 128, NJ, 128) u8 quantized tiles -> (H2, W) u8 pixels."""
+    p, _, nj, _ = tiles.shape
+    h2, w = p * PANEL, nj * CHUNK
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    kernel = functools.partial(_detile_kernel, normalize=normalize,
+                               num_chunks=nj, dtype=dtype)
+    grid_spec = pl.GridSpec(
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec((PANEL, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((PANEL, w), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((h2, w), jnp.uint8),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * 128 * 128 * w * p,
+            bytes_accessed=2 * h2 * w, transcendentals=0),
+        interpret=interpret,
+    )(tiles.reshape(h2, w), jnp.asarray(_row_basis_np()).astype(dtype),
+      jnp.asarray(_col_basis_np()).astype(dtype),
+      _q_big(inv_scales, orientation))
+
+
 def _roundtrip_kernel(x_ref, b_ref, a_ref, q_ref, qi_ref, out_ref, *,
                       normalize: bool, num_chunks: int, dtype):
     """Fused encode->decode: DCT, quantize, dequantize, IDCT per chunk —
@@ -321,9 +449,11 @@ def supports(h: int, w: int) -> bool:
     return (h // 2) % PANEL == 0 and w % CHUNK == 0
 
 
-def _mask_strips(records: jax.Array, start_y: int, end_y: int) -> jax.Array:
+def _mask_strips(records: jax.Array, start_y: int, end_y: int,
+                 legacy_range: bool = False) -> jax.Array:
     s = np.arange(records.shape[0])
-    mask = (s * 16 >= start_y) & (s * 16 <= end_y)
+    cmp = s * 8 if legacy_range else s * 16
+    mask = (cmp >= start_y) & (cmp <= end_y)
     if mask.all():
         return records
     return jnp.where(jnp.asarray(mask)[:, None], records, jnp.uint8(0))
@@ -355,3 +485,73 @@ def decode_quantize32(data, lut, size_x, size_y, interpret=False,
     records = jnp.asarray(data).reshape((size_y // 2) // 8, 8 * size_x)
     return _dec32_panels(records, dequant_scales(lut), normalize=False,
                          interpret=interpret, precision=precision)
+
+
+# -- hybrid modes: pallas tile compute + XLA byte-record permute -----------
+# (enc-quant and stereo byte layouts need lane-granular u8 interleaves
+# that Mosaic cannot lower in-kernel; the tile kernel does the heavy
+# compute with aligned stores and kernels.panel does the permute.)
+
+def encode_quantize(img, lut, start_y=0, end_y=1 << 30, rounding="rne",
+                    layout="scalar", legacy_range=False, interpret=False,
+                    precision="bf16"):
+    """Hybrid fast path for simdDCT_EncodeQuantizeBuffer semantics."""
+    from . import panel as _panel
+    h, w = img.shape
+    view = img[: h // 2, :]
+    tiles = _tiles_panels(view, quant_scales(lut), normalize=True,
+                          rounding=rounding, orientation="fx",
+                          interpret=interpret, precision=precision)
+    flat = (_panel.tiles_to_block_contiguous(tiles) if layout == "scalar"
+            else _panel.tiles_to_pair(tiles))
+    records = flat.reshape((h // 2) // 8, 8 * w)
+    return _mask_strips(records, start_y, end_y, legacy_range).reshape(-1)
+
+
+def decode_quantize(data, lut, size_x, size_y, layout="scalar",
+                    interpret=False, precision="bf16"):
+    """Hybrid fast path for the enc-quant inverse."""
+    from . import panel as _panel
+    h2 = size_y // 2
+    d = jnp.asarray(data).reshape(-1)
+    tiles = (_panel.block_contiguous_to_tiles(d, h2, size_x)
+             if layout == "scalar" else _panel.pair_to_tiles(d, h2, size_x))
+    return _detile_panels(tiles, dequant_scales(lut), normalize=True,
+                          orientation="fx", interpret=interpret,
+                          precision=precision)
+
+
+def encode_quantize_stereo(img, lut, start_y=0, end_y=1 << 30,
+                           rounding="rne", interpret=False,
+                           precision="bf16"):
+    """Hybrid fast path for the stereo coefficient-planar mode."""
+    from . import panel as _panel
+    h, w = img.shape
+    views = img.reshape(2, h // 2, w)
+    tiles = jax.vmap(
+        lambda v: _tiles_panels(v, quant_scales(lut), normalize=True,
+                                rounding=rounding, orientation="fy",
+                                interpret=interpret, precision=precision)
+    )(views)
+    flat = _panel.tiles_to_planar(tiles)
+    if not (start_y == 0 and end_y >= h):
+        s = np.arange(h // 16)
+        mask = (s * 16 >= start_y) & (s * 16 <= end_y)
+        m = jnp.tile(jnp.repeat(jnp.asarray(mask), w // 4), 64)
+        flat = jnp.where(m, flat, jnp.uint8(0))
+    return flat
+
+
+def decode_quantize_stereo(data, lut, size_x, size_y, interpret=False,
+                           precision="bf16"):
+    """Hybrid fast path for the stereo inverse."""
+    from . import panel as _panel
+    h2 = size_y // 2
+    d = jnp.asarray(data).reshape(-1)
+    tiles = _panel.planar_to_tiles(d, h2, size_x)
+    views = jax.vmap(
+        lambda t: _detile_panels(t, dequant_scales(lut), normalize=True,
+                                 orientation="fy", interpret=interpret,
+                                 precision=precision)
+    )(tiles)
+    return views.reshape(size_y, size_x)

@@ -106,3 +106,40 @@ def test_roundtrip_psnr_parity(img):
         return 10 * np.log10(255 ** 2 / mse)
 
     assert abs(psnr(fused) - psnr(gold)) < 0.3
+
+
+class TestHybridModes:
+    """Hybrid pallas-tiles + XLA-permute paths for enc-quant and stereo."""
+
+    def test_enc_quant_hybrid(self, img):
+        lut = default_quant_lut(50)
+        for layout in ("scalar", "pair"):
+            got = PK.encode_quantize(jnp.asarray(img), lut, layout=layout,
+                                     interpret=True, precision="f32")
+            _agree(got, G.encode_quantize_golden(img, lut, rounding="rne",
+                                                 layout=layout))
+
+    def test_enc_quant_hybrid_range(self, img):
+        lut = default_quant_lut(50)
+        got = PK.encode_quantize(jnp.asarray(img), lut, 32, 63,
+                                 interpret=True, precision="f32")
+        _agree(got, G.encode_quantize_golden(img, lut, 32, 63,
+                                             rounding="rne"))
+
+    def test_stereo_hybrid(self, img):
+        lut = default_quant_lut(50)
+        got = PK.encode_quantize_stereo(jnp.asarray(img), lut,
+                                        interpret=True, precision="f32")
+        _agree(got, G.encode_quantize_stereo_golden(img, lut))
+
+    def test_hybrid_decodes(self, img):
+        lut = default_quant_lut(50)
+        enc = G.encode_quantize_golden(img, lut, rounding="rne",
+                                       legacy_range=False)
+        _agree(PK.decode_quantize(enc, lut, 128, 256, interpret=True,
+                                  precision="f32"),
+               G.decode_quantize_golden(enc, lut, 128, 256))
+        encs = G.encode_quantize_stereo_golden(img, lut)
+        _agree(PK.decode_quantize_stereo(encs, lut, 128, 256,
+                                         interpret=True, precision="f32"),
+               G.decode_quantize_stereo_golden(encs, lut, 128, 256))
