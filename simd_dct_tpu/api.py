@@ -15,7 +15,6 @@ Validation parity (src/simd_dct.cpp:75-76,97-98,117-118):
 from __future__ import annotations
 
 import enum
-import functools
 from typing import Any
 
 import jax

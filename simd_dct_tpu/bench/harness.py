@@ -30,11 +30,13 @@ def _slope_per_item(one_fn, make_batch, sizes=(8, 40), reps=6):
     for bsz in sizes:
         xb = make_batch(bsz)
         f = jax.jit(lambda xs: jnp.sum(jax.vmap(one_fn)(xs).astype(jnp.int32)))
-        jax.block_until_ready(f(xb))
+        float(f(xb))
         best = 1e9
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(f(xb))
+            # end the wall when the checksum scalar is ON THE HOST —
+            # block_until_ready is not a reliable barrier on remote relays
+            float(f(xb))
             best = min(best, time.perf_counter() - t0)
         walls[bsz] = best
         del xb, f
@@ -74,7 +76,6 @@ def config1_lossless_roundtrip():
 
 def config2_4k_rgb_roundtrip():
     """4K RGB planar deinterleave + per-channel fused mode32 round-trip."""
-    from .. import api
     from ..dispatch import probe
     from ..layout import rgb_to_planar
     from ..core.quantize import default_quant_lut

@@ -1,4 +1,4 @@
-"""Fused Pallas TPU kernels — the speed-of-light tier (mode enc-quant32).
+"""Fused Pallas TPU kernels — the speed-of-light tier.
 
 Design (SURVEY.md §3.2: the TPU translation of the AVX-512 kernel's
 "one register lane = one block" trick):
@@ -19,6 +19,9 @@ Design (SURVEY.md §3.2: the TPU translation of the AVX-512 kernel's
   permute-by-constant is the whole game.
 * Quantize + bias + clamp + u8 pack fuse in; the decode kernel inverts
   the same scheme (slices -> dequant -> transposed-basis matmuls).
+* Mode coverage: enc-quant32 encode/decode and the fused round-trip run
+  fully in-kernel; enc-quant and stereo use the hybrid tile kernels
+  (_tiles_kernel/_detile_kernel) plus kernels.panel's XLA byte permutes.
 
 Byte-compatible with the XLA/golden tiers up to the usual last-ulp
 rounding-boundary flips (~1% of bytes, +-1).  MXU operands default to
