@@ -235,6 +235,110 @@ int golden_encode_quantize_stereo(const uint8_t* from, uint8_t* to,
   return 0;
 }
 
+// ---- decode (north-star inverse; no reference analog) -------------------
+// The inverse 1-D transform is x = D^T c, evaluated as plain dot products
+// in strict IEEE f32 (documented order: ascending k).
+
+namespace {
+
+void idct8(float* v) {
+  // Column k of the forward butterfly basis D (D[j][k] listed per j).
+  static const float kD[8][8] = {
+      {kNorm, kNorm, kNorm, kNorm, kNorm, kNorm, kNorm, kNorm},
+      {kNorm * kCa, kNorm * kCc, kNorm * kCd, kNorm * kCf,
+       -kNorm * kCf, -kNorm * kCd, -kNorm * kCc, -kNorm * kCa},
+      {kNorm * kCb, kNorm * kCe, -kNorm * kCe, -kNorm * kCb,
+       -kNorm * kCb, -kNorm * kCe, kNorm * kCe, kNorm * kCb},
+      {kNorm * kCc, -kNorm * kCf, -kNorm * kCa, -kNorm * kCd,
+       kNorm * kCd, kNorm * kCa, kNorm * kCf, -kNorm * kCc},
+      {kNorm, -kNorm, -kNorm, kNorm, kNorm, -kNorm, -kNorm, kNorm},
+      {kNorm * kCd, -kNorm * kCa, kNorm * kCf, kNorm * kCc,
+       -kNorm * kCc, -kNorm * kCf, kNorm * kCa, -kNorm * kCd},
+      {kNorm * kCe, -kNorm * kCb, kNorm * kCb, -kNorm * kCe,
+       -kNorm * kCe, kNorm * kCb, -kNorm * kCb, kNorm * kCe},
+      {kNorm * kCf, -kNorm * kCd, kNorm * kCc, -kNorm * kCa,
+       kNorm * kCa, -kNorm * kCc, kNorm * kCd, -kNorm * kCf}};
+  float out[8];
+  for (int n = 0; n < 8; n++) {
+    float acc = 0.0f;
+    for (int k = 0; k < 8; k++) acc += kD[k][n] * v[k];
+    out[n] = acc;
+  }
+  for (int n = 0; n < 8; n++) v[n] = out[n];
+}
+
+void idct2d(float* b) {  // inverse of dct2d_fy_major orientation
+  for (int i = 0; i < 8; i++) idct8(b + i * 8);
+  transpose8(b);
+  for (int i = 0; i < 8; i++) idct8(b + i * 8);
+  transpose8(b);
+}
+
+uint8_t to_pixel(float v) {
+  return (uint8_t)clampi((int32_t)nearbyintf(v), 0, 255);
+}
+
+}  // namespace
+
+// decode enc-quant32: group-of-8 records -> TOP view pixels.
+int golden_decode_quantize32(const uint8_t* from, uint8_t* to,
+                             const float* lut, size_t w, size_t h) {
+  if (!from || !to || !lut) return 1;
+  if ((w & 63) || (h & 7)) return 2;
+  fesetround(FE_TONEAREST);
+  float qi[64];
+  constexpr float vr = 0.95f;
+  for (int i = 0; i < 64; i++) qi[i] = (lut[i] * vr) / 255.0f;
+  float buf[64];
+  for (size_t y = 0; y < h / 2; y += 8) {
+    const uint8_t* strip = from + y * w;
+    for (size_t g = 0; g < w / 64; g++) {
+      for (int b = 0; b < 8; b++) {
+        for (int p = 0; p < 64; p++)
+          buf[p] = ((float)strip[g * 512 + (size_t)p * 8 + b] - 127.0f)
+                   * qi[p];
+        idct2d(buf);
+        uint8_t* dst = to + y * w + g * 64 + (size_t)b * 8;
+        for (int r = 0; r < 8; r++)
+          for (int c = 0; c < 8; c++)
+            dst[(size_t)r * w + c] = to_pixel(buf[r * 8 + c]);
+      }
+    }
+  }
+  return 0;
+}
+
+// decode stereo planar: 64 planes -> full (H, W) image.
+int golden_decode_quantize_stereo(const uint8_t* from, uint8_t* to,
+                                  const float* lut, size_t w, size_t h) {
+  if (!from || !to || !lut) return 1;
+  if ((w & 7) || (h & 7)) return 2;
+  fesetround(FE_TONEAREST);
+  float qi[64];
+  constexpr float vr = 0.95f;
+  for (int i = 0; i < 64; i++) qi[i] = (lut[i] * vr) / 255.0f;
+  const size_t plane = (w * h) / 64;
+  const size_t bpr = w / 8;
+  float buf[64];
+  for (size_t y = 0; y < h / 2; y += 8) {
+    const size_t cursor = (y / 8) * (w / 4);
+    for (int view = 0; view < 2; view++) {
+      uint8_t* dst_base = to + (y + (size_t)view * (h / 2)) * w;
+      for (size_t bx = 0; bx < bpr; bx++) {
+        const size_t pos = cursor + (size_t)view * bpr + bx;
+        for (int p = 0; p < 64; p++)
+          buf[p] = ((float)from[(size_t)p * plane + pos] - 127.0f) * qi[p];
+        idct2d(buf);
+        for (int r = 0; r < 8; r++)
+          for (int c = 0; c < 8; c++)
+            dst_base[(size_t)r * w + bx * 8 + c] =
+                to_pixel(buf[r * 8 + c] * 255.0f);
+      }
+    }
+  }
+  return 0;
+}
+
 // Raw transform entry points (for transform-level cross-checks):
 // apply the butterfly 2-D DCT to n consecutive 64-float blocks in place.
 void golden_dct2d_fx_major(float* blocks, size_t n) {

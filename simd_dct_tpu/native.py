@@ -70,6 +70,11 @@ def _load() -> ctypes.CDLL:
                 fn = getattr(lib, name)
                 fn.restype = ctypes.c_int
                 fn.argtypes = [u8p, u8p, f32p, st, st, st, st, ctypes.c_int]
+            for name in ("golden_decode_quantize32",
+                         "golden_decode_quantize_stereo"):
+                fn = getattr(lib, name)
+                fn.restype = ctypes.c_int
+                fn.argtypes = [u8p, u8p, f32p, st, st]
             for name in ("golden_dct2d_fx_major", "golden_dct2d_fy_major"):
                 fn = getattr(lib, name)
                 fn.restype = None
@@ -132,6 +137,29 @@ def encode_quantize_stereo(image, lut, start_y=0, end_y=None, *,
     rc = _load().golden_encode_quantize_stereo(
         _u8p(img), _u8p(out), _f32p(lut), w, h, start_y, end_y,
         ROUNDING_CODE[rounding])
+    if rc:
+        raise NativeGoldenError(rc)
+    return out
+
+
+def decode_quantize32(data, lut, size_x: int, size_y: int) -> np.ndarray:
+    """Native decode oracle for mode32 (north-star inverse)."""
+    d = np.ascontiguousarray(data, np.uint8).reshape(-1)
+    lut = np.ascontiguousarray(lut, np.float32)
+    out = np.zeros((size_y // 2, size_x), np.uint8)
+    rc = _load().golden_decode_quantize32(
+        _u8p(d), _u8p(out), _f32p(lut), size_x, size_y)
+    if rc:
+        raise NativeGoldenError(rc)
+    return out
+
+
+def decode_quantize_stereo(data, lut, size_x: int, size_y: int) -> np.ndarray:
+    d = np.ascontiguousarray(data, np.uint8).reshape(-1)
+    lut = np.ascontiguousarray(lut, np.float32)
+    out = np.zeros((size_y, size_x), np.uint8)
+    rc = _load().golden_decode_quantize_stereo(
+        _u8p(d), _u8p(out), _f32p(lut), size_x, size_y)
     if rc:
         raise NativeGoldenError(rc)
     return out

@@ -106,3 +106,23 @@ def test_validation_codes():
     with pytest.raises(native.NativeGoldenError) as e:
         native.encode_quantize(bad, lut)
     assert e.value.code == 2  # multiple-of-8 check, src/simd_dct.cpp:98
+
+
+def test_native_decode32_matches(img):
+    lut = default_quant_lut(50) * 255.0
+    enc = native.encode_quantize32(img, lut)
+    cpp = native.decode_quantize32(enc, lut, 128, 64)
+    from simd_dct_tpu.core.golden import decode_quantize32_golden
+    py = decode_quantize32_golden(enc, lut, 128, 64)
+    n_bad, max_diff = _mismatch_stats(cpp, py)
+    assert max_diff <= 1 and n_bad <= cpp.size * 0.001
+
+
+def test_native_decode_stereo_matches(img):
+    lut = default_quant_lut(50)
+    enc = native.encode_quantize_stereo(img, lut)
+    cpp = native.decode_quantize_stereo(enc, lut, 128, 64)
+    from simd_dct_tpu.core.golden import decode_quantize_stereo_golden
+    py = decode_quantize_stereo_golden(enc, lut, 128, 64)
+    n_bad, max_diff = _mismatch_stats(cpp, py)
+    assert max_diff <= 1 and n_bad <= cpp.size * 0.001
