@@ -7,12 +7,14 @@ from . import collectives
 from .sharding import (
     encode_quantize32_sharded, decode_quantize32_sharded,
     encode_quantize_stereo_sharded, decode_quantize_stereo_sharded,
-    encode_quantize32_batch, roundtrip_quantize32_batch,
+    encode_quantize32_batch, encode_quantize32_batch_2d,
+    roundtrip_quantize32_batch,
 )
 
 __all__ = [
     "collectives", "DATA_AXIS", "make_mesh", "make_mesh_2d", "strip_sharding", "replicated",
     "encode_quantize32_sharded", "decode_quantize32_sharded",
     "encode_quantize_stereo_sharded", "decode_quantize_stereo_sharded",
-    "encode_quantize32_batch", "roundtrip_quantize32_batch",
+    "encode_quantize32_batch", "encode_quantize32_batch_2d",
+    "roundtrip_quantize32_batch",
 ]

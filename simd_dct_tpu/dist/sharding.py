@@ -163,6 +163,33 @@ def encode_quantize32_batch(frames: jax.Array, lut, mesh: Mesh, *,
     return fn(frames, lut).reshape(b, (h // 2) // 8, 8 * w)
 
 
+def encode_quantize32_batch_2d(frames: jax.Array, lut, mesh: Mesh, *,
+                               frame_axis: str = "host",
+                               strip_axis: str = "chip",
+                               rounding: str = "rne") -> jax.Array:
+    """(B, H, W) frames over a 2-D (host, chip) mesh: frames shard over
+    ``frame_axis`` (DCN-friendly) and each frame's strips over
+    ``strip_axis`` (ICI-friendly) — the full multi-host layout of
+    BASELINE config 5.  Returns (B, S, 8W) records sharded on both axes."""
+    b, h, w = frames.shape
+    n_s = _num_shards(mesh, strip_axis)
+    assert (h // 2) % (n_s * 8) == 0
+    lut = jnp.asarray(lut, jnp.float32)
+    tops = frames[:, : h // 2, :]
+
+    def shard_fn(local, lut_r):
+        def one(view_part):
+            return X.encode32_view(view_part, lut_r, rounding) \
+                .reshape(view_part.shape[0] // 8, -1)
+        return jax.vmap(one)(local)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(frame_axis, strip_axis, None), P()),
+        out_specs=P(frame_axis, strip_axis, None))
+    return fn(tops, lut)
+
+
 def roundtrip_quantize32_batch(frames: jax.Array, lut, mesh: Mesh, *,
                                frame_axis: str = DATA_AXIS) -> jax.Array:
     """Fused encode -> decode round-trip per frame (BASELINE config 4:

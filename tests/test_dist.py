@@ -116,3 +116,21 @@ def test_collective_gathers_agree(img, mesh):
     single = np.asarray(X.encode_quantize_stereo(jnp.asarray(img),
                                                  jnp.asarray(lut)))
     np.testing.assert_array_equal(a.reshape(-1), single)
+
+
+def test_2d_mesh_frames_and_strips():
+    """Full 2-D layout: frames over 'host', strips over 'chip'."""
+    m2 = dist.make_mesh_2d((2, 4))
+    rng = np.random.default_rng(10)
+    # per-shard slices must be panel-aligned (128 rows) so the sharded
+    # and single-chip runs use identical float paths:
+    # H2 = 1024 -> 256 rows per chip-shard.
+    frames = rng.integers(0, 256, (4, 2048, 128), dtype=np.uint8)
+    lut = default_quant_lut(50) * 255.0
+    rec = dist.encode_quantize32_batch_2d(jnp.asarray(frames), lut, m2)
+    assert rec.shape == (4, 128, 8 * 128)
+    spec = rec.sharding.spec
+    assert spec[0] == "host" and spec[1] == "chip"
+    single = np.asarray(X.encode_quantize32(jnp.asarray(frames[2]),
+                                            jnp.asarray(lut)))
+    np.testing.assert_array_equal(np.asarray(rec[2]).reshape(-1), single)
