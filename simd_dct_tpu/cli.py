@@ -77,8 +77,8 @@ def _pin_cpu(core: int) -> None:
 
 
 def _psnr(a: np.ndarray, b: np.ndarray) -> float:
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
-    return float("inf") if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+    from simd_dct_tpu.utils.metrics import psnr
+    return psnr(a, b)
 
 
 def main(argv=None) -> int:
