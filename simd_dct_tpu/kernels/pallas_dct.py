@@ -175,36 +175,43 @@ def _enc32_panels(view: jax.Array, scales: jax.Array, *, normalize: bool,
 
 
 def _dec32_kernel(rec_ref, b_ref, a_ref, qi_ref, out_ref, *, normalize: bool,
-                  num_chunks: int, dtype):
+                  num_chunks: int, dtype, halves: int = 2):
+    # Up to two record-panels per grid step: a (32, 8W) record block keeps
+    # u8 loads min-tile aligned (a (16, 8W) block pads to 32 sublanes and
+    # doubles load traffic — measured ~11% slower); halves=1 covers
+    # geometries with an odd panel count.
     bmat = b_ref[...]
     amat = a_ref[...]
     qi_big = qi_ref[...]
     scale = jnp.float32(255.0) if normalize else jnp.float32(1.0)
 
-    def chunk(c, carry):
-        # Reassemble Z bytes from the record stream (inverse of the
-        # encode stores): u-band rows from 64-lane halves.
-        bands = []
-        for k in range(4):
-            g0 = rec_ref[:, pl.ds(c * 1024 + k * 128, 128)]
-            g1 = rec_ref[:, pl.ds(c * 1024 + 512 + k * 128, 128)]
-            bands.append(jnp.concatenate([g0[:, :64], g1[:, :64]], axis=1))
-            bands.append(jnp.concatenate([g0[:, 64:], g1[:, 64:]], axis=1))
-        zb = jnp.concatenate(bands, axis=0)      # (128, 128) u8
-        z = ((zb.astype(jnp.int32).astype(jnp.float32) - 127.0)
-             * qi_big).astype(dtype)
-        # Invert the orthonormal (permuted) bases: X = B^T @ Z @ A^T.
-        y = jax.lax.dot_general(z, amat, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) \
-            .astype(dtype)
-        x = jax.lax.dot_general(bmat, y, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        v = jnp.clip(jnp.rint(x * scale), 0.0, 255.0)
-        out_ref[:, pl.ds(c * CHUNK, CHUNK)] = v.astype(jnp.int32) \
-            .astype(jnp.uint8)
-        return carry
+    for h in range(halves):
+        def chunk(c, carry):
+            # Reassemble Z bytes from the record stream (inverse of the
+            # encode stores): u-band rows from 64-lane halves.
+            bands = []
+            for k in range(4):
+                g0 = rec_ref[pl.ds(h * 16, 16),
+                             pl.ds(c * 1024 + k * 128, 128)]
+                g1 = rec_ref[pl.ds(h * 16, 16),
+                             pl.ds(c * 1024 + 512 + k * 128, 128)]
+                bands.append(jnp.concatenate([g0[:, :64], g1[:, :64]], axis=1))
+                bands.append(jnp.concatenate([g0[:, 64:], g1[:, 64:]], axis=1))
+            zb = jnp.concatenate(bands, axis=0)      # (128, 128) u8
+            z = ((zb.astype(jnp.int32).astype(jnp.float32) - 127.0)
+                 * qi_big).astype(dtype)
+            # Invert the orthonormal (permuted) bases: X = B^T @ Z @ A^T.
+            y = jax.lax.dot_general(z, amat, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) \
+                .astype(dtype)
+            x = jax.lax.dot_general(bmat, y, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            v = jnp.clip(jnp.rint(x * scale), 0.0, 255.0)
+            out_ref[pl.ds(h * PANEL, PANEL), pl.ds(c * CHUNK, CHUNK)] = \
+                v.astype(jnp.int32).astype(jnp.uint8)
+            return carry
 
-    jax.lax.fori_loop(0, num_chunks, chunk, None, unroll=True)
+        jax.lax.fori_loop(0, num_chunks, chunk, None, unroll=True)
 
 
 @functools.partial(jax.jit, static_argnames=("normalize", "interpret",
@@ -216,20 +223,23 @@ def _dec32_panels(records: jax.Array, qi: jax.Array, *, normalize: bool,
     s, w8 = records.shape
     w = w8 // 8
     assert (s * 8) % PANEL == 0 and w % CHUNK == 0
-    num_panels = s // 16
+    halves = 2 if s % 32 == 0 else 1
+    num_steps = s // (16 * halves)
     num_chunks = w // CHUNK
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     kernel = functools.partial(_dec32_kernel, normalize=normalize,
-                               num_chunks=num_chunks, dtype=dtype)
+                               num_chunks=num_chunks, dtype=dtype,
+                               halves=halves)
     grid_spec = pl.GridSpec(
-        grid=(num_panels,),
+        grid=(num_steps,),
         in_specs=[
-            pl.BlockSpec((16, 8 * w), lambda p: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * halves, 8 * w), lambda p: (p, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 128), lambda p: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 128), lambda p: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 128), lambda p: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((PANEL, w), lambda p: (p, 0),
+        out_specs=pl.BlockSpec((PANEL * halves, w), lambda p: (p, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -237,7 +247,7 @@ def _dec32_panels(records: jax.Array, qi: jax.Array, *, normalize: bool,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((s * 8, w), jnp.uint8),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * 128 * 128 * w * num_panels,
+            flops=2 * 2 * 128 * 128 * w * halves * num_steps,
             bytes_accessed=2 * s * 8 * w, transcendentals=0),
         interpret=interpret,
     )(records, jnp.asarray(_row_basis_np()).astype(dtype),
