@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="benchmark only the given mode(s); repeatable")
     p.add_argument("--decode", action="store_true",
                    help="also run the inverse path and report round-trip PSNR")
+    p.add_argument("--accurate", action="store_true",
+                   help="slope-based timing over vmapped batches (use on "
+                        "remote/tunneled devices where per-call walls are "
+                        "dominated by dispatch overhead)")
     p.add_argument("--start-y", type=int, default=0)
     p.add_argument("--end-y", type=int, default=None)
     return p
@@ -127,13 +131,45 @@ def main(argv=None) -> int:
     last_output = None
     print(HEADER)
 
-    def run_mode(name, enc, dec, ref_for_psnr):
+    def _slope_row(name, enc_one):
+        """Accurate per-image cost: slope between two vmapped batch sizes,
+        wall ended by a host-side checksum scalar (see utils docs)."""
+        import time as _time
+        import jax.numpy as jnp
+        walls = {}
+        for bsz in (4, 20):
+            xb = jnp.stack([imgj] * bsz)
+            # TWO dispatches: the jit boundary forces the byte records to
+            # materialize (a single fused jit lets XLA either elide the
+            # layout work or fuse it into a pathological gather); the
+            # second jit's checksum scalar landing on the host ends the
+            # wall.
+            f1 = jax.jit(lambda xs: jax.vmap(enc_one)(xs))
+            f2 = jax.jit(lambda o: jnp.sum(
+                o.reshape(o.shape[0], -1).astype(jnp.int32)))
+            float(f2(f1(xb)))
+            best = 1e9
+            for _ in range(max(3, min(runs, 16))):
+                t0 = _time.perf_counter()
+                float(f2(f1(xb)))
+                best = min(best, _time.perf_counter() - t0)
+            walls[bsz] = best
+            del xb, f1, f2
+        per_s = max((walls[20] - walls[4]) / 16, 1e-12)
+        gbps = img.size / per_s / 1e9
+        print(f"{name + ' (slope)':<28} | {per_s / img.size * 1e9:9.4f} ns/B | "
+              f"{gbps:8.2f} GB/s per image")
+
+    def run_mode(name, enc, dec, ref_for_psnr, enc_one=None):
         nonlocal last_output
         out = enc()
         jax.block_until_ready(out)
-        stats = time_fn(name, lambda: jax.block_until_ready(enc()),
-                        bytes_processed=img.size, runs=runs)
-        print(stats.row())
+        if args.accurate and enc_one is not None:
+            _slope_row(name, enc_one)
+        else:
+            stats = time_fn(name, lambda: jax.block_until_ready(enc()),
+                            bytes_processed=img.size, runs=runs)
+            print(stats.row())
         last_output = np.asarray(out)
         if args.decode and dec is not None:
             rec = np.asarray(dec(last_output))
@@ -145,7 +181,9 @@ def main(argv=None) -> int:
             "enc-quant",
             lambda: sd.encode_quantize(imgj, lut, args.start_y, end_y),
             lambda d: sd.decode_quantize(d, lut, w, h),
-            img[: h // 2])
+            img[: h // 2],
+            enc_one=lambda im: sd.encode_quantize(im, lut, args.start_y,
+                                                  end_y))
     if "enc-quant32" in modes:
         if w % 64:
             print(f"{'enc-quant32':<28} | not supported (W % 64 != 0)")
@@ -155,13 +193,17 @@ def main(argv=None) -> int:
                 lambda: sd.encode_quantize32(imgj, lut * 255.0,
                                              args.start_y, end_y),
                 lambda d: sd.decode_quantize32(d, lut * 255.0, w, h),
-                img[: h // 2])
+                img[: h // 2],
+                enc_one=lambda im: sd.encode_quantize32(
+                    im, lut * 255.0, args.start_y, end_y))
     if "enc-quant-stereo" in modes:
         run_mode(
             "enc-quant-stereo",
             lambda: sd.encode_quantize_stereo(imgj, lut, args.start_y, end_y),
             lambda d: sd.decode_quantize_stereo(d, lut, w, h),
-            img)
+            img,
+            enc_one=lambda im: sd.encode_quantize_stereo(
+                im, lut, args.start_y, end_y))
 
     if args.out_file and last_output is not None:
         last_output.tofile(args.out_file)
