@@ -90,17 +90,19 @@ def _resolve_end_y(end_y, h):
     return _END_Y_SENTINEL if end_y is None else int(end_y)
 
 
-def _maybe_batch(img, fn_2d, numpy_tier: bool):
-    """Apply a per-image function over an optional leading batch axis.
+def _maybe_batch(arr, fn_one, numpy_tier: bool, base_ndim: int = 2):
+    """Apply a per-item function over an optional leading batch axis.
 
-    jax tiers vmap (one compile, one dispatch); the numpy golden tier
-    loops host-side."""
-    if img.ndim == 2:
-        return fn_2d(img)
+    Encode items are 2-D images; decode items are 1-D byte streams
+    (base_ndim inferred from how the caller reshaped).  jax tiers vmap
+    (one compile, one dispatch); the numpy golden tier loops host-side."""
+    batched = arr.ndim == base_ndim + 1 if base_ndim == 2 else arr.ndim == 2
+    if not batched:
+        return fn_one(arr)
     if numpy_tier:
         import numpy as _np
-        return _np.stack([fn_2d(_np.asarray(f)) for f in _np.asarray(img)])
-    return jax.vmap(fn_2d)(img)
+        return _np.stack([fn_one(_np.asarray(f)) for f in _np.asarray(arr)])
+    return jax.vmap(fn_one)(arr)
 
 
 # ---------------------------------------------------------------------------
@@ -204,10 +206,17 @@ def _validate_decode(data, lut, size_x, size_y, expect_bytes):
     if (size_x % 8) or (size_y % 8):
         raise NotSupportedError(
             f"dims must be multiples of 8, got {(size_x, size_y)}")
-    d = jnp.asarray(data).reshape(-1)
-    if d.shape[0] != expect_bytes:
+    if size_y % 16:
+        raise NotSupportedError(
+            f"dual-view geometry requires H % 16 == 0, got H={size_y}")
+    d = jnp.asarray(data)
+    # optional leading batch axis: (B, ...) with per-item size expect_bytes
+    if d.size % expect_bytes:
         raise InvalidParameterError(
-            f"expected {expect_bytes} bytes for {(size_x, size_y)}, got {d.shape[0]}")
+            f"expected a multiple of {expect_bytes} bytes for "
+            f"{(size_x, size_y)}, got {d.size}")
+    batch = d.size // expect_bytes
+    d = d.reshape(-1) if batch == 1 else d.reshape(batch, expect_bytes)
     lut_arr = np.asarray(lut, np.float32).reshape(-1)
     if lut_arr.size != 64:
         raise InvalidParameterError("lut must have 64 entries")
@@ -225,9 +234,14 @@ def decode_quantize(data, lut, size_x: int, size_y: int, *,
     if tier == "pallas":
         from .kernels import pallas_encode as _pl
         if _pl.supports("dec_quant", size_y, size_x):
-            return _pl.decode_quantize(d, jnp.asarray(lut_arr),
-                                       size_x, size_y, layout)
-    return _xla.decode_quantize(d, jnp.asarray(lut_arr), size_x, size_y, layout)
+            return _maybe_batch(
+                d, lambda dd: _pl.decode_quantize(
+                    dd, jnp.asarray(lut_arr), size_x, size_y, layout),
+                numpy_tier=False, base_ndim=1)
+    return _maybe_batch(
+        d, lambda dd: _xla.decode_quantize(dd, jnp.asarray(lut_arr),
+                                           size_x, size_y, layout),
+        numpy_tier=False, base_ndim=1)
 
 
 def decode_quantize32(data, lut, size_x: int, size_y: int, *,
@@ -243,9 +257,14 @@ def decode_quantize32(data, lut, size_x: int, size_y: int, *,
     if tier == "pallas":
         from .kernels import pallas_encode as _pl
         if _pl.supports("dec_quant32", size_y, size_x):
-            return _pl.decode_quantize32(d, jnp.asarray(lut_arr),
-                                         size_x, size_y)
-    return _xla.decode_quantize32(d, jnp.asarray(lut_arr), size_x, size_y)
+            return _maybe_batch(
+                d, lambda dd: _pl.decode_quantize32(
+                    dd, jnp.asarray(lut_arr), size_x, size_y),
+                numpy_tier=False, base_ndim=1)
+    return _maybe_batch(
+        d, lambda dd: _xla.decode_quantize32(dd, jnp.asarray(lut_arr),
+                                             size_x, size_y),
+        numpy_tier=False, base_ndim=1)
 
 
 def decode_quantize_stereo(data, lut, size_x: int, size_y: int, *,
@@ -258,9 +277,14 @@ def decode_quantize_stereo(data, lut, size_x: int, size_y: int, *,
     if tier == "pallas":
         from .kernels import pallas_encode as _pl
         if _pl.supports("dec_quant_stereo", size_y, size_x):
-            return _pl.decode_quantize_stereo(d, jnp.asarray(lut_arr),
-                                              size_x, size_y)
-    return _xla.decode_quantize_stereo(d, jnp.asarray(lut_arr), size_x, size_y)
+            return _maybe_batch(
+                d, lambda dd: _pl.decode_quantize_stereo(
+                    dd, jnp.asarray(lut_arr), size_x, size_y),
+                numpy_tier=False, base_ndim=1)
+    return _maybe_batch(
+        d, lambda dd: _xla.decode_quantize_stereo(dd, jnp.asarray(lut_arr),
+                                                  size_x, size_y),
+        numpy_tier=False, base_ndim=1)
 
 
 def roundtrip_quantize32(image, lut, *, backend: str | None = None):

@@ -132,3 +132,21 @@ def test_batched_encode():
     batched_st = np.asarray(sd.encode_quantize_stereo(frames, lut))
     single_st = np.asarray(sd.encode_quantize_stereo(frames[1], lut))
     np.testing.assert_array_equal(batched_st[1], single_st)
+
+
+def test_batched_decode():
+    """Batched (B, bytes) decode matches per-item decode for every mode."""
+    rng = np.random.default_rng(12)
+    frames = rng.integers(0, 256, (3, 32, 64), dtype=np.uint8)
+    lut = sd.default_quant_lut(100)
+    recs = np.asarray(sd.encode_quantize32(frames, lut * 255.0))
+    batched = np.asarray(sd.decode_quantize32(recs, lut * 255.0, 64, 32))
+    assert batched.shape == (3, 16, 64)
+    single = np.asarray(sd.decode_quantize32(recs[1], lut * 255.0, 64, 32))
+    np.testing.assert_array_equal(batched[1], single)
+    # stereo
+    planes = np.asarray(sd.encode_quantize_stereo(frames, lut))
+    b2 = np.asarray(sd.decode_quantize_stereo(planes, lut, 64, 32))
+    assert b2.shape == (3, 32, 64)
+    s2 = np.asarray(sd.decode_quantize_stereo(planes[0], lut, 64, 32))
+    np.testing.assert_array_equal(b2[0], s2)
