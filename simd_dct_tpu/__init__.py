@@ -27,6 +27,7 @@ from .api import (
     roundtrip_quantize32,
 )
 from .core.quantize import default_quant_lut
+from .config import EncoderConfig, Encoder
 
 __all__ = [
     "core", "layout", "dispatch", "api", "__version__",
@@ -35,4 +36,5 @@ __all__ = [
     "encode_quantize", "encode_quantize32", "encode_quantize_stereo",
     "decode_quantize", "decode_quantize32", "decode_quantize_stereo",
     "roundtrip_quantize32", "default_quant_lut",
+    "EncoderConfig", "Encoder",
 ]

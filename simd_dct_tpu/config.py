@@ -1,0 +1,111 @@
+"""Encoder configuration (SURVEY.md §5 "config/flag system" row).
+
+The reference's configuration state is a CLI bitmask plus mutable global
+feature bools (src/main.cpp:194-282, simd_platform.c:30-55).  Here the
+same knobs are a frozen dataclass, with an ``Encoder`` convenience
+wrapper binding a config + LUT to the api entry points.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .core.quantize import ROUNDING_MODES, default_quant_lut
+from .dispatch.capability import TIERS
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    """All encode-path knobs in one place.
+
+    quality: LUT scale factor; None = unscaled base table (the reference
+        applies its declared default 50 only when --quality is passed).
+    rounding: 'rne' (SSE4.1/AVX compat, default) / 'scalar' / 'clamp_first'.
+    layout: enc-quant byte layout, 'scalar' or 'pair'.
+    backend: explicit tier or None for the capability cascade.
+    start_y/end_y: reference strip-range contract.
+    """
+    quality: float | None = None
+    rounding: str = "rne"
+    layout: str = "scalar"
+    backend: str | None = None
+    start_y: int = 0
+    end_y: int | None = None
+
+    def __post_init__(self):
+        if self.rounding not in ROUNDING_MODES:
+            raise ValueError(f"rounding must be one of {ROUNDING_MODES}")
+        if self.layout not in ("scalar", "pair"):
+            raise ValueError("layout must be 'scalar' or 'pair'")
+        if self.backend is not None and self.backend not in TIERS:
+            raise ValueError(f"backend must be one of {TIERS} or None")
+
+    def lut(self) -> np.ndarray:
+        return default_quant_lut(self.quality)
+
+
+class Encoder:
+    """Config-bound facade over the api entry points.
+
+    >>> enc = Encoder(EncoderConfig(quality=50))
+    >>> records = enc.encode_quantize32(image)
+    >>> image2 = enc.decode_quantize32(records, w, h)
+    """
+
+    def __init__(self, config: EncoderConfig | None = None):
+        self.config = config or EncoderConfig()
+        self._lut = self.config.lut()
+
+    @property
+    def lut(self) -> np.ndarray:
+        return self._lut
+
+    def _kw(self):
+        c = self.config
+        return dict(backend=c.backend)
+
+    def encode_quantize(self, image):
+        from . import api
+        c = self.config
+        return api.encode_quantize(image, self._lut, c.start_y, c.end_y,
+                                   rounding=c.rounding, layout=c.layout,
+                                   **self._kw())
+
+    def encode_quantize32(self, image):
+        from . import api
+        c = self.config
+        # mode32 quantizes raw 0..255 coefficients (src/simd_dct.cpp:2036):
+        # the LUT is conventionally 255x the normalized-domain table.
+        return api.encode_quantize32(image, self._lut * np.float32(255.0),
+                                     c.start_y, c.end_y,
+                                     rounding=c.rounding, **self._kw())
+
+    def encode_quantize_stereo(self, image):
+        from . import api
+        c = self.config
+        return api.encode_quantize_stereo(image, self._lut, c.start_y,
+                                          c.end_y, rounding=c.rounding,
+                                          **self._kw())
+
+    def decode_quantize(self, data, size_x: int, size_y: int):
+        from . import api
+        return api.decode_quantize(data, self._lut, size_x, size_y,
+                                   layout=self.config.layout, **self._kw())
+
+    def decode_quantize32(self, data, size_x: int, size_y: int):
+        from . import api
+        return api.decode_quantize32(data, self._lut * np.float32(255.0),
+                                     size_x, size_y, **self._kw())
+
+    def decode_quantize_stereo(self, data, size_x: int, size_y: int):
+        from . import api
+        return api.decode_quantize_stereo(data, self._lut, size_x, size_y,
+                                          **self._kw())
+
+    def roundtrip_quantize32(self, image):
+        from . import api
+        return api.roundtrip_quantize32(image,
+                                        self._lut * np.float32(255.0),
+                                        **self._kw())

@@ -1,0 +1,50 @@
+"""EncoderConfig / Encoder facade tests."""
+
+import numpy as np
+import pytest
+
+import simd_dct_tpu as sd
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        sd.EncoderConfig(rounding="nearest")
+    with pytest.raises(ValueError):
+        sd.EncoderConfig(layout="planar")
+    with pytest.raises(ValueError):
+        sd.EncoderConfig(backend="cuda")
+    cfg = sd.EncoderConfig(quality=50)
+    np.testing.assert_allclose(cfg.lut(), sd.default_quant_lut(50))
+
+
+def test_encoder_facade_roundtrip():
+    rng = np.random.default_rng(1)
+    yy, xx = np.mgrid[0:32, 0:64]
+    img = np.clip(128 + 40 * np.sin(xx / 9) * np.cos(yy / 7), 0,
+                  255).astype(np.uint8)
+    enc = sd.Encoder(sd.EncoderConfig(quality=100))
+    rec = np.asarray(enc.encode_quantize32(img))
+    # the facade matches the raw api with the 255x mode32 LUT convention
+    want = np.asarray(sd.encode_quantize32(img, sd.default_quant_lut(100) * 255.0))
+    np.testing.assert_array_equal(rec, want)
+    out = np.asarray(enc.decode_quantize32(rec, 64, 32))
+    mse = ((img[:16].astype(float) - out.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255 ** 2 / mse) > 30
+    # strip-range config flows through
+    enc2 = sd.Encoder(sd.EncoderConfig(quality=100, start_y=16, end_y=31))
+    rec2 = np.asarray(enc2.encode_quantize32(img))
+    assert np.all(rec2[: 8 * 64] == 0) and np.any(rec2[8 * 64:] != 0)
+
+
+def test_encoder_all_modes():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    enc = sd.Encoder(sd.EncoderConfig(quality=50, layout="pair"))
+    e1 = np.asarray(enc.encode_quantize(img))
+    d1 = np.asarray(enc.decode_quantize(e1, 64, 32))
+    assert d1.shape == (16, 64)
+    e3 = np.asarray(enc.encode_quantize_stereo(img))
+    d3 = np.asarray(enc.decode_quantize_stereo(e3, 64, 32))
+    assert d3.shape == (32, 64)
+    rt = np.asarray(enc.roundtrip_quantize32(img))
+    assert rt.shape == (16, 64)
