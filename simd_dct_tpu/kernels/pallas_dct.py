@@ -100,35 +100,44 @@ def _quantize_tile(x, rounding):
 
 
 def _enc32_kernel(x_ref, b_ref, a_ref, q_ref, out_ref, *, normalize: bool,
-                  rounding: str, num_chunks: int, dtype):
+                  rounding: str, num_chunks: int, dtype, halves: int = 2):
+    # Up to two 128-row panels per grid step so the (32, 8W) record block
+    # keeps u8 STORES min-tile aligned (paired 16-sublane pieces from the
+    # two halves make one aligned 32-sublane store; same trick as the
+    # decode kernel's loads).
     bmat = b_ref[...]
     amat = a_ref[...]
     q_big = q_ref[...]
     scale = jnp.float32(1.0 / 255.0) if normalize else jnp.float32(1.0)
 
-    def chunk(c, carry):
+    def compute_tile(h, c):
         # u8 -> f32 (via i32: Mosaic has no direct u8->f32 cast).  With
         # dtype=bfloat16 the MXU operands are bf16 (raw 0..255 pixels are
         # exact in bf16's 8 significand bits; the f32->bf16 rounding of the
         # y intermediate costs ~2^-9 relative — measured ~1-2% of output
         # bytes flip by +-1 vs the f32 path, PSNR unchanged) at ~2.5x the
         # f32 MXU rate.
-        x = (x_ref[:, pl.ds(c * CHUNK, CHUNK)].astype(jnp.int32)
-             .astype(jnp.float32) * scale).astype(dtype)
+        x = (x_ref[pl.ds(h * PANEL, PANEL), pl.ds(c * CHUNK, CHUNK)]
+             .astype(jnp.int32).astype(jnp.float32) * scale).astype(dtype)
         y = jnp.dot(x, amat, preferred_element_type=jnp.float32) \
             .astype(dtype)                                         # row DCT
         z = jnp.dot(bmat, y, preferred_element_type=jnp.float32)   # col DCT
-        bytes_tile = _quantize_tile(z * q_big, rounding)
+        return _quantize_tile(z * q_big, rounding)
+
+    def chunk(c, carry):
+        tiles = [compute_tile(h, c) for h in range(halves)]
         # Z rows are u-major 16-sublane bands; the mode32 record for strip m
         # is [g*512 + u*64 + v*8 + b], i.e. per group g four 128-lane
-        # stores, each the concat of two u-bands' 64-lane group slices.
+        # stores, each the concat of two u-bands' 64-lane group slices —
+        # stacked across the halves into one aligned store.
         for g in range(2):
             for k in range(4):
-                piece = jnp.concatenate(
-                    [bytes_tile[(2 * k) * 16:(2 * k + 1) * 16,
-                                g * 64:(g + 1) * 64],
-                     bytes_tile[(2 * k + 1) * 16:(2 * k + 2) * 16,
-                                g * 64:(g + 1) * 64]], axis=1)
+                pieces = [jnp.concatenate(
+                    [t[(2 * k) * 16:(2 * k + 1) * 16, g * 64:(g + 1) * 64],
+                     t[(2 * k + 1) * 16:(2 * k + 2) * 16,
+                       g * 64:(g + 1) * 64]], axis=1) for t in tiles]
+                piece = (pieces[0] if halves == 1
+                         else jnp.concatenate(pieces, axis=0))
                 out_ref[:, pl.ds(c * 1024 + g * 512 + k * 128, 128)] = piece
         return carry
 
@@ -144,22 +153,24 @@ def _enc32_panels(view: jax.Array, scales: jax.Array, *, normalize: bool,
     Requires H2 % 128 == 0 and W % 128 == 0 (else dispatcher uses XLA)."""
     h2, w = view.shape
     assert h2 % PANEL == 0 and w % CHUNK == 0
-    num_panels = h2 // PANEL
+    halves = 2 if (h2 // PANEL) % 2 == 0 else 1
+    num_steps = h2 // (PANEL * halves)
     num_chunks = w // CHUNK
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
     kernel = functools.partial(_enc32_kernel, normalize=normalize,
                                rounding=rounding, num_chunks=num_chunks,
-                               dtype=dtype)
+                               dtype=dtype, halves=halves)
     grid_spec = pl.GridSpec(
-        grid=(num_panels,),
+        grid=(num_steps,),
         in_specs=[
-            pl.BlockSpec((PANEL, w), lambda p: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PANEL * halves, w), lambda p: (p, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 128), lambda p: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 128), lambda p: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 128), lambda p: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((16, 8 * w), lambda p: (p, 0),
+        out_specs=pl.BlockSpec((16 * halves, 8 * w), lambda p: (p, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -167,7 +178,7 @@ def _enc32_panels(view: jax.Array, scales: jax.Array, *, normalize: bool,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((h2 // 8, 8 * w), jnp.uint8),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * 128 * 128 * w * num_panels,
+            flops=2 * 2 * 128 * 128 * w * halves * num_steps,
             bytes_accessed=2 * h2 * w, transcendentals=0),
         interpret=interpret,
     )(view, jnp.asarray(_row_basis_np()).astype(dtype),
