@@ -77,6 +77,10 @@ def _validate(image: Any, lut: Any, *, multiple_of_64: bool = False):
     lut_arr = np.asarray(lut, np.float32).reshape(-1)
     if lut_arr.size != 64:
         raise InvalidParameterError(f"lut must have 64 entries, got {lut_arr.size}")
+    if not np.all(np.isfinite(lut_arr)) or np.any(lut_arr <= 0):
+        # The reference divides by lut*0.95 unchecked (src/simd_dct.cpp:196);
+        # we reject non-positive/non-finite entries instead of emitting inf.
+        raise InvalidParameterError("lut entries must be positive and finite")
     return img, lut_arr, h, w
 
 

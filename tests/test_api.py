@@ -150,3 +150,14 @@ def test_batched_decode():
     assert b2.shape == (3, 32, 64)
     s2 = np.asarray(sd.decode_quantize_stereo(planes[0], lut, 64, 32))
     np.testing.assert_array_equal(b2[0], s2)
+
+
+def test_nonpositive_lut_rejected():
+    img = np.zeros((16, 16), np.uint8)
+    bad = np.ones(64, np.float32)
+    bad[3] = 0.0
+    with pytest.raises(sd.InvalidParameterError, match="positive"):
+        sd.encode_quantize(img, bad)
+    bad[3] = np.inf
+    with pytest.raises(sd.InvalidParameterError):
+        sd.encode_quantize(img, bad)

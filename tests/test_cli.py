@@ -82,3 +82,11 @@ def test_quant32_width_guard(tmp_path, capsys):
     rc = cli.main([str(p), "24", "16", "--runs", "1", "--mode", "enc-quant32"])
     assert rc == 0
     assert "not supported" in capsys.readouterr().out
+
+
+def test_accurate_mode(raw_image, capsys):
+    path, _ = raw_image
+    rc = cli.main([str(path), "128", "64", "--runs", "2",
+                   "--mode", "enc-quant32", "--quality", "50", "--accurate"])
+    assert rc == 0
+    assert "(slope)" in capsys.readouterr().out
