@@ -17,13 +17,23 @@ DATA_AXIS = "data"
 
 
 def make_mesh(num_devices: int | None = None,
-              axis_name: str = DATA_AXIS) -> Mesh:
+              axis_name: str = DATA_AXIS, devices=None) -> Mesh:
     """1-D mesh over the first ``num_devices`` devices (default: all).
 
     DCT blocks are embarrassingly parallel, so a single data axis covers
-    dp over strips/frames; ICI vs DCN placement follows device order."""
-    devs = jax.devices()
+    dp over strips/frames; ICI vs DCN placement follows device order.
+    If the default platform cannot provide ``num_devices`` (e.g. one real
+    TPU while testing an 8-way layout), the virtual CPU backend is used
+    (``--xla_force_host_platform_device_count``)."""
+    devs = list(devices) if devices is not None else jax.devices()
     if num_devices is not None:
+        if len(devs) < num_devices and devices is None:
+            cpu = jax.devices("cpu")
+            if len(cpu) >= num_devices:
+                devs = cpu
+        if len(devs) < num_devices:
+            raise ValueError(
+                f"need {num_devices} devices, have {len(devs)}")
         devs = devs[:num_devices]
     return Mesh(np.array(devs), (axis_name,))
 
@@ -31,9 +41,17 @@ def make_mesh(num_devices: int | None = None,
 def make_mesh_2d(shape: tuple[int, int],
                  axis_names: tuple[str, str] = ("host", "chip")) -> Mesh:
     """(host, chip) mesh for multi-host layouts: shard frames over hosts
-    (DCN) and strips over chips (ICI)."""
-    devs = np.array(jax.devices()[: shape[0] * shape[1]]).reshape(shape)
-    return Mesh(devs, axis_names)
+    (DCN) and strips over chips (ICI).  Falls back to the virtual CPU
+    backend when the default platform has too few devices (see make_mesh)."""
+    need = shape[0] * shape[1]
+    devs = jax.devices()
+    if len(devs) < need:
+        cpu = jax.devices("cpu")
+        if len(cpu) >= need:
+            devs = cpu
+    if len(devs) < need:
+        raise ValueError(f"need {need} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:need]).reshape(shape), axis_names)
 
 
 def strip_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
