@@ -47,3 +47,21 @@ def test_compare_backends():
     bad = utils.compare_backends({
         "a": np.zeros(64, np.uint8), "b": np.full(64, 9, np.uint8)})
     assert not bad["a-vs-b"]["ok"]
+
+
+def test_interpret_kernels_context():
+    """Pallas kernels run under the forced interpreter context."""
+    from simd_dct_tpu.kernels import pallas_dct as PK
+    from simd_dct_tpu.core import default_quant_lut
+    img = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (256, 128), np.uint8))
+    lut = default_quant_lut(50) * 255.0
+    with utils.interpret_kernels():
+        out = np.asarray(PK.encode_quantize32(img, lut, interpret=True))
+    assert out.size == 128 * 128  # top view bytes of a (256,128) image
+
+
+def test_available_tiers_interpret():
+    from simd_dct_tpu.dispatch import available_tiers
+    tiers = available_tiers(pallas_interpret=True)
+    assert tiers[0] == "pallas" and "numpy" in tiers
