@@ -105,7 +105,7 @@ def main():
         try:
             # median of repeated slope estimates: single slopes vary
             # +-20% (occasionally negative) from tunnel jitter
-            def robust_slope(mk, tries=5):
+            def robust_slope(mk, tries=7):
                 import statistics
                 vals = [v for v in (_slope_ms(mk, bs_enc)
                                     for _ in range(tries)) if v > 0]
@@ -130,17 +130,27 @@ def main():
 
     from simd_dct_tpu.utils.profiling import hbm_peak_gbps
     gbps = logical_bytes / enc_s / 1e9
+    copy_gbps = None
     if use_pallas and copy_s > 0:
         # measured same-harness u8 copy roofline (the honest ceiling)
-        roof_gbps = logical_bytes / copy_s / 1e9
+        copy_gbps = round(logical_bytes / copy_s / 1e9, 2)
+        roof_gbps = copy_gbps
     else:
-        roof_gbps = hbm_peak_gbps(info.device_kind)
-    print(json.dumps({
+        roof_gbps = hbm_peak_gbps(info.device_kind) or 819.0
+    # An encode "faster than copy" is a measurement failure, not a win:
+    # flag it and clamp the headline fraction at 1.0 (round-1 VERDICT #5).
+    raw_fraction = gbps / roof_gbps
+    record = {
         "metric": f"enc_quant32_fused_{tier}_4k",
         "value": round(gbps, 2),
         "unit": "GB/s",
-        "vs_baseline": round(gbps / roof_gbps, 4),
-    }))
+        "vs_baseline": round(min(raw_fraction, 1.0), 4),
+        "copy_gbps": copy_gbps,
+        "raw_fraction": round(raw_fraction, 4),
+    }
+    if raw_fraction > 1.02:
+        record["measurement_flag"] = "encode_exceeds_copy_roofline"
+    print(json.dumps(record))
     return 0
 
 

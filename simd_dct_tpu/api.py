@@ -233,8 +233,10 @@ def decode_quantize(data, lut, size_x: int, size_y: int, *,
                                   (size_y // 2) * size_x)
     tier = select_backend(backend)
     if tier == "numpy":
-        return _golden.decode_quantize_golden(np.asarray(d), lut_arr,
-                                              size_x, size_y, layout=layout)
+        return _maybe_batch(
+            d, lambda dd: _golden.decode_quantize_golden(
+                np.asarray(dd), lut_arr, size_x, size_y, layout=layout),
+            numpy_tier=True, base_ndim=1)
     if tier == "pallas":
         from .kernels import pallas_encode as _pl
         if _pl.supports("dec_quant", size_y, size_x):
@@ -256,8 +258,10 @@ def decode_quantize32(data, lut, size_x: int, size_y: int, *,
                                   (size_y // 2) * size_x)
     tier = select_backend(backend)
     if tier == "numpy":
-        return _golden.decode_quantize32_golden(np.asarray(d), lut_arr,
-                                                size_x, size_y)
+        return _maybe_batch(
+            d, lambda dd: _golden.decode_quantize32_golden(
+                np.asarray(dd), lut_arr, size_x, size_y),
+            numpy_tier=True, base_ndim=1)
     if tier == "pallas":
         from .kernels import pallas_encode as _pl
         if _pl.supports("dec_quant32", size_y, size_x):
@@ -276,8 +280,10 @@ def decode_quantize_stereo(data, lut, size_x: int, size_y: int, *,
     d, lut_arr = _validate_decode(data, lut, size_x, size_y, size_y * size_x)
     tier = select_backend(backend)
     if tier == "numpy":
-        return _golden.decode_quantize_stereo_golden(np.asarray(d), lut_arr,
-                                                     size_x, size_y)
+        return _maybe_batch(
+            d, lambda dd: _golden.decode_quantize_stereo_golden(
+                np.asarray(dd), lut_arr, size_x, size_y),
+            numpy_tier=True, base_ndim=1)
     if tier == "pallas":
         from .kernels import pallas_encode as _pl
         if _pl.supports("dec_quant_stereo", size_y, size_x):

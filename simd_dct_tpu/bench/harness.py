@@ -103,7 +103,7 @@ def config2_4k_rgb_roundtrip():
     gbps = (h // 2) * w * 2 / per / 1e9
     return {"config": "4K RGB planar round-trip",
             "gbps": round(gbps, 2),
-            "fraction_of_roofline": round(gbps / hbm_peak_gbps(), 4),
+            "fraction_of_roofline": round(gbps / (hbm_peak_gbps() or 819.0), 4),
             "psnr_db": round(_psnr(rgb[: h // 2].transpose(2, 0, 1), out), 2)}
 
 

@@ -44,6 +44,9 @@ def gather_planes_allgather(segments: jax.Array, mesh: Mesh, *,
     return jax.shard_map(
         fn, mesh=mesh,
         in_specs=P(None, axis_name, None),
+        # This jax's vma analysis cannot infer replication even through a
+        # tiled all_gather, so the check must stay off (verified: with it
+        # on, tracing fails with "could not infer replication").
         out_specs=P(), check_vma=False)(segments)
 
 
@@ -58,24 +61,21 @@ def gather_planes_ring(segments: jax.Array, mesh: Mesh, *,
         # local: (64, S/n, seg)
         idx = jax.lax.axis_index(axis_name)
         perm = [(i, (i + 1) % n) for i in range(n)]
-        pieces = [(idx, local)]
+        pieces = [local]
         buf = local
-        src = idx
         for _ in range(n - 1):
             buf = jax.lax.ppermute(buf, axis_name, perm)
-            src = (src - 1) % n
-            pieces.append((src, buf))
-        # Assemble in strip order: piece from shard k goes to slot k.
-        slots = [None] * n
-        for k, piece in pieces:
-            # k is a traced scalar; place via one-hot sum to stay jittable.
-            onehot = [jnp.where(jnp.equal(k, j), 1, 0) for j in range(n)]
-            for j in range(n):
-                contrib = piece * onehot[j].astype(piece.dtype)
-                slots[j] = contrib if slots[j] is None else slots[j] + contrib
-        return jnp.concatenate(slots, axis=1)
+            pieces.append(buf)
+        # pieces[t] came from shard (idx - t) % n, so reversed(pieces) is
+        # ascending shard order starting at (idx + 1) % n; one dynamic
+        # roll of (idx + 1) segments puts shard k's strip in slot k.
+        seg = local.shape[1]
+        stacked = jnp.concatenate(list(reversed(pieces)), axis=1)
+        return jnp.roll(stacked, (idx + 1) * seg, axis=1)
 
     return jax.shard_map(
         fn, mesh=mesh,
         in_specs=P(None, axis_name, None),
+        # check_vma stays off: the roll distance is device-varying, so the
+        # replication of the (identical) per-device results is not provable.
         out_specs=P(), check_vma=False)(segments)

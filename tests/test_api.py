@@ -152,6 +152,34 @@ def test_batched_decode():
     np.testing.assert_array_equal(b2[0], s2)
 
 
+@pytest.mark.parametrize("tier", ["numpy", "xla"])
+@pytest.mark.parametrize("mode", ["quant", "quant32", "stereo"])
+def test_batched_decode_tier_matrix(tier, mode):
+    """(B, bytes) decode × every reachable tier × every mode (round-1
+    VERDICT bug: the numpy tier crashed on batched input)."""
+    rng = np.random.default_rng(13)
+    frames = rng.integers(0, 256, (2, 32, 64), dtype=np.uint8)
+    lut = sd.default_quant_lut(100)
+    if mode == "quant":
+        enc = np.asarray(sd.encode_quantize(frames, lut))
+        dec = sd.decode_quantize(enc, lut, 64, 32, backend=tier)
+        single = sd.decode_quantize(enc[1], lut, 64, 32, backend=tier)
+        expect_shape = (2, 16, 64)
+    elif mode == "quant32":
+        enc = np.asarray(sd.encode_quantize32(frames, lut * 255.0))
+        dec = sd.decode_quantize32(enc, lut * 255.0, 64, 32, backend=tier)
+        single = sd.decode_quantize32(enc[1], lut * 255.0, 64, 32, backend=tier)
+        expect_shape = (2, 16, 64)
+    else:
+        enc = np.asarray(sd.encode_quantize_stereo(frames, lut))
+        dec = sd.decode_quantize_stereo(enc, lut, 64, 32, backend=tier)
+        single = sd.decode_quantize_stereo(enc[1], lut, 64, 32, backend=tier)
+        expect_shape = (2, 32, 64)
+    dec = np.asarray(dec)
+    assert dec.shape == expect_shape
+    np.testing.assert_array_equal(dec[1], np.asarray(single))
+
+
 def test_nonpositive_lut_rejected():
     img = np.zeros((16, 16), np.uint8)
     bad = np.ones(64, np.float32)

@@ -15,7 +15,17 @@ def test_roofline_report():
     assert abs(r.gbps - 0.819) < 1e-9
     assert abs(r.fraction_of_roofline - 0.001) < 1e-6
     assert "HBM roofline" in str(r)
-    assert utils.hbm_peak_gbps("TPU v99 future") == 819.0
+    # Unknown device kinds report an unknown roofline instead of silently
+    # assuming a generation (round-1 VERDICT #10).
+    assert utils.hbm_peak_gbps("TPU v99 future") is None
+    unk = utils.RooflineReport(bytes_processed=1, seconds=1.0,
+                               device_kind="TPU v99 future")
+    assert unk.fraction_of_roofline is None
+    assert "unknown roofline" in str(unk)
+    # Longest-prefix: v5p != v5e, v7 known.
+    assert utils.chip_spec("TPU v5p").hbm_gbps == 2765.0
+    assert utils.chip_spec("TPU v5 lite").hbm_gbps == 819.0
+    assert utils.chip_spec("TPU v7x somechip").bf16_tflops > 2000
 
 
 def test_measure_runs():
