@@ -116,9 +116,13 @@ def _maybe_batch(arr, fn_one, numpy_tier: bool, base_ndim: int = 2):
 def encode_quantize(image, lut, start_y: int = 0, end_y: int | None = None, *,
                     rounding: str = "rne", layout: str = "scalar",
                     backend: str | None = None,
-                    legacy_range: bool = False):
+                    legacy_range: bool = False, compat: bool = False):
     """≙ simdDCT_EncodeQuantizeBuffer: block-contiguous (or SIMD pair-cell)
-    encode of the TOP view.  Returns a flat u8 array of H/2*W bytes."""
+    encode of the TOP view.  Returns a flat u8 array of H/2*W bytes.
+
+    compat=True selects the strict-IEEE butterfly engine: output is
+    byte-identical to the C++ oracle (native/golden_dct.cpp) on every
+    tier (SURVEY.md §7 "Bit-exactness"; slower — conformance, not speed)."""
     img, lut_arr, h, w = _validate(image, lut)
     _check_rounding(rounding)
     if layout not in ("scalar", "pair"):
@@ -129,8 +133,15 @@ def encode_quantize(image, lut, start_y: int = 0, end_y: int | None = None, *,
         return _maybe_batch(
             img, lambda im: _golden.encode_quantize_golden(
                 np.asarray(im), lut_arr, start_y, ey, rounding=rounding,
-                layout=layout, legacy_range=legacy_range),
+                layout=layout, legacy_range=legacy_range, compat=compat),
             numpy_tier=True)
+    if compat:
+        from .kernels import compat as _compat
+        return _maybe_batch(
+            img, lambda im: _compat.encode_quantize(
+                im, lut_arr, int(start_y), ey, rounding, layout,
+                legacy_range),
+            numpy_tier=False)
     if tier == "pallas":
         from .kernels import pallas_encode as _pl
         if _pl.supports("enc_quant", h, w):
@@ -147,7 +158,8 @@ def encode_quantize(image, lut, start_y: int = 0, end_y: int | None = None, *,
 
 
 def encode_quantize32(image, lut, start_y: int = 0, end_y: int | None = None, *,
-                      rounding: str = "rne", backend: str | None = None):
+                      rounding: str = "rne", backend: str | None = None,
+                      compat: bool = False):
     """≙ simdDCT_EncodeQuantize32ReorderBuffer: 8-block coefficient-major
     encode of the TOP view in the raw 0..255 domain.  Flat u8, H/2*W bytes."""
     img, lut_arr, h, w = _validate(image, lut, multiple_of_64=True)
@@ -157,8 +169,15 @@ def encode_quantize32(image, lut, start_y: int = 0, end_y: int | None = None, *,
     if tier == "numpy":
         return _maybe_batch(
             img, lambda im: _golden.encode_quantize32_golden(
-                np.asarray(im), lut_arr, start_y, ey, rounding=rounding),
+                np.asarray(im), lut_arr, start_y, ey, rounding=rounding,
+                compat=compat),
             numpy_tier=True)
+    if compat:
+        from .kernels import compat as _compat
+        return _maybe_batch(
+            img, lambda im: _compat.encode_quantize32(
+                im, lut_arr, int(start_y), ey, rounding),
+            numpy_tier=False)
     if tier == "pallas":
         from .kernels import pallas_encode as _pl
         if _pl.supports("enc_quant32", h, w):
@@ -175,7 +194,8 @@ def encode_quantize32(image, lut, start_y: int = 0, end_y: int | None = None, *,
 
 def encode_quantize_stereo(image, lut, start_y: int = 0,
                            end_y: int | None = None, *,
-                           rounding: str = "rne", backend: str | None = None):
+                           rounding: str = "rne", backend: str | None = None,
+                           compat: bool = False):
     """≙ simdDCT_EncodeQuantizeReorderStereoBuffer: coefficient-planar
     encode of BOTH views.  Flat u8, H*W bytes (64 planes)."""
     img, lut_arr, h, w = _validate(image, lut)
@@ -185,8 +205,15 @@ def encode_quantize_stereo(image, lut, start_y: int = 0,
     if tier == "numpy":
         return _maybe_batch(
             img, lambda im: _golden.encode_quantize_stereo_golden(
-                np.asarray(im), lut_arr, start_y, ey, rounding=rounding),
+                np.asarray(im), lut_arr, start_y, ey, rounding=rounding,
+                compat=compat),
             numpy_tier=True)
+    if compat:
+        from .kernels import compat as _compat
+        return _maybe_batch(
+            img, lambda im: _compat.encode_quantize_stereo(
+                im, lut_arr, int(start_y), ey, rounding),
+            numpy_tier=False)
     if tier == "pallas":
         from .kernels import pallas_encode as _pl
         if _pl.supports("enc_quant_stereo", h, w):

@@ -26,6 +26,8 @@ class EncoderConfig:
     layout: enc-quant byte layout, 'scalar' or 'pair'.
     backend: explicit tier or None for the capability cascade.
     start_y/end_y: reference strip-range contract.
+    compat: strict-IEEE butterfly engine — encode output byte-identical
+        to the C++ oracle on every tier (slow; conformance mode).
     """
     quality: float | None = None
     rounding: str = "rne"
@@ -33,6 +35,7 @@ class EncoderConfig:
     backend: str | None = None
     start_y: int = 0
     end_y: int | None = None
+    compat: bool = False
 
     def __post_init__(self):
         if self.rounding not in ROUNDING_MODES:
@@ -71,7 +74,7 @@ class Encoder:
         c = self.config
         return api.encode_quantize(image, self._lut, c.start_y, c.end_y,
                                    rounding=c.rounding, layout=c.layout,
-                                   **self._kw())
+                                   compat=c.compat, **self._kw())
 
     def encode_quantize32(self, image):
         from . import api
@@ -80,14 +83,15 @@ class Encoder:
         # the LUT is conventionally 255x the normalized-domain table.
         return api.encode_quantize32(image, self._lut * np.float32(255.0),
                                      c.start_y, c.end_y,
-                                     rounding=c.rounding, **self._kw())
+                                     rounding=c.rounding, compat=c.compat,
+                                     **self._kw())
 
     def encode_quantize_stereo(self, image):
         from . import api
         c = self.config
         return api.encode_quantize_stereo(image, self._lut, c.start_y,
                                           c.end_y, rounding=c.rounding,
-                                          **self._kw())
+                                          compat=c.compat, **self._kw())
 
     def decode_quantize(self, data, size_x: int, size_y: int):
         from . import api

@@ -49,13 +49,36 @@ def _dct2d(block_f32: np.ndarray) -> np.ndarray:
     return (d @ block_f32.astype(np.float32) @ d.T).astype(np.float32)
 
 
+def _buffer_fx(block_f32: np.ndarray, compat: bool) -> np.ndarray:
+    """fx-major 64-float buffer of a block (enc-quant orientation).
+
+    compat=True evaluates the butterfly association order — bit-identical
+    to the C++ oracle; compat=False is the matmul form (±1 ulp)."""
+    if compat:
+        from . import butterfly
+        return butterfly.dct2d_fx_major(block_f32).reshape(64)
+    return _dct2d(block_f32).T.reshape(64)
+
+
+def _buffer_fy(block_f32: np.ndarray, compat: bool) -> np.ndarray:
+    """fy-major buffer (stereo / mode32 orientation)."""
+    if compat:
+        from . import butterfly
+        return butterfly.dct2d_fy_major(block_f32).reshape(64)
+    return _dct2d(block_f32).reshape(64)
+
+
 def _idct2d(coeff_f32: np.ndarray) -> np.ndarray:
     d = dct_basis_np("float32")
     return (d.T @ coeff_f32.astype(np.float32) @ d).astype(np.float32)
 
 
-def _quantize(buffer64: np.ndarray, lut: np.ndarray, rounding: str) -> np.ndarray:
+def _quantize(buffer64: np.ndarray, lut: np.ndarray, rounding: str,
+              compat: bool = False) -> np.ndarray:
     """buffer64: float coeffs in buffer order; returns u8 in buffer order."""
+    if compat:
+        from . import butterfly
+        return butterfly.quantize_exact(buffer64, lut, rounding)
     lut = np.asarray(lut, np.float32)
     if rounding == "rne":
         q = (np.float32(255.0) / (lut * VR)).astype(np.float32)
@@ -125,7 +148,8 @@ def encode_quantize_golden(image: np.ndarray, lut: np.ndarray,
                            start_y: int = 0, end_y: int | None = None, *,
                            rounding: str = "rne", layout: str = "scalar",
                            legacy_range: bool | None = None,
-                           emulate_overlap_bug: bool = False) -> np.ndarray:
+                           emulate_overlap_bug: bool = False,
+                           compat: bool = False) -> np.ndarray:
     """Golden enc-quant: block-contiguous output for the TOP view only.
 
     Mirrors ``simdDCT_EncodeQuantizeBuffer`` (src/simd_dct.cpp:93-111):
@@ -151,9 +175,8 @@ def encode_quantize_golden(image: np.ndarray, lut: np.ndarray,
         for bx in range(w // 8):
             x = bx * 8
             block = img[y:y + 8, x:x + 8].astype(np.float32) / np.float32(255.0)
-            c = _dct2d(block)
-            buffer64 = c.T.reshape(64)  # fx-major buffer order
-            bytes64 = _quantize(buffer64, lut, rounding)
+            buffer64 = _buffer_fx(block, compat)  # fx-major buffer order
+            bytes64 = _quantize(buffer64, lut, rounding, compat)
             if layout == "scalar":
                 out[strip_base + bx * 64: strip_base + bx * 64 + 64] = bytes64
             elif layout == "pair":
@@ -202,7 +225,8 @@ def decode_quantize_golden(data: np.ndarray, lut: np.ndarray, size_x: int,
 
 def encode_quantize32_golden(image: np.ndarray, lut: np.ndarray,
                              start_y: int = 0, end_y: int | None = None, *,
-                             rounding: str = "rne") -> np.ndarray:
+                             rounding: str = "rne",
+                             compat: bool = False) -> np.ndarray:
     """Golden enc-quant32: 8-block-group coefficient-major, TOP view only.
 
     Mirrors ``simdDCT_EncodeQuantize32ReorderBuffer`` AVX-512 semantics
@@ -225,9 +249,8 @@ def encode_quantize32_golden(image: np.ndarray, lut: np.ndarray,
             for b in range(8):
                 x = g * 64 + b * 8
                 block = img[y:y + 8, x:x + 8].astype(np.float32)  # raw 0..255
-                c = _dct2d(block)
-                buffer64 = c.reshape(64)  # fy-major
-                group[:, b] = _quantize(buffer64, lut, rounding)
+                buffer64 = _buffer_fy(block, compat)  # fy-major
+                group[:, b] = _quantize(buffer64, lut, rounding, compat)
             out[strip_base + g * 512: strip_base + (g + 1) * 512] = group.reshape(512)
     return out
 
@@ -260,7 +283,8 @@ def decode_quantize32_golden(data: np.ndarray, lut: np.ndarray, size_x: int,
 
 def encode_quantize_stereo_golden(image: np.ndarray, lut: np.ndarray,
                                   start_y: int = 0, end_y: int | None = None, *,
-                                  rounding: str = "rne") -> np.ndarray:
+                                  rounding: str = "rne",
+                                  compat: bool = False) -> np.ndarray:
     """Golden stereo planar encode.
 
     Mirrors ``simdDCT_EncodeQuantizeReorderStereoBuffer``
@@ -291,8 +315,8 @@ def encode_quantize_stereo_golden(image: np.ndarray, lut: np.ndarray,
                 # The (transpose, DCT, transpose, DCT) sequence of the
                 # reference leaves the buffer fy-major == C row-major,
                 # with C = D @ X @ D.T of the original (row, col) block.
-                buffer64 = _dct2d(block).reshape(64)
-                bytes64 = _quantize(buffer64, lut, rounding)
+                buffer64 = _buffer_fy(block, compat)
+                bytes64 = _quantize(buffer64, lut, rounding, compat)
                 pos = cursor + view * blocks_per_row + bx
                 out[np.arange(64) * plane_size + pos] = bytes64
     return out
