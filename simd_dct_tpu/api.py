@@ -116,7 +116,8 @@ def _maybe_batch(arr, fn_one, numpy_tier: bool, base_ndim: int = 2):
 def encode_quantize(image, lut, start_y: int = 0, end_y: int | None = None, *,
                     rounding: str = "rne", layout: str = "scalar",
                     backend: str | None = None,
-                    legacy_range: bool = False, compat: bool = False):
+                    legacy_range: bool = False, compat: bool = False,
+                    pallas_interpret: bool = False):
     """≙ simdDCT_EncodeQuantizeBuffer: block-contiguous (or SIMD pair-cell)
     encode of the TOP view.  Returns a flat u8 array of H/2*W bytes.
 
@@ -125,9 +126,11 @@ def encode_quantize(image, lut, start_y: int = 0, end_y: int | None = None, *,
     tier (SURVEY.md §7 "Bit-exactness"; slower — conformance, not speed)."""
     img, lut_arr, h, w = _validate(image, lut)
     _check_rounding(rounding)
-    if layout not in ("scalar", "pair"):
-        raise InvalidParameterError(f"layout must be 'scalar' or 'pair', got {layout!r}")
-    tier = select_backend(backend)
+    if layout not in ("scalar", "pair", "pair_as_written"):
+        raise InvalidParameterError(
+            "layout must be 'scalar', 'pair' or 'pair_as_written', "
+            f"got {layout!r}")
+    tier = select_backend(backend, pallas_interpret=pallas_interpret)
     ey = _resolve_end_y(end_y, h)
     if tier == "numpy":
         return _maybe_batch(
@@ -143,12 +146,12 @@ def encode_quantize(image, lut, start_y: int = 0, end_y: int | None = None, *,
                 legacy_range),
             numpy_tier=False)
     if tier == "pallas":
-        from .kernels import pallas_encode as _pl
-        if _pl.supports("enc_quant", h, w):
+        from .kernels import pallas_dct as _pl
+        if _pl.supports_mode("enc_quant", h, w):
             return _maybe_batch(
                 img, lambda im: _pl.encode_quantize(
                     im, jnp.asarray(lut_arr), int(start_y), ey, rounding,
-                    layout, legacy_range),
+                    layout, legacy_range, interpret=pallas_interpret),
                 numpy_tier=False)
     return _maybe_batch(
         img, lambda im: _xla.encode_quantize(
@@ -159,12 +162,13 @@ def encode_quantize(image, lut, start_y: int = 0, end_y: int | None = None, *,
 
 def encode_quantize32(image, lut, start_y: int = 0, end_y: int | None = None, *,
                       rounding: str = "rne", backend: str | None = None,
-                      compat: bool = False):
+                      compat: bool = False,
+                      pallas_interpret: bool = False):
     """≙ simdDCT_EncodeQuantize32ReorderBuffer: 8-block coefficient-major
     encode of the TOP view in the raw 0..255 domain.  Flat u8, H/2*W bytes."""
     img, lut_arr, h, w = _validate(image, lut, multiple_of_64=True)
     _check_rounding(rounding)
-    tier = select_backend(backend)
+    tier = select_backend(backend, pallas_interpret=pallas_interpret)
     ey = _resolve_end_y(end_y, h)
     if tier == "numpy":
         return _maybe_batch(
@@ -179,11 +183,12 @@ def encode_quantize32(image, lut, start_y: int = 0, end_y: int | None = None, *,
                 im, lut_arr, int(start_y), ey, rounding),
             numpy_tier=False)
     if tier == "pallas":
-        from .kernels import pallas_encode as _pl
-        if _pl.supports("enc_quant32", h, w):
+        from .kernels import pallas_dct as _pl
+        if _pl.supports_mode("enc_quant32", h, w):
             return _maybe_batch(
                 img, lambda im: _pl.encode_quantize32(
-                    im, jnp.asarray(lut_arr), int(start_y), ey, rounding),
+                    im, jnp.asarray(lut_arr), int(start_y), ey, rounding,
+                    interpret=pallas_interpret),
                 numpy_tier=False)
         tier = "xla"
     return _maybe_batch(
@@ -195,12 +200,13 @@ def encode_quantize32(image, lut, start_y: int = 0, end_y: int | None = None, *,
 def encode_quantize_stereo(image, lut, start_y: int = 0,
                            end_y: int | None = None, *,
                            rounding: str = "rne", backend: str | None = None,
-                           compat: bool = False):
+                           compat: bool = False,
+                           pallas_interpret: bool = False):
     """≙ simdDCT_EncodeQuantizeReorderStereoBuffer: coefficient-planar
     encode of BOTH views.  Flat u8, H*W bytes (64 planes)."""
     img, lut_arr, h, w = _validate(image, lut)
     _check_rounding(rounding)
-    tier = select_backend(backend)
+    tier = select_backend(backend, pallas_interpret=pallas_interpret)
     ey = _resolve_end_y(end_y, h)
     if tier == "numpy":
         return _maybe_batch(
@@ -215,11 +221,12 @@ def encode_quantize_stereo(image, lut, start_y: int = 0,
                 im, lut_arr, int(start_y), ey, rounding),
             numpy_tier=False)
     if tier == "pallas":
-        from .kernels import pallas_encode as _pl
-        if _pl.supports("enc_quant_stereo", h, w):
+        from .kernels import pallas_dct as _pl
+        if _pl.supports_mode("enc_quant_stereo", h, w):
             return _maybe_batch(
                 img, lambda im: _pl.encode_quantize_stereo(
-                    im, jnp.asarray(lut_arr), int(start_y), ey, rounding),
+                    im, jnp.asarray(lut_arr), int(start_y), ey, rounding,
+                    interpret=pallas_interpret),
                 numpy_tier=False)
     return _maybe_batch(
         img, lambda im: _xla.encode_quantize_stereo(
@@ -255,21 +262,28 @@ def _validate_decode(data, lut, size_x, size_y, expect_bytes):
 
 
 def decode_quantize(data, lut, size_x: int, size_y: int, *,
-                    layout: str = "scalar", backend: str | None = None):
+                    layout: str = "scalar", backend: str | None = None,
+                    pallas_interpret: bool = False):
+    if layout not in ("scalar", "pair"):
+        # 'pair_as_written' drops every cell's second half on the floor
+        # (src/simd_dct.cpp:1662-1670 overlap) — not invertible.
+        raise InvalidParameterError(
+            f"decodable layouts are 'scalar' and 'pair', got {layout!r}")
     d, lut_arr = _validate_decode(data, lut, size_x, size_y,
                                   (size_y // 2) * size_x)
-    tier = select_backend(backend)
+    tier = select_backend(backend, pallas_interpret=pallas_interpret)
     if tier == "numpy":
         return _maybe_batch(
             d, lambda dd: _golden.decode_quantize_golden(
                 np.asarray(dd), lut_arr, size_x, size_y, layout=layout),
             numpy_tier=True, base_ndim=1)
     if tier == "pallas":
-        from .kernels import pallas_encode as _pl
-        if _pl.supports("dec_quant", size_y, size_x):
+        from .kernels import pallas_dct as _pl
+        if _pl.supports_mode("dec_quant", size_y, size_x):
             return _maybe_batch(
                 d, lambda dd: _pl.decode_quantize(
-                    dd, jnp.asarray(lut_arr), size_x, size_y, layout),
+                    dd, jnp.asarray(lut_arr), size_x, size_y, layout,
+                    interpret=pallas_interpret),
                 numpy_tier=False, base_ndim=1)
     return _maybe_batch(
         d, lambda dd: _xla.decode_quantize(dd, jnp.asarray(lut_arr),
@@ -278,23 +292,25 @@ def decode_quantize(data, lut, size_x: int, size_y: int, *,
 
 
 def decode_quantize32(data, lut, size_x: int, size_y: int, *,
-                      backend: str | None = None):
+                      backend: str | None = None,
+                      pallas_interpret: bool = False):
     if size_x % 64:
         raise NotSupportedError("enc-quant32 requires W % 64 == 0")
     d, lut_arr = _validate_decode(data, lut, size_x, size_y,
                                   (size_y // 2) * size_x)
-    tier = select_backend(backend)
+    tier = select_backend(backend, pallas_interpret=pallas_interpret)
     if tier == "numpy":
         return _maybe_batch(
             d, lambda dd: _golden.decode_quantize32_golden(
                 np.asarray(dd), lut_arr, size_x, size_y),
             numpy_tier=True, base_ndim=1)
     if tier == "pallas":
-        from .kernels import pallas_encode as _pl
-        if _pl.supports("dec_quant32", size_y, size_x):
+        from .kernels import pallas_dct as _pl
+        if _pl.supports_mode("dec_quant32", size_y, size_x):
             return _maybe_batch(
                 d, lambda dd: _pl.decode_quantize32(
-                    dd, jnp.asarray(lut_arr), size_x, size_y),
+                    dd, jnp.asarray(lut_arr), size_x, size_y,
+                    interpret=pallas_interpret),
                 numpy_tier=False, base_ndim=1)
     return _maybe_batch(
         d, lambda dd: _xla.decode_quantize32(dd, jnp.asarray(lut_arr),
@@ -303,20 +319,22 @@ def decode_quantize32(data, lut, size_x: int, size_y: int, *,
 
 
 def decode_quantize_stereo(data, lut, size_x: int, size_y: int, *,
-                           backend: str | None = None):
+                           backend: str | None = None,
+                           pallas_interpret: bool = False):
     d, lut_arr = _validate_decode(data, lut, size_x, size_y, size_y * size_x)
-    tier = select_backend(backend)
+    tier = select_backend(backend, pallas_interpret=pallas_interpret)
     if tier == "numpy":
         return _maybe_batch(
             d, lambda dd: _golden.decode_quantize_stereo_golden(
                 np.asarray(dd), lut_arr, size_x, size_y),
             numpy_tier=True, base_ndim=1)
     if tier == "pallas":
-        from .kernels import pallas_encode as _pl
-        if _pl.supports("dec_quant_stereo", size_y, size_x):
+        from .kernels import pallas_dct as _pl
+        if _pl.supports_mode("dec_quant_stereo", size_y, size_x):
             return _maybe_batch(
                 d, lambda dd: _pl.decode_quantize_stereo(
-                    dd, jnp.asarray(lut_arr), size_x, size_y),
+                    dd, jnp.asarray(lut_arr), size_x, size_y,
+                    interpret=pallas_interpret),
                 numpy_tier=False, base_ndim=1)
     return _maybe_batch(
         d, lambda dd: _xla.decode_quantize_stereo(dd, jnp.asarray(lut_arr),
@@ -324,17 +342,19 @@ def decode_quantize_stereo(data, lut, size_x: int, size_y: int, *,
         numpy_tier=False, base_ndim=1)
 
 
-def roundtrip_quantize32(image, lut, *, backend: str | None = None):
+def roundtrip_quantize32(image, lut, *, backend: str | None = None,
+                         pallas_interpret: bool = False):
     """Fused mode32 encode->decode of the TOP view (north-star round-trip;
     BASELINE config 4's per-frame DCT/quant/IDCT).  Returns (H/2, W) u8.
     Bit-identical to composing encode_quantize32 + decode_quantize32 on
     the same backend; fused to halve HBM traffic on the pallas tier."""
     img, lut_arr, h, w = _validate(image, lut, multiple_of_64=True)
-    tier = select_backend(backend)
+    tier = select_backend(backend, pallas_interpret=pallas_interpret)
     if tier == "pallas":
-        from .kernels import pallas_encode as _pl
-        if _pl.supports("roundtrip32", h, w):
-            return _pl.roundtrip_quantize32(img, jnp.asarray(lut_arr))
+        from .kernels import pallas_dct as _pl
+        if _pl.supports_mode("roundtrip32", h, w):
+            return _pl.roundtrip_quantize32(img, jnp.asarray(lut_arr),
+                                            interpret=pallas_interpret)
         tier = "xla"
     if tier == "numpy":
         enc = _golden.encode_quantize32_golden(np.asarray(img), lut_arr)

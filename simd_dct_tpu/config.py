@@ -40,8 +40,9 @@ class EncoderConfig:
     def __post_init__(self):
         if self.rounding not in ROUNDING_MODES:
             raise ValueError(f"rounding must be one of {ROUNDING_MODES}")
-        if self.layout not in ("scalar", "pair"):
-            raise ValueError("layout must be 'scalar' or 'pair'")
+        if self.layout not in ("scalar", "pair", "pair_as_written"):
+            raise ValueError(
+                "layout must be 'scalar', 'pair' or 'pair_as_written'")
         if self.backend is not None and self.backend not in TIERS:
             raise ValueError(f"backend must be one of {TIERS} or None")
 

@@ -164,6 +164,8 @@ def encode_quantize_golden(image: np.ndarray, lut: np.ndarray,
     """
     img = np.asarray(image, np.uint8)
     h, w = img.shape
+    if layout == "pair_as_written":
+        layout, emulate_overlap_bug = "pair", True
     if end_y is None:
         end_y = h
     if legacy_range is None:

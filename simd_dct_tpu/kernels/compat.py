@@ -194,6 +194,8 @@ def encode_quantize(img, lut, start_y=0, end_y=1 << 30, rounding="rne",
     data = quantize_exact(bufs, lut, rounding)
     flat = (L_reorder.block_contiguous(data) if layout == "scalar"
             else L_reorder.pair_cells(data))
+    if layout == "pair_as_written":
+        flat = L_reorder.pair_as_written(flat)
     return _apply_mask(flat, _strip_mask(h // 16, start_y, end_y,
                                          legacy_range), 8 * w)
 

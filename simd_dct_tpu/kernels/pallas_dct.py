@@ -473,6 +473,19 @@ def supports(h: int, w: int) -> bool:
     return (h // 2) % PANEL == 0 and w % CHUNK == 0
 
 
+def supports_mode(mode: str, h: int, w: int) -> bool:
+    """Per-mode Pallas geometry gate for api dispatch (≙ the per-kernel
+    ISA requirements of the reference dispatch, src/simd_dct.cpp:78-127).
+    All modes need panel alignment; the mode32 family additionally needs
+    W % 64 == 0 (groups of 8 blocks, src/simd_dct.cpp:118)."""
+    if not supports(h, w):
+        return False
+    if mode in ("enc_quant32", "dec_quant32", "roundtrip32"):
+        return w % 64 == 0
+    return mode in ("enc_quant", "dec_quant", "enc_quant_stereo",
+                    "dec_quant_stereo")
+
+
 def _mask_strips(records: jax.Array, start_y: int, end_y: int,
                  legacy_range: bool = False) -> jax.Array:
     s = np.arange(records.shape[0])
@@ -528,6 +541,9 @@ def encode_quantize(img, lut, start_y=0, end_y=1 << 30, rounding="rne",
                           interpret=interpret, precision=precision)
     flat = (_panel.tiles_to_block_contiguous(tiles) if layout == "scalar"
             else _panel.tiles_to_pair(tiles))
+    if layout == "pair_as_written":
+        from ..layout import reorder as _reorder
+        flat = _reorder.pair_as_written(flat)
     records = flat.reshape((h // 2) // 8, 8 * w)
     return _mask_strips(records, start_y, end_y, legacy_range).reshape(-1)
 

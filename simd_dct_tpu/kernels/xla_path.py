@@ -2,7 +2,7 @@
 
 This tier is the analog of the reference's SSE kernels: correct, fast,
 runs anywhere XLA does (CPU/TPU), with all heavy lifting expressed as
-einsums + gathers that XLA fuses.  The Pallas tier (pallas_encode.py) is
+einsums + gathers that XLA fuses.  The Pallas tier (pallas_dct.py) is
 the AVX-512-analog fast path on real TPU hardware.
 
 All functions are jit-friendly: static shapes, no data-dependent Python
@@ -89,6 +89,8 @@ def encode_quantize(img: jnp.ndarray, lut: jnp.ndarray,
         data = quantize_to_u8(bufs, scales, rounding)
         flat = (L_reorder.block_contiguous(data) if layout == "scalar"
                 else L_reorder.pair_cells(data))
+    if layout == "pair_as_written":
+        flat = L_reorder.pair_as_written(flat)
     mask = _strip_mask(h // 16, start_y, end_y, legacy_range)
     return _apply_mask(flat, mask, 8 * w)
 

@@ -86,6 +86,22 @@ def pair_cells(bufs: jnp.ndarray) -> jnp.ndarray:
     return cells.reshape(-1)
 
 
+def pair_as_written(flat_pair: jnp.ndarray) -> jnp.ndarray:
+    """Intended pair-cell stream -> the kernels-AS-CODED surviving bytes.
+
+    The SSE4.1/SSSE3 kernels store each cell's second half at byte +128
+    (src/simd_dct.cpp:1662-1670), which lands exactly on the next cell's
+    first half and is clobbered by it (the final spill falls off the
+    strip/buffer and the cross-strip spill is clobbered by the next
+    strip's first cell).  Net effect, verified against the overlap
+    emulation in core.golden: byte [0,64) of every 128-byte cell is the
+    intended layout's first half and byte [64,128) is never written
+    (zero on the zero-initialized buffers all tiers use)."""
+    cells = flat_pair.reshape(-1, 2, 64)
+    keep = jnp.asarray(np.array([1, 0], np.uint8))[None, :, None]
+    return (cells * keep).reshape(-1)
+
+
 def pair_cells_inverse(flat: jnp.ndarray, bw: int) -> jnp.ndarray:
     cells = flat.reshape(-1, bw // 2, 128)
     perm = pair_cell_permutation(False).reshape(-1)  # (blk*64+p) -> byte

@@ -180,6 +180,71 @@ def test_batched_decode_tier_matrix(tier, mode):
     np.testing.assert_array_equal(dec[1], np.asarray(single))
 
 
+def test_pair_as_written_layout():
+    """The as-coded overlapping SIMD store layout is reachable through the
+    public api on every tier (round-1 VERDICT item 7)."""
+    from simd_dct_tpu import native
+    from simd_dct_tpu.layout import reorder as L_reorder
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    lut = sd.default_quant_lut(50)
+    want = native.encode_quantize(img, lut, rounding="rne",
+                                  layout="pair_as_written")
+    # compat engine: byte-exact vs the oracle on both jax and numpy tiers
+    for backend in ("xla", "numpy"):
+        got = np.asarray(sd.encode_quantize(img, lut, backend=backend,
+                                            layout="pair_as_written",
+                                            compat=True))
+        assert int((got != want).sum()) == 0, backend
+    # fast tier: structurally the as-written transform of its own pair output
+    pair = sd.encode_quantize(img, lut, backend="xla", layout="pair")
+    aw = sd.encode_quantize(img, lut, backend="xla", layout="pair_as_written")
+    np.testing.assert_array_equal(
+        np.asarray(aw), np.asarray(L_reorder.pair_as_written(pair)))
+    # not invertible -> decode rejects it
+    with pytest.raises(sd.InvalidParameterError):
+        sd.decode_quantize(np.asarray(aw), lut, 64, 32,
+                           layout="pair_as_written")
+
+
+def _agree(a, b, tol_rate, max_diff=1):
+    a, b = np.asarray(a), np.asarray(b)
+    diff = a.astype(np.int16) - b.astype(np.int16)
+    assert np.abs(diff).max(initial=0) <= max_diff
+    assert np.count_nonzero(diff) <= max(2, a.size * tol_rate)
+
+
+def test_api_pallas_interpret_matrix():
+    """Every api entry point runs at tier=pallas under the interpreter on
+    the CPU mesh and agrees with the golden (round-1 VERDICT item 8: the
+    api->pallas glue was previously only exercised on live hardware)."""
+    rng = np.random.default_rng(22)
+    img = rng.integers(0, 256, (256, 128), dtype=np.uint8)  # panel-aligned
+    lut = sd.default_quant_lut(100)
+    lut32 = lut * 255.0
+    kw = dict(backend="pallas", pallas_interpret=True)
+    # bf16 MXU default => the wider bf16 tolerance used across the suite
+    e1 = sd.encode_quantize(img, lut, **kw)
+    _agree(e1, sd.encode_quantize(img, lut, backend="numpy"), 0.03)
+    e2 = sd.encode_quantize32(img, lut32, **kw)
+    _agree(e2, sd.encode_quantize32(img, lut32, backend="numpy"), 0.03)
+    e3 = sd.encode_quantize_stereo(img, lut, **kw)
+    _agree(e3, sd.encode_quantize_stereo(img, lut, backend="numpy"), 0.03)
+    # decode: the bf16 interpreter IDCT can land a pixel 2 off the f32 xla
+    # decode of the same records (coefficient error amplification)
+    d1 = sd.decode_quantize(np.asarray(e1), lut, 128, 256, **kw)
+    _agree(d1, sd.decode_quantize(np.asarray(e1), lut, 128, 256,
+                                  backend="xla"), 0.5, max_diff=2)
+    d2 = sd.decode_quantize32(np.asarray(e2), lut32, 128, 256, **kw)
+    _agree(d2, sd.decode_quantize32(np.asarray(e2), lut32, 128, 256,
+                                    backend="xla"), 0.5, max_diff=2)
+    d3 = sd.decode_quantize_stereo(np.asarray(e3), lut, 128, 256, **kw)
+    _agree(d3, sd.decode_quantize_stereo(np.asarray(e3), lut, 128, 256,
+                                         backend="xla"), 0.5, max_diff=2)
+    rt = sd.roundtrip_quantize32(img, lut32, **kw)
+    _agree(rt, np.asarray(d2), 0.5, max_diff=2)
+
+
 def test_nonpositive_lut_rejected():
     img = np.zeros((16, 16), np.uint8)
     bad = np.ones(64, np.float32)
