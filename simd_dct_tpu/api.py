@@ -366,16 +366,48 @@ def roundtrip_quantize32(image, lut, *, backend: str | None = None,
 # ---------------------------------------------------------------------------
 # C-enum-style wrappers
 # ---------------------------------------------------------------------------
+#
+# Strip-range semantics: the functional (raising) encode entry points
+# return a FRESH array with excluded strips zero-filled (a documented
+# deviation — a pure function has no caller buffer to leave untouched).
+# The try_* wrappers below restore exact reference behavior: they copy
+# only the included strips' bytes into ``out``, leaving excluded bytes
+# untouched (≙ the skip/advance-cursor writes of src/simd_dct.cpp:
+# 1075-1083), so two partial passes compose like two reference calls.
+
+
+def _strip_byte_mask(mode: str, h: int, w: int, start_y, end_y,
+                     legacy_range: bool = False) -> np.ndarray | None:
+    """Bool mask over the output bytes actually written for the strip
+    range, or None when every strip is included."""
+    s = np.arange(h // 16)
+    cmp = s * 8 if legacy_range else s * 16
+    ey = _END_Y_SENTINEL if end_y is None else int(end_y)
+    strips = (cmp >= int(start_y)) & (cmp <= ey)
+    if strips.all():
+        return None
+    if mode == "stereo":
+        # per plane, each strip owns w/4 bytes (left + right interleave,
+        # src/simd_dct.cpp:275); 64 planes
+        return np.tile(np.repeat(strips, w // 4), 64)
+    return np.repeat(strips, 8 * w)
+
 
 def try_encode_quantize(image, out, lut, size_x, size_y, start_y, end_y,
                         **kw) -> SimdDctResult:
     """Reference-shaped call: writes into ``out`` (np.uint8, H/2*W) and
-    returns a SimdDctResult instead of raising."""
+    returns a SimdDctResult instead of raising.  Bytes of strips outside
+    [start_y, end_y] are left untouched, like the reference."""
     try:
         result = encode_quantize(image, lut, start_y, end_y, **kw)
     except SimdDctError as e:
         return e.result
-    np.copyto(out, np.asarray(result))
+    mask = _strip_byte_mask("quant", size_y, size_x, start_y, end_y,
+                            kw.get("legacy_range", False))
+    if mask is None:
+        np.copyto(out, np.asarray(result))
+    else:
+        np.copyto(out, np.asarray(result), where=mask)
     return SimdDctResult.SUCCESS
 
 
@@ -385,7 +417,11 @@ def try_encode_quantize32(image, out, lut, size_x, size_y, start_y, end_y,
         result = encode_quantize32(image, lut, start_y, end_y, **kw)
     except SimdDctError as e:
         return e.result
-    np.copyto(out, np.asarray(result))
+    mask = _strip_byte_mask("quant32", size_y, size_x, start_y, end_y)
+    if mask is None:
+        np.copyto(out, np.asarray(result))
+    else:
+        np.copyto(out, np.asarray(result), where=mask)
     return SimdDctResult.SUCCESS
 
 
@@ -395,5 +431,9 @@ def try_encode_quantize_stereo(image, out, lut, size_x, size_y, start_y, end_y,
         result = encode_quantize_stereo(image, lut, start_y, end_y, **kw)
     except SimdDctError as e:
         return e.result
-    np.copyto(out, np.asarray(result))
+    mask = _strip_byte_mask("stereo", size_y, size_x, start_y, end_y)
+    if mask is None:
+        np.copyto(out, np.asarray(result))
+    else:
+        np.copyto(out, np.asarray(result), where=mask)
     return SimdDctResult.SUCCESS

@@ -101,11 +101,14 @@ def _prep(image, lut):
 
 def encode_quantize(image, lut, start_y=0, end_y=None, *,
                     rounding="rne", layout="scalar",
-                    legacy_range=False) -> np.ndarray:
+                    legacy_range=False, out=None) -> np.ndarray:
+    """``out`` (optional caller buffer, u8 H/2*W): like the reference,
+    bytes of strips outside [start_y, end_y] are left untouched."""
     img, lut = _prep(image, lut)
     h, w = img.shape
     end_y = h if end_y is None else end_y
-    out = np.zeros((h // 2) * w, np.uint8)
+    if out is None:
+        out = np.zeros((h // 2) * w, np.uint8)
     rc = _load().golden_encode_quantize(
         _u8p(img), _u8p(out), _f32p(lut), w, h, start_y, end_y,
         ROUNDING_CODE[rounding], LAYOUT_CODE[layout], int(legacy_range))
@@ -115,11 +118,12 @@ def encode_quantize(image, lut, start_y=0, end_y=None, *,
 
 
 def encode_quantize32(image, lut, start_y=0, end_y=None, *,
-                      rounding="rne") -> np.ndarray:
+                      rounding="rne", out=None) -> np.ndarray:
     img, lut = _prep(image, lut)
     h, w = img.shape
     end_y = h if end_y is None else end_y
-    out = np.zeros((h // 2) * w, np.uint8)
+    if out is None:
+        out = np.zeros((h // 2) * w, np.uint8)
     rc = _load().golden_encode_quantize32(
         _u8p(img), _u8p(out), _f32p(lut), w, h, start_y, end_y,
         ROUNDING_CODE[rounding])
@@ -129,11 +133,12 @@ def encode_quantize32(image, lut, start_y=0, end_y=None, *,
 
 
 def encode_quantize_stereo(image, lut, start_y=0, end_y=None, *,
-                           rounding="rne") -> np.ndarray:
+                           rounding="rne", out=None) -> np.ndarray:
     img, lut = _prep(image, lut)
     h, w = img.shape
     end_y = h if end_y is None else end_y
-    out = np.zeros(h * w, np.uint8)
+    if out is None:
+        out = np.zeros(h * w, np.uint8)
     rc = _load().golden_encode_quantize_stereo(
         _u8p(img), _u8p(out), _f32p(lut), w, h, start_y, end_y,
         ROUNDING_CODE[rounding])
