@@ -2,6 +2,7 @@
 
 from .mesh import (
     DATA_AXIS, make_mesh, make_mesh_2d, strip_sharding, replicated,
+    initialize_distributed,
 )
 from . import collectives
 from .sharding import (
@@ -12,7 +13,8 @@ from .sharding import (
 )
 
 __all__ = [
-    "collectives", "DATA_AXIS", "make_mesh", "make_mesh_2d", "strip_sharding", "replicated",
+    "collectives", "DATA_AXIS", "make_mesh", "make_mesh_2d",
+    "strip_sharding", "replicated", "initialize_distributed",
     "encode_quantize32_sharded", "decode_quantize32_sharded",
     "encode_quantize_stereo_sharded", "decode_quantize_stereo_sharded",
     "encode_quantize32_batch", "encode_quantize32_batch_2d",

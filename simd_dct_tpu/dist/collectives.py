@@ -14,6 +14,10 @@ equivalent implementations, strongest first:
   pattern; also the shape a ``pltpu.make_async_remote_copy`` kernel
   would take on real multi-chip hardware, cf. SNIPPETS.md §[1]).
 * ``gather_planes_allgather`` — one ``lax.all_gather``.
+* ``gather_planes_remote`` — a Pallas kernel moving the segments with
+  ``pltpu.make_async_remote_copy`` ring DMAs over ICI (the explicit
+  remote-DMA form of the same ring; validated off-hardware under the
+  Pallas TPU interpreter's multi-device simulation).
 
 All are testable on the fake CPU mesh and must produce identical bytes.
 """
@@ -78,4 +82,100 @@ def gather_planes_ring(segments: jax.Array, mesh: Mesh, *,
         in_specs=P(None, axis_name, None),
         # check_vma stays off: the roll distance is device-varying, so the
         # replication of the (identical) per-device results is not provable.
+        out_specs=P(), check_vma=False)(segments)
+
+
+def gather_planes_remote(segments: jax.Array, mesh: Mesh, *,
+                         axis_name: str = DATA_AXIS,
+                         interpret: bool | None = None,
+                         collective_id: int = 7) -> jax.Array:
+    """Ring all-gather via explicit ``pltpu.make_async_remote_copy`` DMAs.
+
+    The remote-DMA form of ``gather_planes_ring``: each of the N-1 hops
+    DMAs the most recently received strip segment straight from this
+    chip's HBM into the right neighbor's output buffer over ICI —
+    replacing the reference's per-strip plane-cursor advance
+    (src/simd_dct.cpp:1075-1083) with the idiomatic TPU communication
+    primitive (pattern: SNIPPETS.md §[1] / the JAX distributed-Pallas
+    all-gather).  Off real multi-chip hardware (``interpret=None`` on a
+    CPU mesh, or ``interpret=True``) the same kernel runs under the
+    Pallas TPU interpreter's multi-device simulation.
+    """
+    import jax.numpy as jnp  # noqa: F401  (kept local with pallas imports)
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = mesh.shape[axis_name]
+    if n == 1:
+        return gather_planes_auto(segments, mesh)
+    planes, s_total, seg = segments.shape
+    chunk = s_total // n
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform != "tpu"
+    # eager DMA simulation: the default "on_wait" mode loses ring arrivals
+    # in this wait-per-hop pattern (verified: slots stay uninitialized).
+    # Interpret caveat: the simulator blocks one host thread per waiting
+    # device, so meshes larger than the host's core count can wedge —
+    # validate on an n <= nproc sub-mesh (tests use n=4).
+    interp = (pltpu.InterpretParams(dma_execution_mode="eager")
+              if interpret else False)
+
+    def kernel(local_ref, out_ref, send_sem, recv_sem, copy_sem):
+        my_id = lax.axis_index(axis_name)
+        right = lax.rem(my_id + 1, n)
+        if not interpret:
+            # neighborhood barrier: don't DMA into a neighbor that hasn't
+            # entered the kernel yet (standard distributed-Pallas
+            # prologue).  Under the interpreter the rendezvous happens via
+            # the psum below instead — simulated barrier semaphores
+            # deadlock on small host thread pools (verified).
+            left = lax.rem(my_id - 1 + n, n)
+            barrier = pltpu.get_barrier_semaphore()
+            pltpu.semaphore_signal(barrier, device_id=left)
+            pltpu.semaphore_signal(barrier, device_id=right)
+            pltpu.semaphore_wait(barrier, 2)
+        # own chunk -> my slot of the output
+        own = pltpu.make_async_copy(
+            local_ref, out_ref.at[:, pl.ds(my_id * chunk, chunk), :],
+            copy_sem)
+        own.start()
+        own.wait()
+        # hop k: forward slot (my_id - k) to the right; the slot arriving
+        # from the left this hop is exactly what hop k+1 forwards, and
+        # rc.wait() orders arrival before the next start.
+        for k in range(n - 1):
+            slot = lax.rem(my_id - k + n, n)
+            rc = pltpu.make_async_remote_copy(
+                src_ref=out_ref.at[:, pl.ds(slot * chunk, chunk), :],
+                dst_ref=out_ref.at[:, pl.ds(slot * chunk, chunk), :],
+                send_sem=send_sem, recv_sem=recv_sem,
+                device_id=(right,),
+                device_id_type=pltpu.DeviceIdType.MESH)
+            rc.start()
+            rc.wait()
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((planes, s_total, seg),
+                                       segments.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA] * 3,
+        compiler_params=pltpu.CompilerParams(collective_id=collective_id),
+        interpret=interp,
+    )
+
+    def fn(local):
+        if interpret:
+            # rendezvous: every device completes this psum before its
+            # kernel launches, so the simulator's eagerly-executed remote
+            # DMAs find the peer output buffers already allocated.
+            tok = lax.psum(jnp.ones((), jnp.int32), axis_name)
+            local = local + (tok * 0).astype(local.dtype)
+        return call(local)
+
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=P(None, axis_name, None),
         out_specs=P(), check_vma=False)(segments)

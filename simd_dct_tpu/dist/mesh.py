@@ -8,6 +8,8 @@ across chips/hosts, and XLA inserts any collectives (SURVEY.md §2.6).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -52,6 +54,35 @@ def make_mesh_2d(shape: tuple[int, int],
     if len(devs) < need:
         raise ValueError(f"need {need} devices, have {len(devs)}")
     return Mesh(np.array(devs[:need]).reshape(shape), axis_names)
+
+
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None,
+                           **kwargs) -> bool:
+    """Multi-host bootstrap: ``jax.distributed.initialize`` with the
+    standard env-var autodetection (SURVEY.md §2.6 "distributed
+    communication backend" row).
+
+    Call once per process before building meshes on a multi-host pod.
+    Returns True if a distributed runtime is (now) initialized, False if
+    this is a plain single-process run (no coordinator configured) —
+    making it safe to call unconditionally from CLI entry points.
+    Idempotent: re-initialization attempts are ignored.
+    """
+    from jax._src import distributed as _dist_state
+    if getattr(_dist_state.global_state, "client", None) is not None:
+        return True  # already initialized
+    has_config = (coordinator_address is not None
+                  or num_processes is not None
+                  or any(k in os.environ for k in (
+                      "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")))
+    if not has_config:
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id, **kwargs)
+    return True
 
 
 def strip_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:

@@ -134,3 +134,27 @@ def test_2d_mesh_frames_and_strips():
     single = np.asarray(X.encode_quantize32(jnp.asarray(frames[2]),
                                             jnp.asarray(lut)))
     np.testing.assert_array_equal(np.asarray(rec[2]).reshape(-1), single)
+
+
+def test_remote_copy_gather(img):
+    """Fourth gather variant (round-1 VERDICT item 4): explicit
+    pltpu.make_async_remote_copy ring DMAs, byte-identical to the GSPMD
+    gather.  Runs under the Pallas TPU interpreter's multi-device
+    simulation on a 4-device sub-mesh (the simulator blocks one host
+    thread per waiting device, so n must stay <= host cores)."""
+    from simd_dct_tpu.dist import collectives as C
+    mesh4 = dist.make_mesh(4)
+    lut = default_quant_lut(50)
+    seg = dist.encode_quantize_stereo_sharded(jnp.asarray(img), lut, mesh4)
+    a = np.asarray(jax.jit(lambda s: C.gather_planes_auto(s, mesh4))(seg))
+    d = np.asarray(C.gather_planes_remote(seg, mesh4))
+    np.testing.assert_array_equal(a, d)
+    single = np.asarray(X.encode_quantize_stereo(jnp.asarray(img),
+                                                 jnp.asarray(lut)))
+    np.testing.assert_array_equal(d.reshape(-1), single)
+
+
+def test_initialize_distributed_single_process():
+    """Bootstrap helper: plain single-process run -> False, no side
+    effects (safe to call unconditionally)."""
+    assert dist.initialize_distributed() is False
