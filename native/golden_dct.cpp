@@ -141,6 +141,11 @@ extern "C" {
 // enc-quant: block-contiguous (or SIMD pair-cell) output, TOP view only.
 // legacy_range selects the NoSimd y-vs-startY comparison quirk
 // (src/simd_dct.cpp:377,384); otherwise y*2 is compared (:1686).
+// Odd-geometry note (SURVEY.md §7 "odd geometry rules"): like the
+// reference, H only needs to be a multiple of 8.  When H % 16 == 8 the
+// strip loop's last strip (y < h/2, src/simd_dct.cpp:268) reads 4 rows
+// past the first view into the second and writes ceil((h/2)/8)*8*w
+// output bytes — the caller must size the buffer accordingly.
 int golden_encode_quantize(const uint8_t* from, uint8_t* to, const float* lut,
                            size_t w, size_t h, size_t start_y, size_t end_y,
                            int rounding, int layout, int legacy_range) {
@@ -166,7 +171,8 @@ int golden_encode_quantize(const uint8_t* from, uint8_t* to, const float* lut,
       } else {
         const int as_written = (layout == kPairCellAsWritten) ? 1 : 0;
         uint8_t* cell = strip + (bx / 2) * 128;
-        const uint8_t* limit = to + (h / 2) * w;
+        // buffer end: whole strips, including the H%16==8 spill strip
+        const uint8_t* limit = to + ((h / 2 + 7) / 8) * 8 * w;
         for (int p = 0; p < 64; p++) {
           uint8_t* dst = cell + pair_offset((int)(bx & 1), p, as_written);
           if (dst < limit) *dst = bytes[p];
@@ -210,6 +216,11 @@ int golden_encode_quantize_stereo(const uint8_t* from, uint8_t* to,
                                   size_t start_y, size_t end_y, int rounding) {
   if (!from || !to || !lut) return 1;
   if ((w & 7) || (h & 7)) return 2;
+  // H % 16 == 8 would make the last strip's RIGHT-view read run past the
+  // end of the input buffer (src/simd_dct.cpp:292 reads from
+  // pFrom + w*h/2 + (y..y+8)*w with y+8 > h/2) — undefined behavior in
+  // the reference; rejected here instead of reproduced.
+  if (h & 15) return 2;
   fesetround(FE_TONEAREST);
   float q_rne[64], q_scalar[64];
   build_qtables(lut, q_rne, q_scalar);

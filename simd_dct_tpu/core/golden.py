@@ -170,13 +170,18 @@ def encode_quantize_golden(image: np.ndarray, lut: np.ndarray,
         end_y = h
     if legacy_range is None:
         legacy_range = (layout == "scalar" and rounding == "scalar")
-    out = np.zeros((h // 2) * w, np.uint8)
+    # H % 16 == 8: the reference's strip loop (y < H/2, src/simd_dct.cpp:
+    # 268) lets the last strip read 4 rows past the first view and write
+    # ceil((H/2)/8)*8*W bytes — spill semantics reproduced here (and in
+    # the C++ oracle) so the api-level rejection is a *documented,
+    # testable* deviation (SURVEY.md §7 "odd geometry rules").
+    out = np.zeros(-(-(h // 2) // 8) * 8 * w, np.uint8)
     perm = pair_cell_permutation(emulate_overlap_bug) if layout == "pair" else None
     for y in _strips(h, start_y, end_y, legacy_range):
         strip_base = y * w
         for bx in range(w // 8):
             x = bx * 8
-            block = img[y:y + 8, x:x + 8].astype(np.float32) / np.float32(255.0)
+            block = img[y:y + 8, x:x + 8].astype(np.float32) * np.float32(1.0 / 255.0)
             buffer64 = _buffer_fx(block, compat)  # fx-major buffer order
             bytes64 = _quantize(buffer64, lut, rounding, compat)
             if layout == "scalar":
@@ -243,7 +248,7 @@ def encode_quantize32_golden(image: np.ndarray, lut: np.ndarray,
     h, w = img.shape
     if end_y is None:
         end_y = h
-    out = np.zeros((h // 2) * w, np.uint8)
+    out = np.zeros(-(-(h // 2) // 8) * 8 * w, np.uint8)  # spill, see above
     for y in _strips(h, start_y, end_y, False):
         strip_base = y * w
         for g in range(w // 64):
@@ -301,6 +306,10 @@ def encode_quantize_stereo_golden(image: np.ndarray, lut: np.ndarray,
     """
     img = np.asarray(image, np.uint8)
     h, w = img.shape
+    if h % 16:
+        # the reference's right-view read would run past the input buffer
+        # (src/simd_dct.cpp:292) — undefined behavior, not reproduced
+        raise ValueError("stereo requires H % 16 == 0 (reference UB)")
     if end_y is None:
         end_y = h
     plane_size = (w * h) // 64
@@ -313,7 +322,7 @@ def encode_quantize_stereo_golden(image: np.ndarray, lut: np.ndarray,
             y_src = y + view * (h // 2)
             for bx in range(blocks_per_row):
                 x = bx * 8
-                block = img[y_src:y_src + 8, x:x + 8].astype(np.float32) / np.float32(255.0)
+                block = img[y_src:y_src + 8, x:x + 8].astype(np.float32) * np.float32(1.0 / 255.0)
                 # The (transpose, DCT, transpose, DCT) sequence of the
                 # reference leaves the buffer fy-major == C row-major,
                 # with C = D @ X @ D.T of the original (row, col) block.

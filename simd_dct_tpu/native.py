@@ -108,7 +108,9 @@ def encode_quantize(image, lut, start_y=0, end_y=None, *,
     h, w = img.shape
     end_y = h if end_y is None else end_y
     if out is None:
-        out = np.zeros((h // 2) * w, np.uint8)
+        # H % 16 == 8: the reference's last strip spills past the view
+        # boundary and writes ceil((h/2)/8)*8*w bytes (see oracle note).
+        out = np.zeros(-(-(h // 2) // 8) * 8 * w, np.uint8)
     rc = _load().golden_encode_quantize(
         _u8p(img), _u8p(out), _f32p(lut), w, h, start_y, end_y,
         ROUNDING_CODE[rounding], LAYOUT_CODE[layout], int(legacy_range))
@@ -123,7 +125,7 @@ def encode_quantize32(image, lut, start_y=0, end_y=None, *,
     h, w = img.shape
     end_y = h if end_y is None else end_y
     if out is None:
-        out = np.zeros((h // 2) * w, np.uint8)
+        out = np.zeros(-(-(h // 2) // 8) * 8 * w, np.uint8)
     rc = _load().golden_encode_quantize32(
         _u8p(img), _u8p(out), _f32p(lut), w, h, start_y, end_y,
         ROUNDING_CODE[rounding])
