@@ -70,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "dominated by dispatch overhead)")
     p.add_argument("--start-y", type=int, default=0)
     p.add_argument("--end-y", type=int, default=None)
+    p.add_argument("--sharded", type=int, default=None, metavar="N",
+                   help="run enc-quant32/stereo strip-sharded over an "
+                        "N-device mesh (falls back to N virtual CPU "
+                        "devices when fewer accelerators exist)")
     return p
 
 
@@ -176,17 +180,42 @@ def main(argv=None) -> int:
             print(f"{name + ' round-trip':<28} | PSNR "
                   f"{_psnr(ref_for_psnr, rec):6.2f} dB")
 
+    mesh = None
+    if args.sharded is not None:
+        from simd_dct_tpu import dist
+        mesh = dist.make_mesh(args.sharded)
+        print(f"sharded: {args.sharded}-device mesh "
+              f"[{mesh.devices.flat[0].platform}]")
+        if (h // 2) % (8 * args.sharded):
+            print("Invalid Parameter (H/2 must split into 8-row strips "
+                  "across the mesh).")
+            return 1
+
     if "enc-quant" in modes:
-        run_mode(
-            "enc-quant",
-            lambda: sd.encode_quantize(imgj, lut, args.start_y, end_y),
-            lambda d: sd.decode_quantize(d, lut, w, h),
-            img[: h // 2],
-            enc_one=lambda im: sd.encode_quantize(im, lut, args.start_y,
-                                                  end_y))
+        if mesh is not None:
+            print(f"{'enc-quant':<28} | no sharded path (strip-dp covers "
+                  "enc-quant32/stereo); skipped")
+        else:
+            run_mode(
+                "enc-quant",
+                lambda: sd.encode_quantize(imgj, lut, args.start_y, end_y),
+                lambda d: sd.decode_quantize(d, lut, w, h),
+                img[: h // 2],
+                enc_one=lambda im: sd.encode_quantize(im, lut, args.start_y,
+                                                      end_y))
     if "enc-quant32" in modes:
         if w % 64:
             print(f"{'enc-quant32':<28} | not supported (W % 64 != 0)")
+        elif mesh is not None:
+            from simd_dct_tpu import dist
+            run_mode(
+                "enc-quant32",
+                lambda: dist.encode_quantize32_sharded(imgj, lut * 255.0,
+                                                       mesh),
+                lambda d: np.asarray(dist.decode_quantize32_sharded(
+                    jax.numpy.asarray(d).reshape(h // 16, 8 * w),
+                    lut * 255.0, w, h, mesh)),
+                img[: h // 2])
         else:
             run_mode(
                 "enc-quant32",
@@ -197,13 +226,25 @@ def main(argv=None) -> int:
                 enc_one=lambda im: sd.encode_quantize32(
                     im, lut * 255.0, args.start_y, end_y))
     if "enc-quant-stereo" in modes:
-        run_mode(
-            "enc-quant-stereo",
-            lambda: sd.encode_quantize_stereo(imgj, lut, args.start_y, end_y),
-            lambda d: sd.decode_quantize_stereo(d, lut, w, h),
-            img,
-            enc_one=lambda im: sd.encode_quantize_stereo(
-                im, lut, args.start_y, end_y))
+        if mesh is not None:
+            from simd_dct_tpu import dist
+            run_mode(
+                "enc-quant-stereo",
+                lambda: dist.encode_quantize_stereo_sharded(imgj, lut, mesh,
+                                                            gather=True),
+                lambda d: np.asarray(dist.decode_quantize_stereo_sharded(
+                    jax.numpy.asarray(d).reshape(64, h // 16, w // 4),
+                    lut, w, h, mesh)),
+                img)
+        else:
+            run_mode(
+                "enc-quant-stereo",
+                lambda: sd.encode_quantize_stereo(imgj, lut, args.start_y,
+                                                  end_y),
+                lambda d: sd.decode_quantize_stereo(d, lut, w, h),
+                img,
+                enc_one=lambda im: sd.encode_quantize_stereo(
+                    im, lut, args.start_y, end_y))
 
     if args.out_file and last_output is not None:
         last_output.tofile(args.out_file)

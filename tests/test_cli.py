@@ -90,3 +90,28 @@ def test_accurate_mode(raw_image, capsys):
                    "--mode", "enc-quant32", "--quality", "50", "--accurate"])
     assert rc == 0
     assert "(slope)" in capsys.readouterr().out
+
+
+def test_sharded_flag(raw_image, capsys, tmp_path):
+    """--sharded N runs enc-quant32/stereo through dist.* over an N-device
+    mesh (virtual CPU devices here) and dumps byte-identical output."""
+    path, img = raw_image
+    out = tmp_path / "s.raw"
+    rc = cli.main([str(path), "128", "64", "--runs", "1", "--quality", "50",
+                   "--mode", "enc-quant32", "--sharded", "4",
+                   "--to", str(out)])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "4-device mesh" in text
+    import simd_dct_tpu as sd
+    want = np.asarray(sd.encode_quantize32(
+        img, sd.default_quant_lut(50) * 255.0, backend="xla"))
+    got = np.fromfile(out, dtype=np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_flag_bad_geometry(raw_image, capsys):
+    path, _ = raw_image
+    rc = cli.main([str(path), "128", "64", "--runs", "1",
+                   "--mode", "enc-quant32", "--sharded", "5"])
+    assert rc == 1
