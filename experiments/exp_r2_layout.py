@@ -150,13 +150,13 @@ def exp_concat16():
                 pl.BlockSpec((128, 128), lambda p: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1024, W // 8), lambda p: (0, p),
+            out_specs=pl.BlockSpec((1024, W // 8), lambda p: (p, 0),
                                    memory_space=pltpu.VMEM),
         )
         return pl.pallas_call(
             functools.partial(kernel, num_octets=num_octets),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((1024, (H2 // PANEL) * (W // 8)),
+            out_shape=jax.ShapeDtypeStruct(((H2 // PANEL) * 1024, W // 8),
                                            jnp.uint8),
             cost_estimate=pl.CostEstimate(
                 flops=2 * 2 * 128 * 128 * W * (H2 // PANEL),

@@ -524,18 +524,194 @@ def decode_quantize32(data, lut, size_x, size_y, interpret=False,
                          interpret=interpret, precision=precision)
 
 
+# -- fused enc-quant PAIR layout (the reference's flagship SIMD layout) ----
+#
+# The SSE4.1 enc-quant kernel ("most compliant and fastest",
+# src/simd_dct.cpp:665-668,1540-1704) emits 128-byte two-block cells whose
+# byte order interleaves the vertical frequency u at 1/2/4-byte granularity
+# — not expressible as sublane-slice + lane-concat of any Z tile.  The
+# round-2 pipeline assembles the exact bytes fully in-kernel:
+#
+#   1. bases reordered: B rows (half, m, q) with u = u(half, q) — the
+#      cell's 4-byte words pack exactly the u-quads {0,1,4,5}/{2,3,6,7}
+#      (the `q` offsets of src/simd_dct.cpp:1662-1670); A cols
+#      (cell, v, blk).
+#   2. bitcast u8->i32 merges each 4-row group into the cell WORDS
+#      (Mosaic bitcast is sublane-major: i32[i,l] byte k = u8[4i+k,l]).
+#   3. a 4-chunk row-stack + i32 transpose + i32->u8 bitcast turns word
+#      indices into byte positions (rows become cell*64+v*8+blk*4+q).
+#   4. per cell-pair, one u8 (128,128) transpose puts strips back on
+#      sublanes; 64-lane slice + concat builds each cell's aligned
+#      (16, 128) store.
+#
+# Measured on v5e: ~60 us / 4K frame (263 GB/s logical) vs 0.5-0.7 ms
+# for the hybrid XLA permute — and in-kernel (128,128) transposes cost
+# ~17 ns each, which is what makes the pipeline viable.
+
+_U_OF_PAIR = {(0, 0): 0, (0, 1): 1, (0, 2): 4, (0, 3): 5,
+              (1, 0): 2, (1, 1): 3, (1, 2): 6, (1, 3): 7}
+
+
+@functools.lru_cache(maxsize=None)
+def _pair_row_basis_np() -> np.ndarray:
+    """B with rows (half, m, q): row half*64+m*4+q applies D[u(half,q)]."""
+    d = dct_basis_np("float32")
+    b = np.zeros((128, 128), np.float32)
+    for half in range(2):
+        for m in range(16):
+            for q in range(4):
+                b[half * 64 + m * 4 + q, m * 8: m * 8 + 8] = \
+                    d[_U_OF_PAIR[half, q]]
+    return b
+
+
+@functools.lru_cache(maxsize=None)
+def _pair_col_basis_np() -> np.ndarray:
+    """A with cols (cell, v, blk): col cell*16+v*2+blk applies D[v] to
+    block n = cell*2 + blk."""
+    d = dct_basis_np("float32")
+    a = np.zeros((128, 128), np.float32)
+    for cell in range(8):
+        for blk in range(2):
+            n = cell * 2 + blk
+            for v in range(8):
+                a[n * 8: n * 8 + 8, cell * 16 + v * 2 + blk] = d[v]
+    return a
+
+
+@functools.lru_cache(maxsize=None)
+def _pair_q_index() -> np.ndarray:
+    """(128,128) LUT index p = v*8 + u per pair-basis Z tile position."""
+    idx = np.zeros((128, 128), np.int32)
+    for half in range(2):
+        for qq in range(4):
+            u = _U_OF_PAIR[half, qq]
+            rows = half * 64 + np.arange(16) * 4 + qq
+            for cell in range(8):
+                for v in range(8):
+                    for blk in range(2):
+                        idx[rows, cell * 16 + v * 2 + blk] = v * 8 + u
+    return idx
+
+
+def _pair_q_tile(scales64) -> jax.Array:
+    """(128,128) quant multiplier aligned with the pair-basis Z tile
+    (fx-major LUT index p = v*8 + u); jit-traceable in ``scales64``."""
+    s = jnp.asarray(scales64, jnp.float32).reshape(64)
+    return jnp.take(s, jnp.asarray(_pair_q_index()))
+
+
+def _pair_groups(num_chunks: int):
+    """4-chunk groups covering [0, num_chunks); the final group may
+    overlap its predecessor (recompute, store only the new chunks)."""
+    groups, base = [], 0
+    while base + 4 <= num_chunks:
+        groups.append((base, 0))
+        base += 4
+    if base < num_chunks:
+        b = num_chunks - 4
+        groups.append((b, base - b))
+    return tuple(groups)
+
+
+def _encq_pair_kernel(x_ref, b_ref, a_ref, q_ref, out_ref, *,
+                      rounding: str, groups, as_written: bool, dtype):
+    bmat = b_ref[...]
+    amat = a_ref[...]
+    q_big = q_ref[...]
+
+    def compute_words(c):
+        x = (x_ref[:, pl.ds(c * CHUNK, CHUNK)].astype(jnp.int32)
+             .astype(jnp.float32) * jnp.float32(1.0 / 255.0)).astype(dtype)
+        y = jnp.dot(x, amat, preferred_element_type=jnp.float32) \
+            .astype(dtype)
+        z = jnp.dot(bmat, y, preferred_element_type=jnp.float32)
+        zq = _quantize_tile(z * q_big, rounding)
+        return pltpu.bitcast(zq, jnp.int32)              # (32, 128) words
+
+    for base, store_from in groups:
+        pp = jnp.concatenate([compute_words(base + i) for i in range(4)],
+                             axis=0)
+        t = pp.T                                         # i32 transpose
+        bytes_t = pltpu.bitcast(t, jnp.uint8)            # (512, 128)
+        for cp in range(4):
+            vt = bytes_t[cp * 128:(cp + 1) * 128, :].T   # u8 transpose
+            for cl in range(store_from, 4):
+                c = base + cl
+                for cellbit in range(2):
+                    cell = 2 * cp + cellbit
+                    lo = vt[cl * 32: cl * 32 + 16,
+                            cellbit * 64: cellbit * 64 + 64]
+                    if as_written:
+                        # the as-coded overlapping store leaves every
+                        # cell's second half unwritten (zero)
+                        hi = jnp.zeros_like(lo)
+                    else:
+                        hi = vt[cl * 32 + 16: cl * 32 + 32,
+                                cellbit * 64: cellbit * 64 + 64]
+                    out_ref[:, pl.ds(c * 1024 + cell * 128, 128)] = \
+                        jnp.concatenate([lo, hi], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("rounding", "as_written",
+                                             "interpret", "precision"))
+def _encq_pair_panels(view: jax.Array, scales: jax.Array, *, rounding: str,
+                      as_written: bool = False, interpret: bool = False,
+                      precision: str = "bf16") -> jax.Array:
+    """(H2, W) u8 view -> (S, 8W) u8 strip records in the SIMD pair-cell
+    layout, fully in-kernel.  Requires H2 % 128 == 0, W % 128 == 0 and
+    W >= 512 (4-chunk transpose groups)."""
+    h2, w = view.shape
+    assert h2 % PANEL == 0 and w % CHUNK == 0 and w >= 4 * CHUNK
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    kernel = functools.partial(
+        _encq_pair_kernel, rounding=rounding,
+        groups=_pair_groups(w // CHUNK), as_written=as_written, dtype=dtype)
+    grid_spec = pl.GridSpec(
+        grid=(h2 // PANEL,),
+        in_specs=[
+            pl.BlockSpec((PANEL, w), lambda p: (p, 0),
+                         memory_space=pltpu.VMEM)] + [
+            pl.BlockSpec((128, 128), lambda p: (0, 0),
+                         memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec((16, 8 * w), lambda p: (p, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((h2 // 8, 8 * w), jnp.uint8),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * 128 * 128 * w * (h2 // PANEL),
+            bytes_accessed=2 * h2 * w, transcendentals=0),
+        interpret=interpret,
+    )(view, jnp.asarray(_pair_row_basis_np()).astype(dtype),
+      jnp.asarray(_pair_col_basis_np()).astype(dtype), _pair_q_tile(scales))
+
+
 # -- hybrid modes: pallas tile compute + XLA byte-record permute -----------
-# (enc-quant and stereo byte layouts need lane-granular u8 interleaves
-# that Mosaic cannot lower in-kernel; the tile kernel does the heavy
-# compute with aligned stores and kernels.panel does the permute.)
+# (the enc-quant SCALAR layout and stereo planar still assemble byte
+# records in XLA; scalar interleaves u at 4-byte granularity across BOTH
+# u-halves, which this pipeline cannot express without costly permutation
+# matmuls — and scalar is only the reference's NoSimd fallback layout,
+# while the SIMD layouts have fused kernels.)
 
 def encode_quantize(img, lut, start_y=0, end_y=1 << 30, rounding="rne",
                     layout="scalar", legacy_range=False, interpret=False,
                     precision="bf16"):
-    """Hybrid fast path for simdDCT_EncodeQuantizeBuffer semantics."""
-    from . import panel as _panel
+    """Fast path for simdDCT_EncodeQuantizeBuffer semantics: fully fused
+    in-kernel for the SIMD pair layouts (src/simd_dct.cpp:1540-1704);
+    hybrid (tile kernel + XLA permute) for the NoSimd scalar layout."""
     h, w = img.shape
     view = img[: h // 2, :]
+    if layout in ("pair", "pair_as_written") and w >= 4 * CHUNK:
+        records = _encq_pair_panels(
+            view, quant_scales(lut), rounding=rounding,
+            as_written=(layout == "pair_as_written"), interpret=interpret,
+            precision=precision)
+        return _mask_strips(records, start_y, end_y,
+                            legacy_range).reshape(-1)
+    from . import panel as _panel
     tiles = _tiles_panels(view, quant_scales(lut), normalize=True,
                           rounding=rounding, orientation="fx",
                           interpret=interpret, precision=precision)

@@ -143,3 +143,53 @@ class TestHybridModes:
         _agree(PK.decode_quantize_stereo(encs, lut, 128, 256,
                                          interpret=True, precision="f32"),
                G.decode_quantize_stereo_golden(encs, lut, 128, 256))
+
+
+class TestFusedPairLayout:
+    """Round-2 fused in-kernel SIMD pair-cell assembly (W >= 512 routes
+    encode_quantize's pair layouts through _encq_pair_panels)."""
+
+    @pytest.fixture(scope="class")
+    def wide(self):
+        rng = np.random.default_rng(0xFA12)
+        return rng.integers(0, 256, (256, 512), dtype=np.uint8)
+
+    @pytest.mark.parametrize("rounding", ["rne", "scalar", "clamp_first"])
+    def test_pair_fused(self, wide, rounding):
+        lut = default_quant_lut(50)
+        got = PK.encode_quantize(jnp.asarray(wide), lut, rounding=rounding,
+                                 layout="pair", interpret=True,
+                                 precision="f32")
+        _agree(got, G.encode_quantize_golden(wide, lut, rounding=rounding,
+                                             layout="pair",
+                                             legacy_range=False))
+
+    def test_pair_as_written_fused(self, wide):
+        lut = default_quant_lut(50)
+        got = PK.encode_quantize(jnp.asarray(wide), lut,
+                                 layout="pair_as_written", interpret=True,
+                                 precision="f32")
+        _agree(got, G.encode_quantize_golden(
+            wide, lut, rounding="rne", layout="pair",
+            emulate_overlap_bug=True))
+
+    def test_pair_fused_strip_range(self, wide):
+        lut = default_quant_lut(50)
+        got = PK.encode_quantize(jnp.asarray(wide), lut, 32, 63,
+                                 layout="pair", interpret=True,
+                                 precision="f32")
+        _agree(got, G.encode_quantize_golden(wide, lut, 32, 63,
+                                             rounding="rne", layout="pair",
+                                             legacy_range=False))
+
+    def test_pair_fused_nondivisible_group(self):
+        """W = 768 -> 6 chunks -> groups (0,), (2, overlap 2): the final
+        overlapping group must reproduce chunks 4-5 exactly."""
+        rng = np.random.default_rng(0xFA13)
+        img = rng.integers(0, 256, (256, 768), dtype=np.uint8)
+        lut = default_quant_lut(50)
+        got = PK.encode_quantize(jnp.asarray(img), lut, layout="pair",
+                                 interpret=True, precision="f32")
+        _agree(got, G.encode_quantize_golden(img, lut, rounding="rne",
+                                             layout="pair",
+                                             legacy_range=False))
