@@ -614,11 +614,30 @@ def _pair_groups(num_chunks: int):
     return tuple(groups)
 
 
-def _encq_pair_kernel(x_ref, b_ref, a_ref, q_ref, out_ref, *,
-                      rounding: str, groups, as_written: bool, dtype):
+@functools.lru_cache(maxsize=None)
+def _scalar_from_pair_pi() -> np.ndarray:
+    """(128,128) 0/1 matrix permuting one pair CELL's byte order into the
+    scalar (block-contiguous) order: both cover the same two blocks, so
+    scalar is a static intra-cell lane permutation of pair
+    (dst blk*64+v*8+u  <-  src half*64+v*8+blk*4+q, u = u(half,q))."""
+    pi = np.zeros((128, 128), np.float32)
+    for half in range(2):
+        for v in range(8):
+            for blk in range(2):
+                for q in range(4):
+                    src = half * 64 + v * 8 + blk * 4 + q
+                    dst = blk * 64 + v * 8 + _U_OF_PAIR[half, q]
+                    pi[src, dst] = 1.0
+    return pi
+
+
+def _encq_pair_kernel(x_ref, b_ref, a_ref, q_ref, pi_ref, out_ref, *,
+                      rounding: str, groups, as_written: bool,
+                      scalar_pi: bool, dtype):
     bmat = b_ref[...]
     amat = a_ref[...]
     q_big = q_ref[...]
+    pi = pi_ref[...] if scalar_pi else None
 
     def compute_words(c):
         x = (x_ref[:, pl.ds(c * CHUNK, CHUNK)].astype(jnp.int32)
@@ -636,6 +655,7 @@ def _encq_pair_kernel(x_ref, b_ref, a_ref, q_ref, out_ref, *,
         bytes_t = pltpu.bitcast(t, jnp.uint8)            # (512, 128)
         for cp in range(4):
             vt = bytes_t[cp * 128:(cp + 1) * 128, :].T   # u8 transpose
+            pieces, offs = [], []
             for cl in range(store_from, 4):
                 c = base + cl
                 for cellbit in range(2):
@@ -649,31 +669,49 @@ def _encq_pair_kernel(x_ref, b_ref, a_ref, q_ref, out_ref, *,
                     else:
                         hi = vt[cl * 32 + 16: cl * 32 + 32,
                                 cellbit * 64: cellbit * 64 + 64]
-                    out_ref[:, pl.ds(c * 1024 + cell * 128, 128)] = \
-                        jnp.concatenate([lo, hi], axis=1)
+                    pieces.append(jnp.concatenate([lo, hi], axis=1))
+                    offs.append(c * 1024 + cell * 128)
+            if scalar_pi:
+                # scalar layout: permute each cell's 128 lanes by the
+                # static pair->scalar map — one exact bf16 0/1 matmul on
+                # the stacked pieces (byte values <= 255 are exact bf16)
+                # (u8 -> i32 -> bf16: Mosaic has no direct u8->bf16 cast)
+                stacked = jnp.concatenate(pieces, axis=0) \
+                    .astype(jnp.int32).astype(jnp.bfloat16)
+                perm = jnp.dot(stacked, pi,
+                               preferred_element_type=jnp.float32) \
+                    .astype(jnp.int32).astype(jnp.uint8)
+                pieces = [perm[i * 16:(i + 1) * 16, :]
+                          for i in range(len(offs))]
+            for piece, off in zip(pieces, offs):
+                out_ref[:, pl.ds(off, 128)] = piece
 
 
 @functools.partial(jax.jit, static_argnames=("rounding", "as_written",
-                                             "interpret", "precision"))
+                                             "scalar_pi", "interpret",
+                                             "precision"))
 def _encq_pair_panels(view: jax.Array, scales: jax.Array, *, rounding: str,
-                      as_written: bool = False, interpret: bool = False,
+                      as_written: bool = False, scalar_pi: bool = False,
+                      interpret: bool = False,
                       precision: str = "bf16") -> jax.Array:
     """(H2, W) u8 view -> (S, 8W) u8 strip records in the SIMD pair-cell
-    layout, fully in-kernel.  Requires H2 % 128 == 0, W % 128 == 0 and
-    W >= 512 (4-chunk transpose groups)."""
+    layout (or, with scalar_pi, the block-contiguous scalar layout via a
+    per-cell permutation matmul), fully in-kernel.  Requires
+    H2 % 128 == 0, W % 128 == 0 and W >= 512 (4-chunk transpose groups)."""
     h2, w = view.shape
     assert h2 % PANEL == 0 and w % CHUNK == 0 and w >= 4 * CHUNK
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     kernel = functools.partial(
         _encq_pair_kernel, rounding=rounding,
-        groups=_pair_groups(w // CHUNK), as_written=as_written, dtype=dtype)
+        groups=_pair_groups(w // CHUNK), as_written=as_written,
+        scalar_pi=scalar_pi, dtype=dtype)
     grid_spec = pl.GridSpec(
         grid=(h2 // PANEL,),
         in_specs=[
             pl.BlockSpec((PANEL, w), lambda p: (p, 0),
                          memory_space=pltpu.VMEM)] + [
             pl.BlockSpec((128, 128), lambda p: (0, 0),
-                         memory_space=pltpu.VMEM)] * 3,
+                         memory_space=pltpu.VMEM)] * 4,
         out_specs=pl.BlockSpec((16, 8 * w), lambda p: (p, 0),
                                memory_space=pltpu.VMEM),
     )
@@ -686,15 +724,137 @@ def _encq_pair_panels(view: jax.Array, scales: jax.Array, *, rounding: str,
             bytes_accessed=2 * h2 * w, transcendentals=0),
         interpret=interpret,
     )(view, jnp.asarray(_pair_row_basis_np()).astype(dtype),
-      jnp.asarray(_pair_col_basis_np()).astype(dtype), _pair_q_tile(scales))
+      jnp.asarray(_pair_col_basis_np()).astype(dtype), _pair_q_tile(scales),
+      jnp.asarray(_scalar_from_pair_pi()).astype(jnp.bfloat16))
+
+
+# -- fused stereo coefficient-planar encode --------------------------------
+#
+# The stereo layout (64 planes, per strip BW left-view then BW right-view
+# bytes, src/simd_dct.cpp:896-1103) IS Mosaic-friendly once the col basis
+# orders chunk columns (v, n): plane (u,v)'s bytes for a chunk are then
+# the contiguous (16-strip, 16-block) patch Z[u-band, v*16:v*16+16], and
+# eight chunks' patches lane-concat into one aligned (16, 128) store.
+# The output is declared (64, S, 2, BW) so plane/strip/view indexing is
+# pure BlockSpec arithmetic; both views of a strip group revisit the same
+# output block on consecutive grid steps.  Measured ~72 us / 4K frame —
+# ~7x the hybrid XLA permute path.
+
+@functools.lru_cache(maxsize=None)
+def _stereo_col_basis_np() -> np.ndarray:
+    """A with cols (v, n): col v*16+n applies D[v] to block n."""
+    d = dct_basis_np("float32")
+    a = np.zeros((128, 128), np.float32)
+    for n in range(16):
+        for v in range(8):
+            a[n * 8: n * 8 + 8, v * 16 + n] = d[v]
+    return a
+
+
+def _stereo_q_tile(scales64) -> jax.Array:
+    """(128,128) quant multiplier for the stereo Z tile: rows (u,m),
+    cols (v,n); fy-major LUT index p = u*8 + v."""
+    s = jnp.asarray(scales64, jnp.float32).reshape(8, 8)  # s[u? ...] p=u*8+v
+    rows = jnp.repeat(s, 16, axis=0)        # (128, 8): u-major rows
+    return jnp.repeat(rows, 16, axis=1)     # (128, 128): v-major col groups
+
+
+def _stereo_groups(num_chunks: int):
+    """8-chunk octets + one tail group of the remaining chunks."""
+    groups, base = [], 0
+    while base + 8 <= num_chunks:
+        groups.append((base, 8))
+        base += 8
+    if base < num_chunks:
+        groups.append((base, num_chunks - base))
+    return tuple(groups)
+
+
+def _enc_stereo_kernel(xl_ref, xr_ref, b_ref, a_ref, q_ref,
+                       ol_ref, or_ref, *, rounding: str, groups, dtype):
+    bmat = b_ref[...]
+    amat = a_ref[...]
+    q_big = q_ref[...]
+
+    def compute_tile(x_ref, c):
+        x = (x_ref[:, pl.ds(c * CHUNK, CHUNK)].astype(jnp.int32)
+             .astype(jnp.float32) * jnp.float32(1.0 / 255.0)).astype(dtype)
+        y = jnp.dot(x, amat, preferred_element_type=jnp.float32) \
+            .astype(dtype)
+        z = jnp.dot(bmat, y, preferred_element_type=jnp.float32)
+        return _quantize_tile(z * q_big, rounding)
+
+    for x_ref, out_ref in ((xl_ref, ol_ref), (xr_ref, or_ref)):
+        for base, size in groups:
+            tiles = [compute_tile(x_ref, base + i) for i in range(size)]
+            for u in range(8):
+                for v in range(8):
+                    piece = jnp.concatenate(
+                        [t[u * 16:(u + 1) * 16, v * 16: v * 16 + 16]
+                         for t in tiles], axis=1)      # (16, 16*size)
+                    out_ref[pl.ds((u * 8 + v) * 16, 16),
+                            pl.ds(base * 16, 16 * size)] = piece
+
+
+@functools.partial(jax.jit, static_argnames=("rounding", "interpret",
+                                             "precision"))
+def _enc_stereo_panels(img: jax.Array, scales: jax.Array, *, rounding: str,
+                       interpret: bool = False,
+                       precision: str = "bf16") -> jax.Array:
+    """(H, W) u8 dual-view image -> (64, S, 2, BW) u8 planar tensor
+    (flattens row-major to the reference's planar byte stream).
+
+    The kernel writes per-view panel-major 2-D blocks ((plane, strip)
+    rows x block lanes — Mosaic supports neither >2-D u8 ref stores nor
+    dynamically-offset lane stores); both views of a panel pair are
+    processed in one grid step (the image is passed twice with left/right
+    index maps).  The plane-major stream then needs one coarse
+    panel<->plane transpose whose moved rows are BW contiguous bytes —
+    memcpy-class, unlike the byte-granular permutes this kernel
+    replaces."""
+    h, w = img.shape
+    h2 = h // 2
+    assert h2 % PANEL == 0 and w % CHUNK == 0
+    n_pg = h2 // PANEL
+    bw = w // 8
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    kernel = functools.partial(_enc_stereo_kernel, rounding=rounding,
+                               groups=_stereo_groups(w // CHUNK),
+                               dtype=dtype)
+    view_spec = pl.BlockSpec((1024, bw), lambda pg: (pg, 0),
+                             memory_space=pltpu.VMEM)
+    grid_spec = pl.GridSpec(
+        grid=(n_pg,),
+        in_specs=[
+            pl.BlockSpec((PANEL, w), lambda pg: (pg, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PANEL, w), lambda pg: (n_pg + pg, 0),
+                         memory_space=pltpu.VMEM)] + [
+            pl.BlockSpec((128, 128), lambda pg: (0, 0),
+                         memory_space=pltpu.VMEM)] * 3,
+        out_specs=[view_spec, view_spec],
+    )
+    out_l, out_r = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_pg * 1024, bw), jnp.uint8)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * 128 * 128 * w * 2 * n_pg,
+            bytes_accessed=2 * h * w, transcendentals=0),
+        interpret=interpret,
+    )(img, img, jnp.asarray(_row_basis_np()).astype(dtype),
+      jnp.asarray(_stereo_col_basis_np()).astype(dtype),
+      _stereo_q_tile(scales))
+    lr = jnp.stack([out_l, out_r]).reshape(2, n_pg, 64, 16, bw)
+    return lr.transpose(2, 1, 3, 0, 4).reshape(64, h2 // 8, 2, bw)
 
 
 # -- hybrid modes: pallas tile compute + XLA byte-record permute -----------
-# (the enc-quant SCALAR layout and stereo planar still assemble byte
+# (the enc-quant SCALAR layout and the decode paths still assemble byte
 # records in XLA; scalar interleaves u at 4-byte granularity across BOTH
-# u-halves, which this pipeline cannot express without costly permutation
-# matmuls — and scalar is only the reference's NoSimd fallback layout,
-# while the SIMD layouts have fused kernels.)
+# u-halves, which the fused pipelines cannot express without costly
+# permutation matmuls — and scalar is only the reference's NoSimd
+# fallback layout, while the SIMD layouts have fused kernels.)
 
 def encode_quantize(img, lut, start_y=0, end_y=1 << 30, rounding="rne",
                     layout="scalar", legacy_range=False, interpret=False,
@@ -704,10 +864,11 @@ def encode_quantize(img, lut, start_y=0, end_y=1 << 30, rounding="rne",
     hybrid (tile kernel + XLA permute) for the NoSimd scalar layout."""
     h, w = img.shape
     view = img[: h // 2, :]
-    if layout in ("pair", "pair_as_written") and w >= 4 * CHUNK:
+    if w >= 4 * CHUNK:
         records = _encq_pair_panels(
             view, quant_scales(lut), rounding=rounding,
-            as_written=(layout == "pair_as_written"), interpret=interpret,
+            as_written=(layout == "pair_as_written"),
+            scalar_pi=(layout == "scalar"), interpret=interpret,
             precision=precision)
         return _mask_strips(records, start_y, end_y,
                             legacy_range).reshape(-1)
@@ -740,16 +901,12 @@ def decode_quantize(data, lut, size_x, size_y, layout="scalar",
 def encode_quantize_stereo(img, lut, start_y=0, end_y=1 << 30,
                            rounding="rne", interpret=False,
                            precision="bf16"):
-    """Hybrid fast path for the stereo coefficient-planar mode."""
-    from . import panel as _panel
+    """Fast path for the stereo coefficient-planar mode: fully fused
+    in-kernel (src/simd_dct.cpp:896-1103 semantics)."""
     h, w = img.shape
-    views = img.reshape(2, h // 2, w)
-    tiles = jax.vmap(
-        lambda v: _tiles_panels(v, quant_scales(lut), normalize=True,
-                                rounding=rounding, orientation="fy",
+    planar = _enc_stereo_panels(img, quant_scales(lut), rounding=rounding,
                                 interpret=interpret, precision=precision)
-    )(views)
-    flat = _panel.tiles_to_planar(tiles)
+    flat = planar.reshape(-1)
     if not (start_y == 0 and end_y >= h):
         s = np.arange(h // 16)
         mask = (s * 16 >= start_y) & (s * 16 <= end_y)

@@ -154,14 +154,15 @@ class TestFusedPairLayout:
         rng = np.random.default_rng(0xFA12)
         return rng.integers(0, 256, (256, 512), dtype=np.uint8)
 
+    @pytest.mark.parametrize("layout", ["pair", "scalar"])
     @pytest.mark.parametrize("rounding", ["rne", "scalar", "clamp_first"])
-    def test_pair_fused(self, wide, rounding):
+    def test_pair_fused(self, wide, rounding, layout):
         lut = default_quant_lut(50)
         got = PK.encode_quantize(jnp.asarray(wide), lut, rounding=rounding,
-                                 layout="pair", interpret=True,
+                                 layout=layout, interpret=True,
                                  precision="f32")
         _agree(got, G.encode_quantize_golden(wide, lut, rounding=rounding,
-                                             layout="pair",
+                                             layout=layout,
                                              legacy_range=False))
 
     def test_pair_as_written_fused(self, wide):
@@ -188,8 +189,9 @@ class TestFusedPairLayout:
         rng = np.random.default_rng(0xFA13)
         img = rng.integers(0, 256, (256, 768), dtype=np.uint8)
         lut = default_quant_lut(50)
-        got = PK.encode_quantize(jnp.asarray(img), lut, layout="pair",
-                                 interpret=True, precision="f32")
-        _agree(got, G.encode_quantize_golden(img, lut, rounding="rne",
-                                             layout="pair",
-                                             legacy_range=False))
+        for layout in ("pair", "scalar"):
+            got = PK.encode_quantize(jnp.asarray(img), lut, layout=layout,
+                                     interpret=True, precision="f32")
+            _agree(got, G.encode_quantize_golden(img, lut, rounding="rne",
+                                                 layout=layout,
+                                                 legacy_range=False))
