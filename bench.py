@@ -52,8 +52,6 @@ def main():
         jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     except Exception:
         pass
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
     from simd_dct_tpu.kernels import pallas_dct as PK
     from simd_dct_tpu.kernels import xla_path as X
     from simd_dct_tpu.dispatch import probe
@@ -85,19 +83,16 @@ def main():
     if use_pallas:
         scales = quant_scales(lut)
 
-        def k_copy(x_ref, o_ref):
-            o_ref[...] = x_ref[...]
-
-        def one_copy(v):
-            return pl.pallas_call(
-                k_copy,
-                grid_spec=pl.GridSpec(
-                    grid=(H2 // 256,),
-                    in_specs=[pl.BlockSpec((256, W), lambda p: (p, 0),
-                                           memory_space=pltpu.VMEM)],
-                    out_specs=pl.BlockSpec((256, W), lambda p: (p, 0),
-                                           memory_space=pltpu.VMEM)),
-                out_shape=jax.ShapeDtypeStruct((H2, W), jnp.uint8))(v)
+        # The roofline probe is a pure-XLA u8 elementwise pass (1 read +
+        # 1 write per byte), measured with TWO dispatches so the jit
+        # boundary forces the output array to materialize (a single fused
+        # program would elide the write and time a read-only reduction).
+        # Measured well above any hand-rolled pallas copy kernel variant
+        # (209 GB/s at best) — the honest achievable ceiling here.
+        def copy_checksum():
+            f1 = jax.jit(lambda xs: xs + jnp.uint8(1))
+            f2 = jax.jit(lambda o: jnp.sum(o.astype(jnp.int32)))
+            return lambda xb: f2(f1(xb))
 
         def one_enc(v):
             return PK._enc32_panels(v, scales, normalize=False,
@@ -113,7 +108,7 @@ def main():
                     raise RuntimeError("no positive slope measurement")
                 return statistics.median(vals)
 
-            copy_s = robust_slope(checksum(one_copy))
+            copy_s = robust_slope(copy_checksum)
             enc_s = robust_slope(checksum(one_enc))
             tier = "pallas_bf16"
         except Exception:

@@ -26,6 +26,18 @@ from ..kernels import xla_path as X
 from .mesh import DATA_AXIS
 
 
+def _use_pallas(mesh: Mesh, h2_local: int, w: int) -> bool:
+    """Shards run the fused Pallas kernels when the mesh devices are TPUs
+    with a working Mosaic path and panel-aligned local geometry (the
+    multi-chip analog of the api tier cascade); otherwise the portable
+    XLA tier (e.g. on the virtual CPU test mesh)."""
+    if mesh.devices.flat[0].platform != "tpu":
+        return False
+    from ..dispatch.capability import probe
+    from ..kernels import pallas_dct as PK
+    return probe().supports_pallas and PK.supports(h2_local * 2, w)
+
+
 def _num_shards(mesh: Mesh, axis_name: str) -> int:
     return mesh.shape[axis_name]
 
@@ -49,14 +61,21 @@ def encode_quantize32_sharded(img: jax.Array, lut, mesh: Mesh, *,
     top = img[: h // 2, :]
     lut = jnp.asarray(lut, jnp.float32)
 
+    use_pl = _use_pallas(mesh, (h // 2) // n, w)
+
     def shard_fn(local, lut_r):
+        if use_pl:
+            from ..core.quantize import quant_scales
+            from ..kernels import pallas_dct as PK
+            return PK._enc32_panels(local, quant_scales(lut_r),
+                                    normalize=False, rounding=rounding)
         return X.encode32_view(local, lut_r, rounding) \
             .reshape(local.shape[0] // 8, -1)
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(axis_name, None), P()),
-        out_specs=P(axis_name, None))
+        out_specs=P(axis_name, None), check_vma=False)
     return fn(top, lut)
 
 
@@ -67,15 +86,22 @@ def decode_quantize32_sharded(records: jax.Array, lut, size_x: int,
     sharded on rows."""
     lut = jnp.asarray(lut, jnp.float32)
 
+    n = _num_shards(mesh, axis_name)
+
     def shard_fn(local, lut_r):
         s_local = local.shape[0]
+        if _use_pallas(mesh, s_local * 8, size_x):
+            from ..core.quantize import dequant_scales
+            from ..kernels import pallas_dct as PK
+            return PK._dec32_panels(local, dequant_scales(lut_r),
+                                    normalize=False)
         return X.decode_quantize32(local.reshape(-1), lut_r,
                                    size_x, s_local * 16)
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(axis_name, None), P()),
-        out_specs=P(axis_name, None))
+        out_specs=P(axis_name, None), check_vma=False)
     return fn(records, lut)
 
 
@@ -96,17 +122,25 @@ def encode_quantize_stereo_sharded(img: jax.Array, lut, mesh: Mesh, *,
     views = img.reshape(2, h // 2, w)
     lut = jnp.asarray(lut, jnp.float32)
 
+    use_pl = _use_pallas(mesh, (h // 2) // n, w)
+
     def shard_fn(local_views, lut_r):
         # local_views: (2, H2/n, W) — this shard's strip range of BOTH views.
         local = local_views.reshape(-1, w)
-        flat = X.encode_quantize_stereo(local, lut_r, 0, 1 << 30, rounding)
+        if use_pl:
+            from ..kernels import pallas_dct as PK
+            flat = PK.encode_quantize_stereo(local, lut_r, 0, 1 << 30,
+                                             rounding)
+        else:
+            flat = X.encode_quantize_stereo(local, lut_r, 0, 1 << 30,
+                                            rounding)
         s_local = local_views.shape[1] // 8
         return flat.reshape(64, s_local, w // 4)
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(None, axis_name, None), P()),
-        out_specs=P(None, axis_name, None))
+        out_specs=P(None, axis_name, None), check_vma=False)
     out = fn(views, lut)
     if gather:
         out = jax.lax.with_sharding_constraint(
@@ -125,13 +159,17 @@ def decode_quantize_stereo_sharded(planes: jax.Array, lut, size_x: int,
     def shard_fn(local_planes, lut_r):
         s_local = local_planes.shape[1]
         flat = local_planes.reshape(-1)
-        local = X.decode_quantize_stereo(flat, lut_r, w, s_local * 16)
+        if _use_pallas(mesh, s_local * 8, w):
+            from ..kernels import pallas_dct as PK
+            local = PK.decode_quantize_stereo(flat, lut_r, w, s_local * 16)
+        else:
+            local = X.decode_quantize_stereo(flat, lut_r, w, s_local * 16)
         return local.reshape(2, s_local * 8, w)
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(None, axis_name, None), P()),
-        out_specs=P(None, axis_name, None))
+        out_specs=P(None, axis_name, None), check_vma=False)
     views = fn(planes, lut)
     return views.reshape(size_y, size_x)
 
@@ -150,16 +188,21 @@ def encode_quantize32_batch(frames: jax.Array, lut, mesh: Mesh, *,
     strips by wrapping this in a second shard_map level."""
     lut = jnp.asarray(lut, jnp.float32)
 
+    b, h, w = frames.shape
+    use_pl = _use_pallas(mesh, h // 2, w)
+
     def shard_fn(local_frames, lut_r):
         def one(fr):
+            if use_pl:
+                from ..kernels import pallas_dct as PK
+                return PK.encode_quantize32(fr, lut_r, 0, 1 << 30, rounding)
             return X.encode_quantize32(fr, lut_r, 0, 1 << 30, rounding)
         return jax.vmap(one)(local_frames)
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(frame_axis, None, None), P()),
-        out_specs=P(frame_axis, None))
-    b, h, w = frames.shape
+        out_specs=P(frame_axis, None), check_vma=False)
     return fn(frames, lut).reshape(b, (h // 2) // 8, 8 * w)
 
 
@@ -177,8 +220,15 @@ def encode_quantize32_batch_2d(frames: jax.Array, lut, mesh: Mesh, *,
     lut = jnp.asarray(lut, jnp.float32)
     tops = frames[:, : h // 2, :]
 
+    use_pl = _use_pallas(mesh, (h // 2) // n_s, w)
+
     def shard_fn(local, lut_r):
         def one(view_part):
+            if use_pl:
+                from ..core.quantize import quant_scales
+                from ..kernels import pallas_dct as PK
+                return PK._enc32_panels(view_part, quant_scales(lut_r),
+                                        normalize=False, rounding=rounding)
             return X.encode32_view(view_part, lut_r, rounding) \
                 .reshape(view_part.shape[0] // 8, -1)
         return jax.vmap(one)(local)
@@ -186,7 +236,7 @@ def encode_quantize32_batch_2d(frames: jax.Array, lut, mesh: Mesh, *,
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(frame_axis, strip_axis, None), P()),
-        out_specs=P(frame_axis, strip_axis, None))
+        out_specs=P(frame_axis, strip_axis, None), check_vma=False)
     return fn(tops, lut)
 
 
@@ -196,9 +246,15 @@ def roundtrip_quantize32_batch(frames: jax.Array, lut, mesh: Mesh, *,
     batched video, frames/s per chip)."""
     lut = jnp.asarray(lut, jnp.float32)
 
+    _, fh, fw = frames.shape
+    use_pl = _use_pallas(mesh, fh // 2, fw)
+
     def shard_fn(local_frames, lut_r):
         def one(fr):
             h, w = fr.shape
+            if use_pl:
+                from ..kernels import pallas_dct as PK
+                return PK.roundtrip_quantize32(fr, lut_r)
             rec = X.encode_quantize32(fr, lut_r, 0, 1 << 30, "rne")
             return X.decode_quantize32(rec, lut_r, w, h)
         return jax.vmap(one)(local_frames)
@@ -206,5 +262,5 @@ def roundtrip_quantize32_batch(frames: jax.Array, lut, mesh: Mesh, *,
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(frame_axis, None, None), P()),
-        out_specs=P(frame_axis, None, None))
+        out_specs=P(frame_axis, None, None), check_vma=False)
     return fn(frames, lut)
