@@ -728,6 +728,170 @@ def _encq_pair_panels(view: jax.Array, scales: jax.Array, *, rounding: str,
       jnp.asarray(_scalar_from_pair_pi()).astype(jnp.bfloat16))
 
 
+# -- fused enc-quant decode (inverse of the pair pipeline) -----------------
+
+def _decq_pair_kernel(rec_ref, b_ref, a_ref, qi_ref, pi_ref, out_ref, *,
+                      groups, scalar_pi: bool, dtype):
+    bmat = b_ref[...]
+    amat = a_ref[...]
+    qi_big = qi_ref[...]
+    pi_t = pi_ref[...] if scalar_pi else None
+
+    for base, _ in groups:
+        s_list = []
+        for cp in range(4):
+            bands = []
+            for cl in range(4):
+                c = base + cl
+                p0 = rec_ref[:, pl.ds(c * 1024 + (2 * cp) * 128, 128)]
+                p1 = rec_ref[:, pl.ds(c * 1024 + (2 * cp + 1) * 128, 128)]
+                if scalar_pi:
+                    # scalar records -> pair cell order (inverse Π = Πᵀ)
+                    both = jnp.concatenate([p0, p1], axis=0) \
+                        .astype(jnp.int32).astype(jnp.bfloat16)
+                    inv = jax.lax.dot_general(
+                        both, pi_t, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) \
+                        .astype(jnp.int32).astype(jnp.uint8)
+                    p0, p1 = inv[:16, :], inv[16:, :]
+                bands.append(jnp.concatenate([p0[:, :64], p1[:, :64]],
+                                             axis=1))   # (c, half=0)
+                bands.append(jnp.concatenate([p0[:, 64:], p1[:, 64:]],
+                                             axis=1))   # (c, half=1)
+            s_list.append(jnp.concatenate(bands, axis=0).T)  # u8 transpose
+        u8t = jnp.concatenate(s_list, axis=0)            # (512, 128)
+        t = pltpu.bitcast(u8t, jnp.int32)                # (128, 128) words
+        pp = t.T                                         # i32 transpose
+        for cl in range(4):
+            c = base + cl
+            zq = pltpu.bitcast(pp[cl * 32:(cl + 1) * 32, :], jnp.uint8)
+            z = ((zq.astype(jnp.int32).astype(jnp.float32) - 127.0)
+                 * qi_big).astype(dtype)
+            y = jax.lax.dot_general(z, amat, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) \
+                .astype(dtype)
+            x = jax.lax.dot_general(bmat, y, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            px = jnp.clip(jnp.rint(x * jnp.float32(255.0)), 0.0, 255.0)
+            out_ref[:, pl.ds(c * CHUNK, CHUNK)] = \
+                px.astype(jnp.int32).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("scalar_pi", "interpret",
+                                             "precision"))
+def _decq_pair_panels(records: jax.Array, inv_scales: jax.Array, *,
+                      scalar_pi: bool = False, interpret: bool = False,
+                      precision: str = "bf16") -> jax.Array:
+    """(S, 8W) u8 pair/scalar strip records -> (H2, W) u8 view, fully
+    in-kernel (the exact inverse of _encq_pair_panels).
+
+    The overlapping group decodes the overlapped chunks twice into the
+    same pixels — idempotent, so no store masking is needed."""
+    s, w8 = records.shape
+    w = w8 // 8
+    h2 = s * 8
+    assert h2 % PANEL == 0 and w % CHUNK == 0 and w >= 4 * CHUNK
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    kernel = functools.partial(_decq_pair_kernel,
+                               groups=_pair_groups(w // CHUNK),
+                               scalar_pi=scalar_pi, dtype=dtype)
+    grid_spec = pl.GridSpec(
+        grid=(h2 // PANEL,),
+        in_specs=[
+            pl.BlockSpec((16, 8 * w), lambda p: (p, 0),
+                         memory_space=pltpu.VMEM)] + [
+            pl.BlockSpec((128, 128), lambda p: (0, 0),
+                         memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec((PANEL, w), lambda p: (p, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((h2, w), jnp.uint8),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * 128 * 128 * w * (h2 // PANEL),
+            bytes_accessed=2 * h2 * w, transcendentals=0),
+        interpret=interpret,
+    )(records, jnp.asarray(_pair_row_basis_np()).astype(dtype),
+      jnp.asarray(_pair_col_basis_np()).astype(dtype),
+      _pair_q_tile(inv_scales),
+      jnp.asarray(_scalar_from_pair_pi()).astype(jnp.bfloat16))
+
+
+# -- fused stereo decode (inverse of the plane-patch encode) ---------------
+
+def _dec_stereo_kernel(pl_ref, pr_ref, b_ref, a_ref, qi_ref,
+                       ol_ref, or_ref, *, groups, dtype):
+    bmat = b_ref[...]
+    amat = a_ref[...]
+    qi_big = qi_ref[...]
+
+    for in_ref, out_ref in ((pl_ref, ol_ref), (pr_ref, or_ref)):
+        for base, size in groups:
+            pieces = [in_ref[pl.ds((u * 8 + v) * 16, 16),
+                             pl.ds(base * 16, 16 * size)]
+                      for u in range(8) for v in range(8)]
+            for i in range(size):
+                c = base + i
+                rows = []
+                for u in range(8):
+                    rows.append(jnp.concatenate(
+                        [pieces[u * 8 + v][:, i * 16:(i + 1) * 16]
+                         for v in range(8)], axis=1))
+                zq = jnp.concatenate(rows, axis=0)       # (128, 128)
+                z = ((zq.astype(jnp.int32).astype(jnp.float32) - 127.0)
+                     * qi_big).astype(dtype)
+                y = jax.lax.dot_general(z, amat, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32) \
+                    .astype(dtype)
+                x = jax.lax.dot_general(bmat, y, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                px = jnp.clip(jnp.rint(x * jnp.float32(255.0)), 0.0, 255.0)
+                out_ref[:, pl.ds(c * CHUNK, CHUNK)] = \
+                    px.astype(jnp.int32).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
+def _dec_stereo_panels(planar: jax.Array, inv_scales: jax.Array, *,
+                       interpret: bool = False,
+                       precision: str = "bf16") -> jax.Array:
+    """(64, S, 2, BW) u8 planar tensor -> (H, W) u8 dual-view image."""
+    _, s, _, bw = planar.shape
+    h2, w = s * 8, bw * 8
+    assert h2 % PANEL == 0 and w % CHUNK == 0
+    n_pg = h2 // PANEL
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    # inverse of the encode epilogue: plane-major -> per-view panel-major
+    lr = planar.reshape(64, n_pg, 16, 2, bw).transpose(3, 1, 0, 2, 4)
+    pv = lr.reshape(2, n_pg * 1024, bw)
+    kernel = functools.partial(_dec_stereo_kernel,
+                               groups=_stereo_groups(w // CHUNK), dtype=dtype)
+    view_spec = pl.BlockSpec((1024, bw), lambda pg: (pg, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((PANEL, w), lambda pg: (pg, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pl.GridSpec(
+        grid=(n_pg,),
+        in_specs=[view_spec, view_spec] + [
+            pl.BlockSpec((128, 128), lambda pg: (0, 0),
+                         memory_space=pltpu.VMEM)] * 3,
+        out_specs=[out_spec, out_spec],
+    )
+    out_l, out_r = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((h2, w), jnp.uint8)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * 128 * 128 * w * 2 * n_pg,
+            bytes_accessed=4 * h2 * w, transcendentals=0),
+        interpret=interpret,
+    )(pv[0], pv[1], jnp.asarray(_row_basis_np()).astype(dtype),
+      jnp.asarray(_stereo_col_basis_np()).astype(dtype),
+      _stereo_q_tile(inv_scales))
+    return jnp.concatenate([out_l, out_r], axis=0)
+
+
 # -- fused stereo coefficient-planar encode --------------------------------
 #
 # The stereo layout (64 planes, per strip BW left-view then BW right-view
@@ -887,10 +1051,16 @@ def encode_quantize(img, lut, start_y=0, end_y=1 << 30, rounding="rne",
 
 def decode_quantize(data, lut, size_x, size_y, layout="scalar",
                     interpret=False, precision="bf16"):
-    """Hybrid fast path for the enc-quant inverse."""
-    from . import panel as _panel
+    """Fast path for the enc-quant inverse: fully in-kernel for W >= 512
+    (the exact inverse of the fused encode pipeline)."""
     h2 = size_y // 2
     d = jnp.asarray(data).reshape(-1)
+    if size_x >= 4 * CHUNK:
+        records = d.reshape(h2 // 8, 8 * size_x)
+        return _decq_pair_panels(records, dequant_scales(lut),
+                                 scalar_pi=(layout == "scalar"),
+                                 interpret=interpret, precision=precision)
+    from . import panel as _panel
     tiles = (_panel.block_contiguous_to_tiles(d, h2, size_x)
              if layout == "scalar" else _panel.pair_to_tiles(d, h2, size_x))
     return _detile_panels(tiles, dequant_scales(lut), normalize=True,
@@ -917,14 +1087,10 @@ def encode_quantize_stereo(img, lut, start_y=0, end_y=1 << 30,
 
 def decode_quantize_stereo(data, lut, size_x, size_y, interpret=False,
                            precision="bf16"):
-    """Hybrid fast path for the stereo inverse."""
-    from . import panel as _panel
+    """Fast path for the stereo inverse: fully in-kernel (the exact
+    inverse of the fused plane-patch encode)."""
     h2 = size_y // 2
     d = jnp.asarray(data).reshape(-1)
-    tiles = _panel.planar_to_tiles(d, h2, size_x)
-    views = jax.vmap(
-        lambda t: _detile_panels(t, dequant_scales(lut), normalize=True,
-                                 orientation="fy", interpret=interpret,
-                                 precision=precision)
-    )(tiles)
-    return views.reshape(size_y, size_x)
+    planar = d.reshape(64, h2 // 8, 2, size_x // 8)
+    return _dec_stereo_panels(planar, dequant_scales(lut),
+                              interpret=interpret, precision=precision)

@@ -183,6 +183,38 @@ class TestFusedPairLayout:
                                              rounding="rne", layout="pair",
                                              legacy_range=False))
 
+    @pytest.mark.parametrize("layout", ["pair", "scalar"])
+    def test_pair_fused_decode(self, wide, layout):
+        """W >= 512 routes decode_quantize through _decq_pair_panels (the
+        fully in-kernel inverse of the fused pair encode)."""
+        lut = default_quant_lut(50)
+        enc = G.encode_quantize_golden(wide, lut, rounding="rne",
+                                       layout=layout, legacy_range=False)
+        _agree(PK.decode_quantize(enc, lut, 512, 256, layout=layout,
+                                  interpret=True, precision="f32"),
+               G.decode_quantize_golden(enc, lut, 512, 256, layout=layout))
+
+    def test_pair_fused_decode_roundtrip_psnr(self, wide):
+        """Fused encode -> fused decode round-trip preserves image PSNR
+        vs the golden round-trip."""
+        lut = default_quant_lut(50)
+        enc = PK.encode_quantize(jnp.asarray(wide), lut, layout="pair",
+                                 interpret=True, precision="f32")
+        dec = np.asarray(PK.decode_quantize(np.asarray(enc), lut, 512, 256,
+                                            layout="pair", interpret=True,
+                                            precision="f32"))
+        ref = wide[:128].astype(float)
+
+        def psnr(x):
+            mse = ((ref - x.astype(float)) ** 2).mean()
+            return 10 * np.log10(255 ** 2 / mse)
+
+        gold = np.asarray(G.decode_quantize_golden(
+            G.encode_quantize_golden(wide, lut, rounding="rne",
+                                     layout="pair", legacy_range=False),
+            lut, 512, 256, layout="pair"))
+        assert abs(psnr(dec) - psnr(gold)) < 0.3
+
     def test_pair_fused_nondivisible_group(self):
         """W = 768 -> 6 chunks -> groups (0,), (2, overlap 2): the final
         overlapping group must reproduce chunks 4-5 exactly."""
