@@ -730,37 +730,53 @@ def _encq_pair_panels(view: jax.Array, scales: jax.Array, *, rounding: str,
 
 # -- fused enc-quant decode (inverse of the pair pipeline) -----------------
 
-def _decq_pair_kernel(rec_ref, b_ref, a_ref, qi_ref, pi_ref, out_ref, *,
-                      groups, scalar_pi: bool, dtype):
+def _decq_pair_kernel(rec_ref, b_ref, a_ref, qi_ref, pi_ref, out_ref,
+                      s128_ref, u8t_ref, pi_scr, *, groups, scalar_pi: bool,
+                      dtype):
+    """Assembly is done with VMEM scratch STORES, not jnp.concatenate
+    trees: Mosaic lowers nested concats as repeated whole-tile copies
+    (~7x slower than the equivalent sliced stores, measured)."""
     bmat = b_ref[...]
     amat = a_ref[...]
     qi_big = qi_ref[...]
     pi_t = pi_ref[...] if scalar_pi else None
 
     for base, _ in groups:
-        s_list = []
         for cp in range(4):
-            bands = []
-            for cl in range(4):
-                c = base + cl
-                p0 = rec_ref[:, pl.ds(c * 1024 + (2 * cp) * 128, 128)]
-                p1 = rec_ref[:, pl.ds(c * 1024 + (2 * cp + 1) * 128, 128)]
-                if scalar_pi:
-                    # scalar records -> pair cell order (inverse Π = Πᵀ)
-                    both = jnp.concatenate([p0, p1], axis=0) \
-                        .astype(jnp.int32).astype(jnp.bfloat16)
-                    inv = jax.lax.dot_general(
-                        both, pi_t, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32) \
-                        .astype(jnp.int32).astype(jnp.uint8)
-                    p0, p1 = inv[:16, :], inv[16:, :]
-                bands.append(jnp.concatenate([p0[:, :64], p1[:, :64]],
-                                             axis=1))   # (c, half=0)
-                bands.append(jnp.concatenate([p0[:, 64:], p1[:, 64:]],
-                                             axis=1))   # (c, half=1)
-            s_list.append(jnp.concatenate(bands, axis=0).T)  # u8 transpose
-        u8t = jnp.concatenate(s_list, axis=0)            # (512, 128)
-        t = pltpu.bitcast(u8t, jnp.int32)                # (128, 128) words
+            if scalar_pi:
+                # scalar records -> pair cell order (inverse Π = Πᵀ),
+                # batched: one full (128,128) MXU tile per column-panel
+                # instead of 16 quarter-height matmuls per group
+                for cl in range(4):
+                    c = base + cl
+                    pi_scr[pl.ds(cl * 32, 16), :] = \
+                        rec_ref[:, pl.ds(c * 1024 + (2 * cp) * 128, 128)]
+                    pi_scr[pl.ds(cl * 32 + 16, 16), :] = \
+                        rec_ref[:, pl.ds(c * 1024 + (2 * cp + 1) * 128, 128)]
+                stacked = pi_scr[...].astype(jnp.int32).astype(jnp.bfloat16)
+                perm = jax.lax.dot_general(
+                    stacked, pi_t, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) \
+                    .astype(jnp.int32).astype(jnp.uint8)
+                cells = [(perm[cl * 32: cl * 32 + 16, :],
+                          perm[cl * 32 + 16: cl * 32 + 32, :])
+                         for cl in range(4)]
+            else:
+                cells = [
+                    (rec_ref[:, pl.ds((base + cl) * 1024 + (2 * cp) * 128,
+                                      128)],
+                     rec_ref[:, pl.ds((base + cl) * 1024 + (2 * cp + 1) * 128,
+                                      128)])
+                    for cl in range(4)]
+            for cl, (p0, p1) in enumerate(cells):
+                # band rows (c, half): [p0 half | p1 half]
+                k = 2 * cl
+                s128_ref[pl.ds(k * 16, 16), pl.ds(0, 64)] = p0[:, :64]
+                s128_ref[pl.ds(k * 16, 16), pl.ds(64, 64)] = p1[:, :64]
+                s128_ref[pl.ds((k + 1) * 16, 16), pl.ds(0, 64)] = p0[:, 64:]
+                s128_ref[pl.ds((k + 1) * 16, 16), pl.ds(64, 64)] = p1[:, 64:]
+            u8t_ref[pl.ds(cp * 128, 128), :] = s128_ref[...].T
+        t = pltpu.bitcast(u8t_ref[...], jnp.int32)       # (128, 128) words
         pp = t.T                                         # i32 transpose
         for cl in range(4):
             c = base + cl
@@ -795,15 +811,16 @@ def _decq_pair_panels(records: jax.Array, inv_scales: jax.Array, *,
     kernel = functools.partial(_decq_pair_kernel,
                                groups=_pair_groups(w // CHUNK),
                                scalar_pi=scalar_pi, dtype=dtype)
-    grid_spec = pl.GridSpec(
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
         grid=(h2 // PANEL,),
         in_specs=[
-            pl.BlockSpec((16, 8 * w), lambda p: (p, 0),
-                         memory_space=pltpu.VMEM)] + [
-            pl.BlockSpec((128, 128), lambda p: (0, 0),
-                         memory_space=pltpu.VMEM)] * 4,
-        out_specs=pl.BlockSpec((PANEL, w), lambda p: (p, 0),
-                               memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 8 * w), lambda p: (p, 0))] + [
+            pl.BlockSpec((128, 128), lambda p: (0, 0))] * 4,
+        out_specs=pl.BlockSpec((PANEL, w), lambda p: (p, 0)),
+        scratch_shapes=[pltpu.VMEM((128, 128), jnp.uint8),
+                        pltpu.VMEM((512, 128), jnp.uint8),
+                        pltpu.VMEM((128, 128), jnp.uint8)],
     )
     return pl.pallas_call(
         kernel,
@@ -822,24 +839,37 @@ def _decq_pair_panels(records: jax.Array, inv_scales: jax.Array, *,
 # -- fused stereo decode (inverse of the plane-patch encode) ---------------
 
 def _dec_stereo_kernel(pl_ref, pr_ref, b_ref, a_ref, qi_ref,
-                       ol_ref, or_ref, *, groups, dtype):
+                       ol_ref, or_ref, a_scr, b_scr, *, groups, dtype):
+    """Z-tile reassembly via a two-stage transpose network over VMEM
+    scratch, all full-width (16,128)-class stores — the inverse of the
+    encode's (16,16)-patch scatter, but re-staged so no sub-128-lane
+    slicing (and no jnp.concatenate, which lowers ~7x slower) is needed:
+
+      stage 1:  a_scr[u*16+br, v*128+(i,n)] = plane(u*8+v) patch rows
+      stage 2:  per v: transpose a_scr v-block -> rows (i,n), cols (u,br);
+                b_scr[v*16+n, i*128+(u,br)] = its chunk-i row slice
+      stage 3:  per chunk i: b_scr i-block transposed = the (u,br)x(v,n)
+                Z tile, exactly the layout the existing bases expect."""
     bmat = b_ref[...]
     amat = a_ref[...]
     qi_big = qi_ref[...]
 
     for in_ref, out_ref in ((pl_ref, ol_ref), (pr_ref, or_ref)):
         for base, size in groups:
-            pieces = [in_ref[pl.ds((u * 8 + v) * 16, 16),
-                             pl.ds(base * 16, 16 * size)]
-                      for u in range(8) for v in range(8)]
+            w16 = 16 * size
+            for u in range(8):
+                for v in range(8):
+                    a_scr[pl.ds(u * 16, 16), pl.ds(v * 128, w16)] = \
+                        in_ref[pl.ds((u * 8 + v) * 16, 16),
+                               pl.ds(base * 16, w16)]
+            for v in range(8):
+                t = a_scr[:, pl.ds(v * 128, 128)].T   # rows (i,n), (u,br)
+                for i in range(size):
+                    b_scr[pl.ds(v * 16, 16), pl.ds(i * 128, 128)] = \
+                        t[i * 16:(i + 1) * 16, :]
             for i in range(size):
                 c = base + i
-                rows = []
-                for u in range(8):
-                    rows.append(jnp.concatenate(
-                        [pieces[u * 8 + v][:, i * 16:(i + 1) * 16]
-                         for v in range(8)], axis=1))
-                zq = jnp.concatenate(rows, axis=0)       # (128, 128)
+                zq = b_scr[:, pl.ds(i * 128, 128)].T     # (u,br) x (v,n)
                 z = ((zq.astype(jnp.int32).astype(jnp.float32) - 127.0)
                      * qi_big).astype(dtype)
                 y = jax.lax.dot_general(z, amat, (((1,), (1,)), ((), ())),
@@ -867,16 +897,16 @@ def _dec_stereo_panels(planar: jax.Array, inv_scales: jax.Array, *,
     pv = lr.reshape(2, n_pg * 1024, bw)
     kernel = functools.partial(_dec_stereo_kernel,
                                groups=_stereo_groups(w // CHUNK), dtype=dtype)
-    view_spec = pl.BlockSpec((1024, bw), lambda pg: (pg, 0),
-                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((PANEL, w), lambda pg: (pg, 0),
-                            memory_space=pltpu.VMEM)
-    grid_spec = pl.GridSpec(
+    view_spec = pl.BlockSpec((1024, bw), lambda pg: (pg, 0))
+    out_spec = pl.BlockSpec((PANEL, w), lambda pg: (pg, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
         grid=(n_pg,),
         in_specs=[view_spec, view_spec] + [
-            pl.BlockSpec((128, 128), lambda pg: (0, 0),
-                         memory_space=pltpu.VMEM)] * 3,
+            pl.BlockSpec((128, 128), lambda pg: (0, 0))] * 3,
         out_specs=[out_spec, out_spec],
+        scratch_shapes=[pltpu.VMEM((128, 1024), jnp.uint8),
+                        pltpu.VMEM((128, 1024), jnp.uint8)],
     )
     out_l, out_r = pl.pallas_call(
         kernel,
