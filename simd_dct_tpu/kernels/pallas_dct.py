@@ -838,38 +838,44 @@ def _decq_pair_panels(records: jax.Array, inv_scales: jax.Array, *,
 
 # -- fused stereo decode (inverse of the plane-patch encode) ---------------
 
-def _dec_stereo_kernel(pl_ref, pr_ref, b_ref, a_ref, qi_ref,
-                       ol_ref, or_ref, a_scr, b_scr, *, groups, dtype):
-    """Z-tile reassembly via a two-stage transpose network over VMEM
-    scratch, all full-width (16,128)-class stores — the inverse of the
-    encode's (16,16)-patch scatter, but re-staged so no sub-128-lane
-    slicing (and no jnp.concatenate, which lowers ~7x slower) is needed:
+def _dec_stereo_kernel(in_ref, b_ref, a_ref, qi_ref, out_ref,
+                       a_scr, b_scr, *, groups, dtype):
+    """Z-tile reassembly straight from the planar byte stream — NO XLA
+    prologue transpose (the previous version's (p,m)-interleave prologue
+    alone cost ~100 us / 4K frame, ~40% of the total).  The planar
+    tensor arrives as one (64, 16, 2*BW) block per strip panel (a pure
+    reshape of the reference stream), so the per-plane patch rows are
+    2-D slices of the 3-D ref; view 1's lane offset BW is not
+    128-aligned, which Mosaic handles with masked loads (measured ~10%
+    over the aligned-load kernel-only wall, far cheaper than the
+    prologue it replaces):
 
-      stage 1:  a_scr[u*16+br, v*128+(i,n)] = plane(u*8+v) patch rows
-      stage 2:  per v: transpose a_scr v-block -> rows (i,n), cols (u,br);
-                b_scr[v*16+n, i*128+(u,br)] = its chunk-i row slice
-      stage 3:  per chunk i: b_scr i-block transposed = the (u,br)x(v,n)
-                Z tile, exactly the layout the existing bases expect."""
+      stage 1:  a_scr[u*16+m, v*128+(i,n)] = plane(u*8+v) patch rows
+      stage 2:  per v: transpose a_scr v-block -> rows (i,n), (u,m);
+                b_scr[v*16+n, i*128+(u,m)] = its chunk-i row slice
+      stage 3:  per chunk i: b_scr i-block transposed = the (u,m)x(v,n)
+                Z tile, exactly the layout the bases expect."""
     bmat = b_ref[...]
     amat = a_ref[...]
     qi_big = qi_ref[...]
+    half = in_ref.shape[2] // 2
 
-    for in_ref, out_ref in ((pl_ref, ol_ref), (pr_ref, or_ref)):
+    for view in range(2):
         for base, size in groups:
             w16 = 16 * size
             for u in range(8):
                 for v in range(8):
                     a_scr[pl.ds(u * 16, 16), pl.ds(v * 128, w16)] = \
-                        in_ref[pl.ds((u * 8 + v) * 16, 16),
-                               pl.ds(base * 16, w16)]
+                        in_ref[u * 8 + v, :,
+                               pl.ds(view * half + base * 16, w16)]
             for v in range(8):
-                t = a_scr[:, pl.ds(v * 128, 128)].T   # rows (i,n), (u,br)
+                t = a_scr[:, pl.ds(v * 128, 128)].T   # rows (i,n), (u,m)
                 for i in range(size):
                     b_scr[pl.ds(v * 16, 16), pl.ds(i * 128, 128)] = \
                         t[i * 16:(i + 1) * 16, :]
             for i in range(size):
                 c = base + i
-                zq = b_scr[:, pl.ds(i * 128, 128)].T     # (u,br) x (v,n)
+                zq = b_scr[:, pl.ds(i * 128, 128)].T     # (u,m) x (v,n)
                 z = ((zq.astype(jnp.int32).astype(jnp.float32) - 127.0)
                      * qi_big).astype(dtype)
                 y = jax.lax.dot_general(z, amat, (((1,), (1,)), ((), ())),
@@ -878,7 +884,7 @@ def _dec_stereo_kernel(pl_ref, pr_ref, b_ref, a_ref, qi_ref,
                 x = jax.lax.dot_general(bmat, y, (((0,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
                 px = jnp.clip(jnp.rint(x * jnp.float32(255.0)), 0.0, 255.0)
-                out_ref[:, pl.ds(c * CHUNK, CHUNK)] = \
+                out_ref[view, :, pl.ds(c * CHUNK, CHUNK)] = \
                     px.astype(jnp.int32).astype(jnp.uint8)
 
 
@@ -892,34 +898,31 @@ def _dec_stereo_panels(planar: jax.Array, inv_scales: jax.Array, *,
     assert h2 % PANEL == 0 and w % CHUNK == 0
     n_pg = h2 // PANEL
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
-    # inverse of the encode epilogue: plane-major -> per-view panel-major
-    lr = planar.reshape(64, n_pg, 16, 2, bw).transpose(3, 1, 0, 2, 4)
-    pv = lr.reshape(2, n_pg * 1024, bw)
+    # pure reshape (no data movement): one (64, 16, 2*BW) block per panel
+    flat = planar.reshape(64, s, 2 * bw)
     kernel = functools.partial(_dec_stereo_kernel,
                                groups=_stereo_groups(w // CHUNK), dtype=dtype)
-    view_spec = pl.BlockSpec((1024, bw), lambda pg: (pg, 0))
-    out_spec = pl.BlockSpec((PANEL, w), lambda pg: (pg, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_pg,),
-        in_specs=[view_spec, view_spec] + [
+        in_specs=[pl.BlockSpec((64, 16, 2 * bw), lambda pg: (0, pg, 0))] + [
             pl.BlockSpec((128, 128), lambda pg: (0, 0))] * 3,
-        out_specs=[out_spec, out_spec],
+        out_specs=pl.BlockSpec((2, PANEL, w), lambda pg: (0, pg, 0)),
         scratch_shapes=[pltpu.VMEM((128, 1024), jnp.uint8),
                         pltpu.VMEM((128, 1024), jnp.uint8)],
     )
-    out_l, out_r = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((h2, w), jnp.uint8)] * 2,
+        out_shape=jax.ShapeDtypeStruct((2, h2, w), jnp.uint8),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * 128 * 128 * w * 2 * n_pg,
             bytes_accessed=4 * h2 * w, transcendentals=0),
         interpret=interpret,
-    )(pv[0], pv[1], jnp.asarray(_row_basis_np()).astype(dtype),
+    )(flat, jnp.asarray(_row_basis_np()).astype(dtype),
       jnp.asarray(_stereo_col_basis_np()).astype(dtype),
       _stereo_q_tile(inv_scales))
-    return jnp.concatenate([out_l, out_r], axis=0)
+    return out.reshape(2 * h2, w)
 
 
 # -- fused stereo coefficient-planar encode --------------------------------
@@ -929,10 +932,10 @@ def _dec_stereo_panels(planar: jax.Array, inv_scales: jax.Array, *,
 # orders chunk columns (v, n): plane (u,v)'s bytes for a chunk are then
 # the contiguous (16-strip, 16-block) patch Z[u-band, v*16:v*16+16], and
 # eight chunks' patches lane-concat into one aligned (16, 128) store.
-# The output is declared (64, S, 2, BW) so plane/strip/view indexing is
-# pure BlockSpec arithmetic; both views of a strip group revisit the same
-# output block on consecutive grid steps.  Measured ~72 us / 4K frame —
-# ~7x the hybrid XLA permute path.
+# The outputs are per-view (64, S, BW) 3-D blocks (plane-major via the
+# BlockSpec, every store 128-aligned); one jnp.stack interleaves the
+# views outside.  Measured ~150-200 us / 4K frame honest-materialized —
+# ~3x the hybrid XLA permute path.
 
 @functools.lru_cache(maxsize=None)
 def _stereo_col_basis_np() -> np.ndarray:
@@ -945,10 +948,14 @@ def _stereo_col_basis_np() -> np.ndarray:
     return a
 
 
-def _stereo_q_tile(scales64) -> jax.Array:
+def _stereo_q_tile(scales64, transpose: bool = False) -> jax.Array:
     """(128,128) quant multiplier for the stereo Z tile: rows (u,m),
-    cols (v,n); fy-major LUT index p = u*8 + v."""
+    cols (v,n); fy-major LUT index p = u*8 + v.  With ``transpose`` the
+    tile matches the decode kernel's transposed Z' orientation (rows
+    (v,m), cols (u,n))."""
     s = jnp.asarray(scales64, jnp.float32).reshape(8, 8)  # s[u? ...] p=u*8+v
+    if transpose:
+        s = s.T
     rows = jnp.repeat(s, 16, axis=0)        # (128, 8): u-major rows
     return jnp.repeat(rows, 16, axis=1)     # (128, 128): v-major col groups
 
@@ -986,8 +993,8 @@ def _enc_stereo_kernel(xl_ref, xr_ref, b_ref, a_ref, q_ref,
                     piece = jnp.concatenate(
                         [t[u * 16:(u + 1) * 16, v * 16: v * 16 + 16]
                          for t in tiles], axis=1)      # (16, 16*size)
-                    out_ref[pl.ds((u * 8 + v) * 16, 16),
-                            pl.ds(base * 16, 16 * size)] = piece
+                    out_ref[u * 8 + v, :, pl.ds(base * 16, 16 * size)] = \
+                        piece
 
 
 @functools.partial(jax.jit, static_argnames=("rounding", "interpret",
@@ -998,14 +1005,16 @@ def _enc_stereo_panels(img: jax.Array, scales: jax.Array, *, rounding: str,
     """(H, W) u8 dual-view image -> (64, S, 2, BW) u8 planar tensor
     (flattens row-major to the reference's planar byte stream).
 
-    The kernel writes per-view panel-major 2-D blocks ((plane, strip)
-    rows x block lanes — Mosaic supports neither >2-D u8 ref stores nor
-    dynamically-offset lane stores); both views of a panel pair are
-    processed in one grid step (the image is passed twice with left/right
-    index maps).  The plane-major stream then needs one coarse
-    panel<->plane transpose whose moved rows are BW contiguous bytes —
-    memcpy-class, unlike the byte-granular permutes this kernel
-    replaces."""
+    The kernel writes per-view 3-D (64, 16, BW) blocks whose leading
+    index is the PLANE — the plane/panel-major reorder the previous
+    2-D outputs left to an XLA transpose happens for free in the
+    BlockSpec, with every store 128-aligned.  The only epilogue left is
+    the view interleave (one jnp.stack moving contiguous BW-byte runs).
+    Writing the (64, S, 2*BW) stream directly from the kernel was
+    measured SLOWER (view 1's BW lane offset is not 128-aligned; the
+    masked stores cost ~2x the whole stack).  NB a fused-sum checksum
+    lets XLA delete the epilogue entirely — honest walls must
+    materialize the planar tensor (two-dispatch)."""
     h, w = img.shape
     h2 = h // 2
     assert h2 % PANEL == 0 and w % CHUNK == 0
@@ -1015,8 +1024,6 @@ def _enc_stereo_panels(img: jax.Array, scales: jax.Array, *, rounding: str,
     kernel = functools.partial(_enc_stereo_kernel, rounding=rounding,
                                groups=_stereo_groups(w // CHUNK),
                                dtype=dtype)
-    view_spec = pl.BlockSpec((1024, bw), lambda pg: (pg, 0),
-                             memory_space=pltpu.VMEM)
     grid_spec = pl.GridSpec(
         grid=(n_pg,),
         in_specs=[
@@ -1026,12 +1033,13 @@ def _enc_stereo_panels(img: jax.Array, scales: jax.Array, *, rounding: str,
                          memory_space=pltpu.VMEM)] + [
             pl.BlockSpec((128, 128), lambda pg: (0, 0),
                          memory_space=pltpu.VMEM)] * 3,
-        out_specs=[view_spec, view_spec],
+        out_specs=[pl.BlockSpec((64, 16, bw), lambda pg: (0, pg, 0),
+                                memory_space=pltpu.VMEM)] * 2,
     )
     out_l, out_r = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n_pg * 1024, bw), jnp.uint8)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((64, h2 // 8, bw), jnp.uint8)] * 2,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * 128 * 128 * w * 2 * n_pg,
             bytes_accessed=2 * h * w, transcendentals=0),
@@ -1039,8 +1047,7 @@ def _enc_stereo_panels(img: jax.Array, scales: jax.Array, *, rounding: str,
     )(img, img, jnp.asarray(_row_basis_np()).astype(dtype),
       jnp.asarray(_stereo_col_basis_np()).astype(dtype),
       _stereo_q_tile(scales))
-    lr = jnp.stack([out_l, out_r]).reshape(2, n_pg, 64, 16, bw)
-    return lr.transpose(2, 1, 3, 0, 4).reshape(64, h2 // 8, 2, bw)
+    return jnp.stack([out_l, out_r], axis=2)
 
 
 # -- hybrid modes: pallas tile compute + XLA byte-record permute -----------
