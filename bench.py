@@ -58,21 +58,25 @@ def main():
     from simd_dct_tpu.core.quantize import default_quant_lut, quant_scales
 
     H2, W = 2048, 3840           # 4K-class view (H = 4096 dual-view)
-    rng = np.random.default_rng(0)
     lut = jnp.asarray(default_quant_lut(100) * 255.0)
     logical_bytes = H2 * W * 2
 
-    def batches(sizes):
+    def dev_batches(shape):
+        """Device-side random u8 batches — no host->device transfer
+        (shipping 1 GB of host batches through the tunnel costs minutes;
+        generation on-chip is free)."""
         out = []
-        for bsz in sizes:
-            out.append((bsz, jnp.asarray(
-                rng.integers(0, 256, (bsz, H2, W), dtype=np.uint8))))
-        jax.block_until_ready([b for _, b in out])
+        for b in (8, 72):
+            key = jax.random.PRNGKey(b)
+            out.append((b, jax.random.randint(
+                key, (b,) + shape, 0, 256, dtype=jnp.int32)
+                .astype(jnp.uint8)))
+        jax.block_until_ready([x for _, x in out])
         return out
 
     # the constant per-dispatch cost (~25 ms through the tunnel) cancels
     # in the slope
-    bs_enc = batches((8, 72))
+    bs_enc = dev_batches((H2, W))
     info = probe()
 
     def checksum(one):
@@ -123,6 +127,76 @@ def main():
         enc_s = _slope_ms(mk, bs_enc)
         tier = "xla"
 
+    # -- per-mode walls (indicative, fewer tries than the headline) -----
+    # pallas outputs are opaque to XLA so a fused-sum checksum is honest
+    # for them; the stereo encode ends in an XLA view-interleave, which a
+    # fused sum would DELETE — it gets a two-dispatch materializing wall.
+    mode_us = {}
+    bench_t0 = time.time()
+    if use_pallas:
+        import statistics as _st
+        from simd_dct_tpu.core.quantize import dequant_scales
+
+        def quick_slope(mk, batches, tries=2):
+            vals = [v for v in (_slope_ms(mk, batches, reps=6)
+                                for _ in range(tries)) if v > 0]
+            return _st.median(vals) if vals else float("nan")
+
+        inv = dequant_scales(lut)
+        lut_nq = jnp.asarray(default_quant_lut(100))
+        scales_nq = quant_scales(lut_nq)
+        inv_nq = dequant_scales(lut_nq)
+        try:
+            def csum(one):
+                return lambda: jax.jit(lambda xs: jnp.sum(
+                    jax.vmap(one)(xs).astype(jnp.int32)))
+
+            # stereo encode: materialize the planar tensor (two-dispatch)
+            f1 = jax.jit(jax.vmap(
+                lambda v: PK._enc_stereo_panels(v, scales_nq,
+                                                rounding="rne")))
+            f2 = jax.jit(lambda o: jnp.sum(o.astype(jnp.int32)))
+
+            mode_us["enc32"] = enc_s * 1e6
+            extras = [
+                ("enc_pair", None, csum(
+                    lambda v: PK._encq_pair_panels(v, scales_nq,
+                                                   rounding="rne"))),
+                ("enc_scalar", None, csum(
+                    lambda v: PK._encq_pair_panels(
+                        v, scales_nq, rounding="rne", scalar_pi=True))),
+                ("roundtrip32", None, csum(
+                    lambda v: PK._roundtrip_panels(v, lut,
+                                                   normalize=False))),
+                ("enc_stereo_materialized", (2 * H2, W),
+                 lambda: (lambda xb: f2(f1(xb)))),
+                ("dec32", (H2 // 8, 8 * W), csum(
+                    lambda r: PK._dec32_panels(r, inv, normalize=False))),
+                ("dec_pair", (H2 // 8, 8 * W), csum(
+                    lambda r: PK._decq_pair_panels(r, inv_nq))),
+                ("dec_scalar", (H2 // 8, 8 * W), csum(
+                    lambda r: PK._decq_pair_panels(r, inv_nq,
+                                                   scalar_pi=True))),
+                ("dec_stereo", (64, H2 // 8, 2, W // 8), csum(
+                    lambda p: PK._dec_stereo_panels(p, inv_nq))),
+            ]
+            cur_shape, cur_bs = None, bs_enc
+            for name, shape, mk in extras:
+                # soft deadline: the headline must reach the driver even
+                # when the tunnel is in a slow phase
+                if time.time() - bench_t0 > 300:
+                    mode_us["truncated_at"] = name
+                    break
+                if shape != cur_shape:
+                    del cur_bs
+                    cur_bs = dev_batches(shape) if shape else bs_enc
+                    cur_shape = shape
+                mode_us[name] = 1e6 * quick_slope(mk, cur_bs)
+            mode_us = {k: (round(v, 1) if isinstance(v, float) else v)
+                       for k, v in mode_us.items()}
+        except Exception as exc:      # per-mode extras must never kill
+            mode_us["error"] = f"{type(exc).__name__}: {exc}"  # the headline
+
     from simd_dct_tpu.utils.profiling import hbm_peak_gbps
     gbps = logical_bytes / enc_s / 1e9
     copy_gbps = None
@@ -143,6 +217,8 @@ def main():
         "copy_gbps": copy_gbps,
         "raw_fraction": round(raw_fraction, 4),
     }
+    if mode_us:
+        record["mode_us_4k"] = mode_us
     if raw_fraction > 1.02:
         record["measurement_flag"] = "encode_exceeds_copy_roofline"
     print(json.dumps(record))
