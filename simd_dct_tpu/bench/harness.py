@@ -23,24 +23,38 @@ import jax
 import jax.numpy as jnp
 
 
-def _slope_per_item(one_fn, make_batch, sizes=(8, 40), reps=6):
+def _slope_per_item(one_fn, make_batch, sizes=(8, 40), reps=6, tries=3):
     """Per-item seconds via the slope of two single-dispatch batched runs
-    (cancels the remote platform's ~25 ms per-dispatch overhead)."""
-    walls = {}
+    (cancels the remote platform's ~25 ms per-dispatch overhead).
+
+    Median of ``tries`` positive slope estimates — single slopes vary
+    +-25% through the tunnel and occasionally go negative."""
+    import statistics
+    batches = []
     for bsz in sizes:
         xb = make_batch(bsz)
         f = jax.jit(lambda xs: jnp.sum(jax.vmap(one_fn)(xs).astype(jnp.int32)))
         float(f(xb))
-        best = 1e9
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            # end the wall when the checksum scalar is ON THE HOST —
-            # block_until_ready is not a reliable barrier on remote relays
-            float(f(xb))
-            best = min(best, time.perf_counter() - t0)
-        walls[bsz] = best
-        del xb, f
-    return (walls[sizes[1]] - walls[sizes[0]]) / (sizes[1] - sizes[0])
+        batches.append((bsz, xb, f))
+
+    def one_slope():
+        walls = {}
+        for bsz, xb, f in batches:
+            best = 1e9
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                # end the wall when the checksum scalar is ON THE HOST —
+                # block_until_ready is not a reliable barrier on remote
+                # relays
+                float(f(xb))
+                best = min(best, time.perf_counter() - t0)
+            walls[bsz] = best
+        return (walls[sizes[1]] - walls[sizes[0]]) / (sizes[1] - sizes[0])
+
+    vals = [v for v in (one_slope() for _ in range(tries)) if v > 0]
+    if not vals:
+        return float("nan")
+    return statistics.median(vals)
 
 
 def _smooth(rng, h, w):
@@ -108,7 +122,14 @@ def config2_4k_rgb_roundtrip():
 
 
 def config3_quantized_psnr():
-    """Quantized 4K RGB with luma/chroma tables + zigzag; PSNR report."""
+    """Quantized 4K RGB with luma/chroma tables + zigzag; PSNR report.
+
+    On pallas-capable hardware the whole YCbCr round trip runs in ONE
+    fused kernel (kernels/color32: BT.601 mix + DCT + per-channel quant
+    + inverse, coefficients never leave VMEM) and the speed is reported
+    alongside the PSNR; the XLA tier composes the same math per channel
+    and additionally routes records through zigzag ordering."""
+    from ..dispatch import probe
     from ..kernels import xla_path as X
     from ..layout import (rgb_to_ycbcr, ycbcr_to_rgb, BASE_CHROMA_QUANT_TABLE,
                           to_zigzag, from_zigzag)
@@ -118,6 +139,23 @@ def config3_quantized_psnr():
     rgb = np.stack([_smooth(rng, h, w) for _ in range(3)], axis=-1)
     luma = jnp.asarray(default_quant_lut(100) * 255.0)
     chroma = jnp.asarray(BASE_CHROMA_QUANT_TABLE * 100 * 255.0)
+
+    if probe().supports_pallas:
+        from ..kernels import color32 as C
+        from ..layout import rgb_to_planar
+        one = lambda pl3: C._roundtrip_rgb_panels(pl3, luma, chroma)
+        planes = np.asarray(rgb_to_planar(jnp.asarray(rgb)))
+        out3 = np.asarray(jax.block_until_ready(
+            one(jnp.asarray(planes[:, : h // 2]))))
+        per = _slope_per_item(
+            one, lambda bsz: jnp.asarray(
+                rng.integers(0, 256, (bsz, 3, h // 2, w), np.uint8)))
+        gbps = 3 * (h // 2) * w * 2 / per / 1e9
+        return {"config": "4K RGB quantized (YCbCr luma/chroma) PSNR",
+                "psnr_db": round(_psnr(rgb[: h // 2].transpose(2, 0, 1),
+                                       out3), 2),
+                "gbps": round(gbps, 2),
+                "tier": "pallas_fused_color"}
 
     @jax.jit
     def rt(x):

@@ -1,0 +1,95 @@
+"""Fused YCbCr mode32 kernels (kernels/color32.py) vs the unfused
+composition (XLA YCbCr mix + per-channel mode32 tier).
+
+The fused path skips the u8 YCbCr intermediate, so agreement with a
+float-precision reference is to +-1 byte at rounding boundaries."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from simd_dct_tpu.kernels import color32 as C
+from simd_dct_tpu.kernels import xla_path as X
+from simd_dct_tpu.layout.color import (_RGB2YCC, _YCC2RGB,
+                                       BASE_CHROMA_QUANT_TABLE)
+from simd_dct_tpu.core.quantize import default_quant_lut
+
+H, W = 256, 256       # dual-view: top view (128, 256) is one panel
+
+
+@pytest.fixture(scope="module")
+def rgb():
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:H, 0:W]
+    base = (np.sin(xx / 19.0) * np.cos(yy / 13.0) * 0.5 + 0.5) * 200 + 20
+    planes = np.stack([
+        np.clip(base + rng.normal(0, 8, (H, W)), 0, 255) for _ in range(3)])
+    return planes.astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def luts():
+    return (jnp.asarray(default_quant_lut(100) * 255.0),
+            jnp.asarray(BASE_CHROMA_QUANT_TABLE * 100 * 255.0))
+
+
+def _ycc_f32(planes):
+    """Float YCbCr planes of the TOP view (no u8 intermediate)."""
+    x = planes[:, : H // 2, :].astype(np.float32)
+    ycc = np.einsum("ij,jhw->ihw", _RGB2YCC, x)
+    return ycc + np.array([0.0, 128.0, 128.0], np.float32)[:, None, None]
+
+
+def _agree(a, b, tol_frac=0.01, max_abs=2):
+    a = np.asarray(a).astype(np.int32)
+    b = np.asarray(b).astype(np.int32)
+    d = np.abs(a - b)
+    assert d.max() <= max_abs, d.max()
+    assert (d > 0).mean() <= tol_frac, (d > 0).mean()
+
+
+class TestFusedColorEncode:
+    def test_encode_matches_composition(self, rgb, luts):
+        luma, chroma = luts
+        rec = np.asarray(C.encode_quantize32_ycbcr(
+            jnp.asarray(rgb), luma, chroma, interpret=True,
+            precision="f32")).reshape(3, -1)
+        ycc = _ycc_f32(rgb)
+        for ch, lut in ((0, luma), (1, chroma), (2, chroma)):
+            # XLA tier on the rounded-u8 plane; fused kernel on the f32
+            # mix — identical up to the rounding-boundary contract
+            pln = np.clip(np.rint(ycc[ch]), 0, 255).astype(np.uint8)
+            dual = np.concatenate([pln, pln], axis=0)      # dual-view pad
+            ref = np.asarray(X.encode_quantize32(
+                jnp.asarray(dual), lut, 0, 1 << 30, "rne"))
+            _agree(rec[ch], ref, tol_frac=0.06, max_abs=3)
+
+    def test_decode_inverts_encode(self, rgb, luts):
+        luma, chroma = luts
+        rec = C.encode_quantize32_ycbcr(jnp.asarray(rgb), luma, chroma,
+                                        interpret=True, precision="f32")
+        out = np.asarray(C.decode_quantize32_ycbcr(
+            rec, luma, chroma, W, H, interpret=True, precision="f32"))
+        top = rgb[:, : H // 2, :].astype(np.float32)
+        mse = ((out.astype(np.float32) - top) ** 2).mean()
+        psnr = 10 * np.log10(255.0 ** 2 / mse)
+        assert psnr > 30.0, psnr
+
+    def test_roundtrip_matches_enc_dec(self, rgb, luts):
+        luma, chroma = luts
+        rec = C.encode_quantize32_ycbcr(jnp.asarray(rgb), luma, chroma,
+                                        interpret=True, precision="f32")
+        dec = C.decode_quantize32_ycbcr(rec, luma, chroma, W, H,
+                                        interpret=True, precision="f32")
+        rt = C.roundtrip_quantize32_ycbcr(jnp.asarray(rgb), luma, chroma,
+                                          interpret=True, precision="f32")
+        _agree(rt, dec, tol_frac=0.01, max_abs=1)
+
+    def test_bf16_close_to_f32(self, rgb, luts):
+        luma, chroma = luts
+        a = C.encode_quantize32_ycbcr(jnp.asarray(rgb), luma, chroma,
+                                      interpret=True, precision="f32")
+        b = C.encode_quantize32_ycbcr(jnp.asarray(rgb), luma, chroma,
+                                      interpret=True, precision="bf16")
+        _agree(a, b, tol_frac=0.05, max_abs=1)
