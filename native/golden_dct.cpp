@@ -285,6 +285,12 @@ void idct2d(float* b) {  // inverse of dct2d_fy_major orientation
   transpose8(b);
 }
 
+void idct2d_fx(float* b) {  // inverse of dct2d_fx_major orientation
+  for (int i = 0; i < 8; i++) idct8(b + i * 8);
+  transpose8(b);
+  for (int i = 0; i < 8; i++) idct8(b + i * 8);
+}
+
 uint8_t to_pixel(float v) {
   return (uint8_t)clampi((int32_t)nearbyintf(v), 0, 255);
 }
@@ -345,6 +351,42 @@ int golden_decode_quantize_stereo(const uint8_t* from, uint8_t* to,
             dst_base[(size_t)r * w + bx * 8 + c] =
                 to_pixel(buf[r * 8 + c] * 255.0f);
       }
+    }
+  }
+  return 0;
+}
+
+// decode enc-quant: block-contiguous (or SIMD pair-cell) records -> TOP
+// view pixels (fx-major inverse, normalized domain).  The overlapping
+// pair_as_written layout loses the clobbered bytes, so it has no
+// decodable inverse (not supported).
+int golden_decode_quantize(const uint8_t* from, uint8_t* to,
+                           const float* lut, size_t w, size_t h,
+                           int layout) {
+  if (!from || !to || !lut) return 1;
+  if ((w & 7) || (h & 7) || layout == kPairCellAsWritten) return 2;
+  fesetround(FE_TONEAREST);
+  float qi[64];
+  constexpr float vr = 0.95f;
+  for (int i = 0; i < 64; i++) qi[i] = (lut[i] * vr) / 255.0f;
+  float buf[64];
+  for (size_t y = 0; y < h / 2; y += 8) {
+    const uint8_t* strip = from + y * w;
+    for (size_t bx = 0; bx < w / 8; bx++) {
+      if (layout == kBlockContiguous) {
+        for (int p = 0; p < 64; p++)
+          buf[p] = ((float)strip[bx * 64 + p] - 127.0f) * qi[p];
+      } else {
+        const uint8_t* cell = strip + (bx / 2) * 128;
+        for (int p = 0; p < 64; p++)
+          buf[p] = ((float)cell[pair_offset((int)(bx & 1), p, 0)] - 127.0f)
+                   * qi[p];
+      }
+      idct2d_fx(buf);
+      uint8_t* dst = to + y * w + bx * 8;
+      for (int r = 0; r < 8; r++)
+        for (int c = 0; c < 8; c++)
+          dst[(size_t)r * w + c] = to_pixel(buf[r * 8 + c] * 255.0f);
     }
   }
   return 0;

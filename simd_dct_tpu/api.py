@@ -263,6 +263,7 @@ def _validate_decode(data, lut, size_x, size_y, expect_bytes):
 
 def decode_quantize(data, lut, size_x: int, size_y: int, *,
                     layout: str = "scalar", backend: str | None = None,
+                    compat: bool = False,
                     pallas_interpret: bool = False):
     if layout not in ("scalar", "pair"):
         # 'pair_as_written' drops every cell's second half on the floor
@@ -271,6 +272,12 @@ def decode_quantize(data, lut, size_x: int, size_y: int, *,
             f"decodable layouts are 'scalar' and 'pair', got {layout!r}")
     d, lut_arr = _validate_decode(data, lut, size_x, size_y,
                                   (size_y // 2) * size_x)
+    if compat:
+        from .kernels import compat as _compat
+        return _maybe_batch(
+            d, lambda dd: _compat.decode_quantize(dd, lut_arr, size_x,
+                                                  size_y, layout=layout),
+            numpy_tier=False, base_ndim=1)
     tier = select_backend(backend, pallas_interpret=pallas_interpret)
     if tier == "numpy":
         return _maybe_batch(
@@ -293,11 +300,18 @@ def decode_quantize(data, lut, size_x: int, size_y: int, *,
 
 def decode_quantize32(data, lut, size_x: int, size_y: int, *,
                       backend: str | None = None,
+                      compat: bool = False,
                       pallas_interpret: bool = False):
     if size_x % 64:
         raise NotSupportedError("enc-quant32 requires W % 64 == 0")
     d, lut_arr = _validate_decode(data, lut, size_x, size_y,
                                   (size_y // 2) * size_x)
+    if compat:
+        from .kernels import compat as _compat
+        return _maybe_batch(
+            d, lambda dd: _compat.decode_quantize32(dd, lut_arr, size_x,
+                                                    size_y),
+            numpy_tier=False, base_ndim=1)
     tier = select_backend(backend, pallas_interpret=pallas_interpret)
     if tier == "numpy":
         return _maybe_batch(
@@ -320,8 +334,15 @@ def decode_quantize32(data, lut, size_x: int, size_y: int, *,
 
 def decode_quantize_stereo(data, lut, size_x: int, size_y: int, *,
                            backend: str | None = None,
+                           compat: bool = False,
                            pallas_interpret: bool = False):
     d, lut_arr = _validate_decode(data, lut, size_x, size_y, size_y * size_x)
+    if compat:
+        from .kernels import compat as _compat
+        return _maybe_batch(
+            d, lambda dd: _compat.decode_quantize_stereo(dd, lut_arr,
+                                                         size_x, size_y),
+            numpy_tier=False, base_ndim=1)
     tier = select_backend(backend, pallas_interpret=pallas_interpret)
     if tier == "numpy":
         return _maybe_batch(

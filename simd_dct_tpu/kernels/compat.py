@@ -221,3 +221,167 @@ def encode_quantize_stereo(img, lut, start_y=0, end_y=1 << 30, rounding="rne"):
         m = jnp.tile(jnp.repeat(jnp.asarray(mask), w // 4), 64)
         flat = jnp.where(m, flat, jnp.uint8(0))
     return flat
+
+
+# ---------------------------------------------------------------------------
+# staged exact inverse (oracle op order: native/golden_dct.cpp idct8 —
+# x[n] = sum_k kD[k][n]*v[k], plain dot products, ascending k)
+# ---------------------------------------------------------------------------
+
+def _idct_kd() -> np.ndarray:
+    """The oracle's kD table: kD[k] = row k of the forward butterfly
+    basis, every entry a single f32 product (native/golden_dct.cpp)."""
+    n, a, b, c, d, e, f = (np.float32(C_NORM), np.float32(C_A),
+                           np.float32(C_B), np.float32(C_C),
+                           np.float32(C_D), np.float32(C_E), np.float32(C_F))
+    one = np.float32(1.0)
+    rows = [
+        [one, one, one, one, one, one, one, one],
+        [a, c, d, f, -f, -d, -c, -a],
+        [b, e, -e, -b, -b, -e, e, b],
+        [c, -f, -a, -d, d, a, f, -c],
+        [one, -one, -one, one, one, -one, -one, one],
+        [d, -a, f, c, -c, -f, a, -d],
+        [e, -b, b, -e, -e, b, -b, e],
+        [f, -d, c, -a, a, -c, d, -f],
+    ]
+    kd = np.empty((8, 8), np.float32)
+    for k in range(8):
+        for j in range(8):
+            kd[k, j] = n * np.float32(rows[k][j])   # one f32 product each
+    return kd
+
+
+@jax.jit
+def _idct8_products(v):
+    """(..., 8) -> (..., 8, 8): products p[..., n, k] = kD[k][n]*v[..., k]
+    (muls only — nothing for FMA contraction to grab)."""
+    kd = jnp.asarray(_idct_kd())                    # [k, n]
+    return v[..., None, :] * kd.T[None, ...]        # [..., n, k]
+
+
+@jax.jit
+def _idct8_sums(p):
+    """(..., 8, 8) -> (..., 8): strict ascending-k accumulation (adds
+    only; matches the oracle's ``acc += kD[k][n]*v[k]`` order)."""
+    s = p[..., 0]
+    for k in range(1, 8):
+        s = s + p[..., k]
+    return s
+
+
+@jax.jit
+def _idct_mid(p1):
+    """Pass-1 sums + transpose + pass-2 products in ONE program: adds
+    feeding muls are safe (FMA only fuses a mul INTO an add)."""
+    s = p1[..., 0]
+    for k in range(1, 8):
+        s = s + p1[..., k]
+    t = jnp.swapaxes(s, -1, -2)
+    kd = jnp.asarray(_idct_kd())
+    return t[..., None, :] * kd.T[None, ...]
+
+
+@jax.jit
+def _idct_finish_raw(p2):
+    """Pass-2 sums + trailing transpose + RNE pixel (raw domain)."""
+    s = p2[..., 0]
+    for k in range(1, 8):
+        s = s + p2[..., k]
+    x = jnp.swapaxes(s, -1, -2)
+    v = jnp.rint(x).astype(jnp.int32)
+    return jnp.clip(v, 0, 255).astype(jnp.uint8)
+
+
+@jax.jit
+def _idct_finish_scaled(p2):
+    """Pass-2 sums + trailing transpose + x*255 + RNE pixel (normalized
+    domain; the mul is fed by adds — not contractible)."""
+    s = p2[..., 0]
+    for k in range(1, 8):
+        s = s + p2[..., k]
+    x = jnp.swapaxes(s, -1, -2) * np.float32(255.0)
+    v = jnp.rint(x).astype(jnp.int32)
+    return jnp.clip(v, 0, 255).astype(jnp.uint8)
+
+
+@jax.jit
+def _idct_finish_scaled_fx(p2):
+    """fx orientation: NO trailing transpose (inverse of dct rows,
+    transpose, dct rows)."""
+    s = p2[..., 0]
+    for k in range(1, 8):
+        s = s + p2[..., k]
+    x = s * np.float32(255.0)
+    v = jnp.rint(x).astype(jnp.int32)
+    return jnp.clip(v, 0, 255).astype(jnp.uint8)
+
+
+def _dequant_products(data, lut):
+    """Oracle dequant: qi[p] = (lut[p]*vr)/255; buf = (v-127)*qi — the sub
+    feeds a mul (safe), and the products feed the pass-1 products (muls
+    feeding muls: safe), all in one program with _idct8_products."""
+    lut_f = np.asarray(lut, np.float32).reshape(64)
+    qi = (lut_f * np.float32(VR)) / np.float32(255.0)  # numpy: exact f32 ops
+    return _deq_jit(data, jnp.asarray(qi))
+
+
+@jax.jit
+def _deq_jit(data, qi):
+    b = (data.astype(jnp.float32) - np.float32(127.0)) * qi
+    blocks = b.reshape(*b.shape[:-1], 8, 8)
+    return _idct8_products(blocks)
+
+
+def _idct2d_fy_exact_pixels(data, lut, scaled):
+    """(..., 64) u8 records (fy-major buffers) -> (..., 8, 8) u8 pixels."""
+    p1 = _dequant_products(data, lut)
+    p2 = _idct_mid(p1)
+    return (_idct_finish_scaled(p2) if scaled else _idct_finish_raw(p2))
+
+
+def _idct2d_fx_exact_pixels(data, lut):
+    """fx-major: buffer rows are the FIRST idct8 pass (no leading
+    transpose in the inverse; the trailing transpose is absent)."""
+    p1 = _dequant_products(data, lut)
+    p2 = _idct_mid(p1)
+    return _idct_finish_scaled_fx(p2)
+
+
+# ---------------------------------------------------------------------------
+# decode entry points (byte-exact vs native/golden_dct.cpp decode oracle)
+# ---------------------------------------------------------------------------
+
+def decode_quantize(data, lut, size_x, size_y, layout="scalar"):
+    """enc-quant inverse (fx-major, normalized domain).  The overlapping
+    ``pair_as_written`` layout has no decodable inverse."""
+    if layout == "pair_as_written":
+        raise ValueError("pair_as_written records are not decodable")
+    h2, w = size_y // 2, size_x
+    flat = jnp.asarray(data).reshape(-1)
+    bufs = (L_reorder.block_contiguous_inverse(flat, w // 8)
+            if layout == "scalar"
+            else L_reorder.pair_cells_inverse(flat, w // 8))
+    px = _idct2d_fx_exact_pixels(bufs.reshape(h2 // 8, w // 8, 64), lut)
+    return L_blocks.unblockize(px.reshape(h2 // 8, w // 8, 8, 8))
+
+
+def decode_quantize32(data, lut, size_x, size_y):
+    """mode32 inverse (fy-major, raw domain)."""
+    h2, w = size_y // 2, size_x
+    flat = jnp.asarray(data).reshape(-1)
+    bufs = L_reorder.group8_inverse(flat, w // 8)
+    px = _idct2d_fy_exact_pixels(bufs.reshape(h2 // 8, w // 8, 64), lut,
+                                 scaled=False)
+    return L_blocks.unblockize(px.reshape(h2 // 8, w // 8, 8, 8))
+
+
+def decode_quantize_stereo(data, lut, size_x, size_y):
+    """stereo planar inverse (fy-major, normalized domain, both views)."""
+    h2, w = size_y // 2, size_x
+    flat = jnp.asarray(data).reshape(-1)
+    bufs = L_reorder.planar_stereo_inverse(flat, size_y // 16, w // 8)
+    px = _idct2d_fy_exact_pixels(
+        bufs.reshape(2, h2 // 8, w // 8, 64), lut, scaled=True)
+    views = L_blocks.unblockize(px.reshape(2 * (h2 // 8), w // 8, 8, 8))
+    return views.reshape(size_y, w)

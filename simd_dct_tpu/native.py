@@ -75,6 +75,9 @@ def _load() -> ctypes.CDLL:
                 fn = getattr(lib, name)
                 fn.restype = ctypes.c_int
                 fn.argtypes = [u8p, u8p, f32p, st, st]
+            fn = lib.golden_decode_quantize
+            fn.restype = ctypes.c_int
+            fn.argtypes = [u8p, u8p, f32p, st, st, ctypes.c_int]
             for name in ("golden_dct2d_fx_major", "golden_dct2d_fy_major"):
                 fn = getattr(lib, name)
                 fn.restype = None
@@ -144,6 +147,20 @@ def encode_quantize_stereo(image, lut, start_y=0, end_y=None, *,
     rc = _load().golden_encode_quantize_stereo(
         _u8p(img), _u8p(out), _f32p(lut), w, h, start_y, end_y,
         ROUNDING_CODE[rounding])
+    if rc:
+        raise NativeGoldenError(rc)
+    return out
+
+
+def decode_quantize(data, lut, size_x: int, size_y: int,
+                    layout: str = "scalar") -> np.ndarray:
+    """Native decode oracle for enc-quant (north-star inverse; the
+    overlapping ``pair_as_written`` layout is not decodable)."""
+    d = np.ascontiguousarray(data, np.uint8).reshape(-1)
+    lut = np.ascontiguousarray(lut, np.float32)
+    out = np.zeros((size_y // 2, size_x), np.uint8)
+    rc = _load().golden_decode_quantize(
+        _u8p(d), _u8p(out), _f32p(lut), size_x, size_y, LAYOUT_CODE[layout])
     if rc:
         raise NativeGoldenError(rc)
     return out

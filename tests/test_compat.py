@@ -123,3 +123,59 @@ def test_exact_roundf_edge():
     assert np.floor(v + np.float32(0.5)) == 1.0  # the naive shortcut fails
     got = B._roundf_nonneg(np.array([v], np.float32), np)
     assert got[0] == 0.0
+
+
+# ---- decode exactness (north-star inverse; oracle = the C++ decode) ------
+
+@pytest.mark.parametrize("layout", ["scalar", "pair"])
+def test_decode_quantize_exact(img, lut, layout):
+    h, w = img.shape
+    rec = native.encode_quantize(img, lut, rounding="rne", layout=layout)
+    want = native.decode_quantize(rec, lut, w, h, layout=layout)
+    got = np.asarray(C.decode_quantize(rec, lut, w, h, layout=layout))
+    assert int((got != want).sum()) == 0
+
+
+def test_decode_quantize32_exact(img, lut):
+    h, w = img.shape
+    lut32 = lut * 255.0
+    rec = native.encode_quantize32(img, lut32, rounding="rne")
+    want = native.decode_quantize32(rec, lut32, w, h)
+    got = np.asarray(C.decode_quantize32(rec, lut32, w, h))
+    assert int((got != want).sum()) == 0
+
+
+def test_decode_stereo_exact(img, lut):
+    h, w = img.shape
+    rec = native.encode_quantize_stereo(img, lut, rounding="rne")
+    want = native.decode_quantize_stereo(rec, lut, w, h)
+    got = np.asarray(C.decode_quantize_stereo(rec, lut, w, h))
+    assert int((got != want).sum()) == 0
+
+
+def test_decode_pair_as_written_rejected(img, lut):
+    with pytest.raises(ValueError):
+        C.decode_quantize(np.zeros(64, np.uint8), lut, 8, 16,
+                          layout="pair_as_written")
+    with pytest.raises(native.NativeGoldenError):
+        native.decode_quantize(np.zeros(64, np.uint8), lut, 8, 16,
+                               layout="pair_as_written")
+
+
+def test_api_compat_decode_routes(img, lut):
+    h, w = img.shape
+    rec = native.encode_quantize(img, lut, rounding="rne")
+    want = native.decode_quantize(rec, lut, w, h)
+    got = np.asarray(sd.api.decode_quantize(rec, lut, w, h, compat=True))
+    assert int((got != want).sum()) == 0
+    lut32 = lut * 255.0
+    rec32 = native.encode_quantize32(img, lut32, rounding="rne")
+    want32 = native.decode_quantize32(rec32, lut32, w, h)
+    got32 = np.asarray(sd.api.decode_quantize32(rec32, lut32, w, h,
+                                                compat=True))
+    assert int((got32 != want32).sum()) == 0
+    recs = native.encode_quantize_stereo(img, lut, rounding="rne")
+    wants = native.decode_quantize_stereo(recs, lut, w, h)
+    gots = np.asarray(sd.api.decode_quantize_stereo(recs, lut, w, h,
+                                                    compat=True))
+    assert int((gots != wants).sum()) == 0
