@@ -385,6 +385,95 @@ def roundtrip_quantize32(image, lut, *, backend: str | None = None,
 
 
 # ---------------------------------------------------------------------------
+# YCbCr color pipeline (north-star addition; the reference is
+# grayscale-only, src/simd_dct.h:29-31)
+# ---------------------------------------------------------------------------
+
+def _validate_color(planes, luma_lut, chroma_lut):
+    p = jnp.asarray(planes)
+    if p.ndim != 3 or p.shape[0] != 3:
+        raise InvalidParameterError(
+            f"expected (3, H, W) planar RGB, got shape {p.shape}")
+    _, lut_l, h, w = _validate(p[0], luma_lut, multiple_of_64=True)
+    _, lut_c, _, _ = _validate(p[0], chroma_lut, multiple_of_64=True)
+    return p, lut_l, lut_c, h, w
+
+
+def encode_quantize32_ycbcr(planes, luma_lut, chroma_lut, *,
+                            rounding: str = "rne",
+                            backend: str | None = None,
+                            pallas_interpret: bool = False):
+    """(3, H, W) u8 planar RGB -> (3, S*8W) u8 per-channel YCbCr mode32
+    records (BT.601 full-range mix; Y quantized with ``luma_lut``, Cb/Cr
+    with ``chroma_lut``; TOP view, dual-view convention).  On the pallas
+    tier the color mix is fused into the kernel (kernels/color32); the
+    XLA tier composes the identical math."""
+    _check_rounding(rounding)
+    p, lut_l, lut_c, h, w = _validate_color(planes, luma_lut, chroma_lut)
+    from .kernels import color32 as _c32
+    tier = select_backend(backend, pallas_interpret=pallas_interpret)
+    top = p[:, : h // 2, :]
+    if tier == "pallas":
+        from .kernels import pallas_dct as _pl
+        if _pl.supports_mode("enc_quant32", h, w):
+            return _c32._enc32_rgb_panels(
+                top, jnp.asarray(lut_l), jnp.asarray(lut_c),
+                rounding=rounding,
+                interpret=pallas_interpret).reshape(3, -1)
+    return _c32.encode_ycbcr_xla(top, jnp.asarray(lut_l),
+                                 jnp.asarray(lut_c),
+                                 rounding=rounding).reshape(3, -1)
+
+
+def decode_quantize32_ycbcr(data, luma_lut, chroma_lut,
+                            size_x: int, size_y: int, *,
+                            backend: str | None = None,
+                            pallas_interpret: bool = False):
+    """(3, S*8W) u8 YCbCr records -> (3, H/2, W) u8 planar RGB."""
+    d = jnp.asarray(data)
+    expect = 3 * (size_y // 2) * size_x
+    if d.size != expect:
+        raise InvalidParameterError(
+            f"expected {expect} record bytes for {(size_x, size_y)}, "
+            f"got {d.size}")
+    records = d.reshape(3, (size_y // 2) // 8, 8 * size_x)
+    lut_l = np.asarray(luma_lut, np.float32).reshape(-1)
+    lut_c = np.asarray(chroma_lut, np.float32).reshape(-1)
+    if lut_l.size != 64 or lut_c.size != 64:
+        raise InvalidParameterError("luts must have 64 entries")
+    from .kernels import color32 as _c32
+    tier = select_backend(backend, pallas_interpret=pallas_interpret)
+    if tier == "pallas":
+        from .kernels import pallas_dct as _pl
+        if _pl.supports_mode("dec_quant32", size_y, size_x):
+            return _c32._dec32_rgb_panels(
+                records, jnp.asarray(lut_l), jnp.asarray(lut_c),
+                interpret=pallas_interpret)
+    return _c32.decode_ycbcr_xla(records, jnp.asarray(lut_l),
+                                 jnp.asarray(lut_c))
+
+
+def roundtrip_quantize32_ycbcr(planes, luma_lut, chroma_lut, *,
+                               backend: str | None = None,
+                               pallas_interpret: bool = False):
+    """(3, H, W) u8 planar RGB -> (3, H/2, W) u8: YCbCr mode32
+    encode->decode round trip; fully fused on the pallas tier
+    (coefficients never leave VMEM, 3+3 u8 bytes/px HBM traffic)."""
+    p, lut_l, lut_c, h, w = _validate_color(planes, luma_lut, chroma_lut)
+    from .kernels import color32 as _c32
+    tier = select_backend(backend, pallas_interpret=pallas_interpret)
+    top = p[:, : h // 2, :]
+    if tier == "pallas":
+        from .kernels import pallas_dct as _pl
+        if _pl.supports_mode("roundtrip32", h, w):
+            return _c32._roundtrip_rgb_panels(
+                top, jnp.asarray(lut_l), jnp.asarray(lut_c),
+                interpret=pallas_interpret)
+    rec = _c32.encode_ycbcr_xla(top, jnp.asarray(lut_l), jnp.asarray(lut_c))
+    return _c32.decode_ycbcr_xla(rec, jnp.asarray(lut_l), jnp.asarray(lut_c))
+
+
+# ---------------------------------------------------------------------------
 # C-enum-style wrappers
 # ---------------------------------------------------------------------------
 #

@@ -311,3 +311,47 @@ def roundtrip_quantize32_ycbcr(planes, luma_lut, chroma_lut,
                                  jnp.asarray(luma_lut),
                                  jnp.asarray(chroma_lut),
                                  interpret=interpret, precision=precision)
+
+
+# -- portable XLA fallback tier (same math, no Pallas requirement) ---------
+
+@functools.partial(jax.jit, static_argnames=("rounding",))
+def encode_ycbcr_xla(planes, luma, chroma, rounding: str = "rne"):
+    """(3, H2, W) u8 planar RGB top view -> (3, S, 8W) u8 records; the
+    portable composition of the fused kernel's math (f32 YCbCr, no u8
+    intermediate, fy-major mode32 records per channel)."""
+    from ..core.dct import dct8x8
+    from ..core.quantize import quantize_to_u8
+    from ..layout import blocks as L_blocks
+    from ..layout import reorder as L_reorder
+    _, h2, w = planes.shape
+    x = planes.astype(jnp.float32)
+    ycc = jnp.einsum("ij,jhw->ihw", jnp.asarray(_RGB2YCC), x) \
+        + jnp.asarray(_YCC_BIAS, jnp.float32)[:, None, None]
+    outs = []
+    for ch, lut in ((0, luma), (1, chroma), (2, chroma)):
+        blocks = L_blocks.blockize(ycc[ch])          # raw domain (mode32)
+        bufs = L_reorder.coeffs_to_buffer(dct8x8(blocks), "fy")
+        data = quantize_to_u8(bufs, quant_scales(lut), rounding)
+        outs.append(L_reorder.group8(data).reshape(h2 // 8, 8 * w))
+    return jnp.stack(outs)
+
+
+@jax.jit
+def decode_ycbcr_xla(records, luma, chroma):
+    """(3, S, 8W) u8 records -> (3, H2, W) u8 planar RGB."""
+    from ..core.dct import idct8x8
+    from ..core.quantize import dequantize_from_u8
+    from ..layout import blocks as L_blocks
+    from ..layout import reorder as L_reorder
+    _, s, w8 = records.shape
+    w = w8 // 8
+    ycc = []
+    for ch, lut in ((0, luma), (1, chroma), (2, chroma)):
+        bufs = L_reorder.group8_inverse(records[ch].reshape(-1), w // 8)
+        coeffs = L_reorder.buffer_to_coeffs(
+            dequantize_from_u8(bufs, dequant_scales(lut)), "fy")
+        ycc.append(L_blocks.unblockize(idct8x8(coeffs))
+                   - np.float32(_YCC_BIAS[ch]))
+    rgb = jnp.einsum("ij,jhw->ihw", jnp.asarray(_YCC2RGB), jnp.stack(ycc))
+    return jnp.clip(jnp.rint(rgb), 0, 255).astype(jnp.uint8)

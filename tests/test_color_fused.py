@@ -93,3 +93,45 @@ class TestFusedColorEncode:
         b = C.encode_quantize32_ycbcr(jnp.asarray(rgb), luma, chroma,
                                       interpret=True, precision="bf16")
         _agree(a, b, tol_frac=0.05, max_abs=1)
+
+
+class TestColorApi:
+    def test_api_roundtrip_tiers_agree(self, rgb, luts):
+        import simd_dct_tpu as sd
+        luma, chroma = luts
+        out_x = np.asarray(sd.api.roundtrip_quantize32_ycbcr(
+            jnp.asarray(rgb), luma, chroma, backend="xla"))
+        out_p = np.asarray(sd.api.roundtrip_quantize32_ycbcr(
+            jnp.asarray(rgb), luma, chroma, backend="pallas",
+            pallas_interpret=True))
+        # a +-1 quantized-coefficient flip amplifies by the quant step
+        # through the inverse, so tier agreement on round-trip OUTPUT is
+        # a PSNR contract (like the grayscale fused round-trip test)
+        top = rgb[:, : H // 2, :].astype(np.float32)
+
+        def psnr(x):
+            mse = ((x.astype(np.float32) - top) ** 2).mean()
+            return 10 * np.log10(255.0 ** 2 / mse)
+
+        assert psnr(out_x) > 30.0
+        assert abs(psnr(out_x) - psnr(out_p)) < 0.3
+
+    def test_api_encode_decode(self, rgb, luts):
+        import simd_dct_tpu as sd
+        luma, chroma = luts
+        rec = sd.api.encode_quantize32_ycbcr(jnp.asarray(rgb), luma, chroma,
+                                             backend="xla")
+        assert rec.shape == (3, (H // 2) * W)
+        out = sd.api.decode_quantize32_ycbcr(rec, luma, chroma, W, H,
+                                             backend="xla")
+        assert out.shape == (3, H // 2, W)
+
+    def test_api_validation(self, rgb, luts):
+        import simd_dct_tpu as sd
+        from simd_dct_tpu.api import InvalidParameterError
+        luma, chroma = luts
+        with pytest.raises(InvalidParameterError):
+            sd.api.encode_quantize32_ycbcr(jnp.asarray(rgb[0]), luma, chroma)
+        with pytest.raises(InvalidParameterError):
+            sd.api.decode_quantize32_ycbcr(np.zeros(17, np.uint8), luma,
+                                           chroma, W, H)
