@@ -11,6 +11,8 @@ Reference usage (src/main.cpp:106-119):
                               natively; the reference's ISA names map onto
                               tiers: avx* -> pallas, sse* -> xla, none -> numpy)
         --mode <mode>         enc-quant / enc-quant32 / enc-quant-stereo
+                              (+ enc-quant32-ycbcr: 3-plane color, an
+                              extension past the grayscale reference)
                               (repeatable; default: all supported)
 
 Differences from the reference, by design: the default quality is only
@@ -38,7 +40,8 @@ MAX_SIMD_TO_TIER = {
     "none": "numpy",
 }
 
-MODES = ("enc-quant", "enc-quant32", "enc-quant-stereo")
+MODES = ("enc-quant", "enc-quant32", "enc-quant-stereo",
+         "enc-quant32-ycbcr")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -108,6 +111,12 @@ def main(argv=None) -> int:
         print(f"File too small: {data.size} bytes for {w}x{h}.")
         return 1
     img = data[: w * h].reshape(h, w)
+    # YCbCr mode input: 3*H*W bytes of planar RGB when provided, else the
+    # grayscale image replicated onto all three planes.
+    if data.size >= 3 * w * h:
+        rgb_planes = data[: 3 * w * h].reshape(3, h, w)
+    else:
+        rgb_planes = np.broadcast_to(img, (3, h, w))
 
     import jax
     import simd_dct_tpu as sd
@@ -135,14 +144,14 @@ def main(argv=None) -> int:
     last_output = None
     print(HEADER)
 
-    def _slope_row(name, enc_one):
+    def _slope_row(name, enc_one, base):
         """Accurate per-image cost: slope between two vmapped batch sizes,
         wall ended by a host-side checksum scalar (see utils docs)."""
         import time as _time
         import jax.numpy as jnp
         walls = {}
         for bsz in (4, 20):
-            xb = jnp.stack([imgj] * bsz)
+            xb = jnp.stack([base] * bsz)
             # TWO dispatches: the jit boundary forces the byte records to
             # materialize (a single fused jit lets XLA either elide the
             # layout work or fuse it into a pathological gather); the
@@ -164,12 +173,14 @@ def main(argv=None) -> int:
         print(f"{name + ' (slope)':<28} | {per_s / img.size * 1e9:9.4f} ns/B | "
               f"{gbps:8.2f} GB/s per image")
 
-    def run_mode(name, enc, dec, ref_for_psnr, enc_one=None):
+    def run_mode(name, enc, dec, ref_for_psnr, enc_one=None,
+                 enc_base=None):
         nonlocal last_output
         out = enc()
         jax.block_until_ready(out)
         if args.accurate and enc_one is not None:
-            _slope_row(name, enc_one)
+            _slope_row(name, enc_one,
+                       imgj if enc_base is None else enc_base)
         else:
             stats = time_fn(name, lambda: jax.block_until_ready(enc()),
                             bytes_processed=img.size, runs=runs)
@@ -245,6 +256,26 @@ def main(argv=None) -> int:
                 img,
                 enc_one=lambda im: sd.encode_quantize_stereo(
                     im, lut, args.start_y, end_y))
+
+    if "enc-quant32-ycbcr" in modes:
+        if w % 64:
+            print(f"{'enc-quant32-ycbcr':<28} | not supported (W % 64 != 0)")
+        elif mesh is not None:
+            print(f"{'enc-quant32-ycbcr':<28} | no sharded path; skipped")
+        else:
+            from simd_dct_tpu.layout import BASE_CHROMA_QUANT_TABLE
+            chroma = BASE_CHROMA_QUANT_TABLE * (args.quality or 100.0) * 255.0
+            planesj = jax.numpy.asarray(np.ascontiguousarray(rgb_planes))
+            run_mode(
+                "enc-quant32-ycbcr",
+                lambda: sd.api.encode_quantize32_ycbcr(planesj, lut * 255.0,
+                                                       chroma),
+                lambda d: sd.api.decode_quantize32_ycbcr(d, lut * 255.0,
+                                                         chroma, w, h),
+                np.asarray(rgb_planes)[:, : h // 2],
+                enc_one=lambda pl3: sd.api.encode_quantize32_ycbcr(
+                    pl3, lut * 255.0, chroma),
+                enc_base=planesj)
 
     if args.out_file and last_output is not None:
         last_output.tofile(args.out_file)

@@ -115,3 +115,24 @@ def test_sharded_flag_bad_geometry(raw_image, capsys):
     rc = cli.main([str(path), "128", "64", "--runs", "1",
                    "--mode", "enc-quant32", "--sharded", "5"])
     assert rc == 1
+
+
+def test_ycbcr_mode(raw_image, capsys, tmp_path):
+    path, img = raw_image
+    rc = cli.main([str(path), "128", "64", "--runs", "1", "--quality", "100",
+                   "--mode", "enc-quant32-ycbcr", "--decode"])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "enc-quant32-ycbcr" in text and "PSNR" in text
+
+
+def test_ycbcr_mode_rgb_file(tmp_path, capsys):
+    """A 3*H*W-byte input file is read as planar RGB."""
+    rng = np.random.default_rng(5)
+    planes = rng.integers(0, 256, (3, 64, 128), dtype=np.uint8)
+    path = tmp_path / "rgb.raw"
+    planes.tofile(path)
+    rc = cli.main([str(path), "128", "64", "--runs", "1", "--quality", "100",
+                   "--mode", "enc-quant32-ycbcr"])
+    assert rc == 0
+    assert "enc-quant32-ycbcr" in capsys.readouterr().out
