@@ -264,3 +264,56 @@ def roundtrip_quantize32_batch(frames: jax.Array, lut, mesh: Mesh, *,
         in_specs=(P(frame_axis, None, None), P()),
         out_specs=P(frame_axis, None, None), check_vma=False)
     return fn(frames, lut)
+
+
+def encode_quantize32_ycbcr_sharded(planes: jax.Array, luma, chroma,
+                                    mesh: Mesh, *,
+                                    axis_name: str = DATA_AXIS,
+                                    rounding: str = "rne") -> jax.Array:
+    """Fused YCbCr mode32 encode with the TOP view's strips sharded over
+    the mesh: (3, H, W) planar RGB -> (3, S, 8W) records sharded on the
+    strip axis.  Pure local computation, zero collectives (the color mix
+    is per-pixel and blocks never cross a shard's 8-row boundary)."""
+    _, h, w = planes.shape
+    n = _num_shards(mesh, axis_name)
+    assert (h // 2) % (n * 8) == 0, "strips must divide evenly over shards"
+    top = planes[:, : h // 2, :]
+    luma = jnp.asarray(luma, jnp.float32)
+    chroma = jnp.asarray(chroma, jnp.float32)
+
+    use_pl = _use_pallas(mesh, (h // 2) // n, w)
+
+    def shard_fn(local, lut_l, lut_c):
+        from ..kernels import color32 as C32
+        if use_pl:
+            return C32._enc32_rgb_panels(local, lut_l, lut_c,
+                                         rounding=rounding)
+        return C32.encode_ycbcr_xla(local, lut_l, lut_c, rounding=rounding)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, axis_name, None), P(), P()),
+        out_specs=P(None, axis_name, None), check_vma=False)
+    return fn(top, luma, chroma)
+
+
+def decode_quantize32_ycbcr_sharded(records: jax.Array, luma, chroma,
+                                    size_x: int, size_y: int, mesh: Mesh, *,
+                                    axis_name: str = DATA_AXIS) -> jax.Array:
+    """Inverse: (3, S, 8W) records sharded on strips -> (3, H/2, W)
+    planar RGB sharded on rows."""
+    luma = jnp.asarray(luma, jnp.float32)
+    chroma = jnp.asarray(chroma, jnp.float32)
+
+    def shard_fn(local, lut_l, lut_c):
+        from ..kernels import color32 as C32
+        s_local = local.shape[1]
+        if _use_pallas(mesh, s_local * 8, size_x):
+            return C32._dec32_rgb_panels(local, lut_l, lut_c)
+        return C32.decode_ycbcr_xla(local, lut_l, lut_c)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, axis_name, None), P(), P()),
+        out_specs=P(None, axis_name, None), check_vma=False)
+    return fn(records, luma, chroma)

@@ -158,3 +158,23 @@ def test_initialize_distributed_single_process():
     """Bootstrap helper: plain single-process run -> False, no side
     effects (safe to call unconditionally)."""
     assert dist.initialize_distributed() is False
+
+
+def test_ycbcr_sharded_matches(img, mesh):
+    from simd_dct_tpu.kernels import color32 as C32
+    from simd_dct_tpu.layout.color import BASE_CHROMA_QUANT_TABLE
+    luma = default_quant_lut(100) * 255.0
+    chroma = BASE_CHROMA_QUANT_TABLE * 100 * 255.0
+    planes = np.stack([img, img[::-1], img[:, ::-1]])
+    rec = dist.encode_quantize32_ycbcr_sharded(jnp.asarray(planes), luma,
+                                               chroma, mesh)
+    single = np.asarray(C32.encode_ycbcr_xla(
+        jnp.asarray(planes[:, :1024]), jnp.asarray(luma),
+        jnp.asarray(chroma)))
+    np.testing.assert_array_equal(np.asarray(rec), single)
+    assert rec.sharding.spec[1] == "data"
+    dec = dist.decode_quantize32_ycbcr_sharded(rec, luma, chroma, 128, 2048,
+                                               mesh)
+    single_dec = np.asarray(C32.decode_ycbcr_xla(
+        jnp.asarray(single), jnp.asarray(luma), jnp.asarray(chroma)))
+    np.testing.assert_array_equal(np.asarray(dec), single_dec)
