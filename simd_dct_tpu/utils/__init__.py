@@ -5,6 +5,7 @@ from .profiling import (
     device_timer, trace, measure,
 )
 from .debug import interpret_kernels, check_deterministic, compare_backends
+from .feed import FrameFeeder, stream_roundtrip32
 from .metrics import psnr, mse
 
 __all__ = [

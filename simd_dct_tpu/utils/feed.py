@@ -1,0 +1,80 @@
+"""Host->device input pipelining (SURVEY.md §5 "Distributed communication
+backend": host<->device overlap via async dispatch + double-buffered
+input feeding).
+
+The reference streams frames through a malloc'd buffer on one thread
+(src/main.cpp:137-177,510-530); the TPU-native equivalent keeps the chip
+busy by overlapping the host->device transfer of frame k+1 with the
+device compute of frame k.  JAX dispatch is asynchronous, so the overlap
+needs no threads — only bounded lookahead so host memory and the device
+queue stay bounded.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Any, Callable, Iterable, Iterator
+
+import jax
+
+
+class FrameFeeder:
+    """Double-buffered frame pipeline: ``depth`` frames in flight.
+
+    ``fn`` is a (jitted) device computation applied per frame.  ``map``
+    yields results in order; at any moment up to ``depth`` transfers +
+    dispatches are queued ahead of the newest completed result, so the
+    device never waits on the host (and the host never buffers more than
+    ``depth`` frames).
+    """
+
+    def __init__(self, fn: Callable[[Any], Any], *, depth: int = 2,
+                 device=None):
+        if depth < 1:
+            raise ValueError("depth must be >= 1")
+        self._fn = fn
+        self._depth = depth
+        self._device = device
+
+    def _put(self, frame):
+        if self._device is not None:
+            return jax.device_put(frame, self._device)
+        return jax.device_put(frame)
+
+    def map(self, frames: Iterable[Any]) -> Iterator[Any]:
+        """Apply ``fn`` over ``frames`` with pipelined transfers.
+
+        Equivalent to ``(fn(f) for f in frames)`` but with the transfer
+        and dispatch of the next ``depth`` frames enqueued before each
+        result is awaited."""
+        inflight: deque = deque()
+        it = iter(frames)
+        exhausted = False
+        while True:
+            while not exhausted and len(inflight) < self._depth:
+                try:
+                    frame = next(it)
+                except StopIteration:
+                    exhausted = True
+                    break
+                # async H2D, then async dispatch — both return
+                # immediately; the device works through the queue
+                inflight.append(self._fn(self._put(frame)))
+            if not inflight:
+                return
+            out = inflight.popleft()
+            jax.block_until_ready(out)
+            yield out
+
+
+def stream_roundtrip32(frames: Iterable[Any], lut, *, depth: int = 2,
+                       device=None) -> Iterator[Any]:
+    """Convenience: pipelined fused mode32 round trips over a frame
+    stream (the BASELINE config-4 video workload as a streaming API)."""
+    import jax.numpy as jnp
+    from .. import api
+
+    lut_d = jnp.asarray(lut)
+    feeder = FrameFeeder(lambda fr: api.roundtrip_quantize32(fr, lut_d),
+                         depth=depth, device=device)
+    return feeder.map(frames)

@@ -1,7 +1,9 @@
 """Aux subsystem tests: roofline math, determinism check, backend diff."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+import pytest
 
 from simd_dct_tpu import utils
 from simd_dct_tpu.core import default_quant_lut
@@ -75,3 +77,36 @@ def test_available_tiers_interpret():
     from simd_dct_tpu.dispatch import available_tiers
     tiers = available_tiers(pallas_interpret=True)
     assert tiers[0] == "pallas" and "numpy" in tiers
+
+
+class TestFrameFeeder:
+    def test_results_match_sequential(self):
+        import jax.numpy as jnp
+        from simd_dct_tpu.utils.feed import FrameFeeder
+        f = jax.jit(lambda x: (x.astype(jnp.int32) * 2 + 1).sum())
+        frames = [np.full((16, 16), i, np.uint8) for i in range(7)]
+        got = [int(v) for v in FrameFeeder(f, depth=3).map(frames)]
+        want = [int(f(fr)) for fr in frames]
+        assert got == want
+
+    def test_generator_input_and_depth1(self):
+        from simd_dct_tpu.utils.feed import FrameFeeder
+        f = jax.jit(lambda x: x + 1)
+        gen = (np.full((8,), i, np.uint8) for i in range(3))
+        outs = list(FrameFeeder(f, depth=1).map(gen))
+        assert [int(o[0]) for o in outs] == [1, 2, 3]
+
+    def test_stream_roundtrip32(self):
+        from simd_dct_tpu.utils.feed import stream_roundtrip32
+        from simd_dct_tpu.core import default_quant_lut
+        rng = np.random.default_rng(9)
+        frames = [rng.integers(0, 256, (32, 64), np.uint8) for _ in range(3)]
+        lut = default_quant_lut(100) * 255.0
+        outs = list(stream_roundtrip32(iter(frames), lut, depth=2))
+        assert len(outs) == 3
+        assert outs[0].shape == (16, 64)
+
+    def test_bad_depth(self):
+        from simd_dct_tpu.utils.feed import FrameFeeder
+        with pytest.raises(ValueError):
+            FrameFeeder(lambda x: x, depth=0)
