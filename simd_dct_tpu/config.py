@@ -97,16 +97,19 @@ class Encoder:
     def decode_quantize(self, data, size_x: int, size_y: int):
         from . import api
         return api.decode_quantize(data, self._lut, size_x, size_y,
-                                   layout=self.config.layout, **self._kw())
+                                   layout=self.config.layout,
+                                   compat=self.config.compat, **self._kw())
 
     def decode_quantize32(self, data, size_x: int, size_y: int):
         from . import api
         return api.decode_quantize32(data, self._lut * np.float32(255.0),
-                                     size_x, size_y, **self._kw())
+                                     size_x, size_y,
+                                     compat=self.config.compat, **self._kw())
 
     def decode_quantize_stereo(self, data, size_x: int, size_y: int):
         from . import api
         return api.decode_quantize_stereo(data, self._lut, size_x, size_y,
+                                          compat=self.config.compat,
                                           **self._kw())
 
     def roundtrip_quantize32(self, image):
@@ -114,3 +117,32 @@ class Encoder:
         return api.roundtrip_quantize32(image,
                                         self._lut * np.float32(255.0),
                                         **self._kw())
+
+    # -- YCbCr color pipeline (north-star extension) -------------------
+
+    def chroma_lut(self) -> np.ndarray:
+        from .layout.color import BASE_CHROMA_QUANT_TABLE
+        q = self.config.quality
+        return (BASE_CHROMA_QUANT_TABLE * (1.0 if q is None else q)) \
+            .astype(np.float32)
+
+    def encode_quantize32_ycbcr(self, planes):
+        from . import api
+        c = self.config
+        return api.encode_quantize32_ycbcr(
+            planes, self._lut * np.float32(255.0),
+            self.chroma_lut() * np.float32(255.0),
+            rounding=c.rounding, **self._kw())
+
+    def decode_quantize32_ycbcr(self, data, size_x: int, size_y: int):
+        from . import api
+        return api.decode_quantize32_ycbcr(
+            data, self._lut * np.float32(255.0),
+            self.chroma_lut() * np.float32(255.0), size_x, size_y,
+            **self._kw())
+
+    def roundtrip_quantize32_ycbcr(self, planes):
+        from . import api
+        return api.roundtrip_quantize32_ycbcr(
+            planes, self._lut * np.float32(255.0),
+            self.chroma_lut() * np.float32(255.0), **self._kw())

@@ -48,3 +48,24 @@ def test_encoder_all_modes():
     assert d3.shape == (32, 64)
     rt = np.asarray(enc.roundtrip_quantize32(img))
     assert rt.shape == (16, 64)
+
+
+def test_encoder_ycbcr_and_compat_decode():
+    import numpy as np
+    from simd_dct_tpu.config import Encoder, EncoderConfig
+    rng = np.random.default_rng(11)
+    enc = Encoder(EncoderConfig(quality=100))
+    planes = rng.integers(0, 256, (3, 64, 128), np.uint8)
+    rec = enc.encode_quantize32_ycbcr(planes)
+    out = enc.decode_quantize32_ycbcr(rec, 128, 64)
+    assert np.asarray(out).shape == (3, 32, 128)
+    rt = enc.roundtrip_quantize32_ycbcr(planes)
+    assert np.asarray(rt).shape == (3, 32, 128)
+    # compat decode routes byte-exactly vs the oracle
+    from simd_dct_tpu import native
+    img = rng.integers(0, 256, (64, 128), np.uint8)
+    cenc = Encoder(EncoderConfig(quality=50, compat=True))
+    rec2 = np.asarray(cenc.encode_quantize(img))
+    want = native.decode_quantize(rec2, cenc.lut, 128, 64)
+    got = np.asarray(cenc.decode_quantize(rec2, 128, 64))
+    assert int((got != want).sum()) == 0
