@@ -391,12 +391,19 @@ def roundtrip_quantize32(image, lut, *, backend: str | None = None,
 
 def _validate_color(planes, luma_lut, chroma_lut):
     p = jnp.asarray(planes)
-    if p.ndim != 3 or p.shape[0] != 3:
+    if p.ndim not in (3, 4) or p.shape[-3] != 3:
         raise InvalidParameterError(
-            f"expected (3, H, W) planar RGB, got shape {p.shape}")
-    _, lut_l, h, w = _validate(p[0], luma_lut, multiple_of_64=True)
-    _, lut_c, _, _ = _validate(p[0], chroma_lut, multiple_of_64=True)
+            f"expected (3, H, W) planar RGB or a (B, 3, H, W) batch, "
+            f"got shape {p.shape}")
+    probe2d = p[..., 0, :, :].reshape(p.shape[-2:]) if p.ndim == 3 \
+        else p[0, 0]
+    _, lut_l, h, w = _validate(probe2d, luma_lut, multiple_of_64=True)
+    _, lut_c, _, _ = _validate(probe2d, chroma_lut, multiple_of_64=True)
     return p, lut_l, lut_c, h, w
+
+
+def _maybe_batch_color(p, fn_one):
+    return fn_one(p) if p.ndim == 3 else jax.vmap(fn_one)(p)
 
 
 def encode_quantize32_ycbcr(planes, luma_lut, chroma_lut, *,
@@ -412,17 +419,17 @@ def encode_quantize32_ycbcr(planes, luma_lut, chroma_lut, *,
     p, lut_l, lut_c, h, w = _validate_color(planes, luma_lut, chroma_lut)
     from .kernels import color32 as _c32
     tier = select_backend(backend, pallas_interpret=pallas_interpret)
-    top = p[:, : h // 2, :]
+    top = p[..., : h // 2, :]
     if tier == "pallas":
         from .kernels import pallas_dct as _pl
         if _pl.supports_mode("enc_quant32", h, w):
-            return _c32._enc32_rgb_panels(
-                top, jnp.asarray(lut_l), jnp.asarray(lut_c),
+            return _maybe_batch_color(top, lambda t: _c32._enc32_rgb_panels(
+                t, jnp.asarray(lut_l), jnp.asarray(lut_c),
                 rounding=rounding,
-                interpret=pallas_interpret).reshape(3, -1)
-    return _c32.encode_ycbcr_xla(top, jnp.asarray(lut_l),
-                                 jnp.asarray(lut_c),
-                                 rounding=rounding).reshape(3, -1)
+                interpret=pallas_interpret).reshape(3, -1))
+    return _maybe_batch_color(top, lambda t: _c32.encode_ycbcr_xla(
+        t, jnp.asarray(lut_l), jnp.asarray(lut_c),
+        rounding=rounding).reshape(3, -1))
 
 
 def decode_quantize32_ycbcr(data, luma_lut, chroma_lut,
@@ -432,11 +439,13 @@ def decode_quantize32_ycbcr(data, luma_lut, chroma_lut,
     """(3, S*8W) u8 YCbCr records -> (3, H/2, W) u8 planar RGB."""
     d = jnp.asarray(data)
     expect = 3 * (size_y // 2) * size_x
-    if d.size != expect:
+    if d.size % expect or d.size == 0:
         raise InvalidParameterError(
-            f"expected {expect} record bytes for {(size_x, size_y)}, "
-            f"got {d.size}")
-    records = d.reshape(3, (size_y // 2) // 8, 8 * size_x)
+            f"expected a multiple of {expect} record bytes for "
+            f"{(size_x, size_y)}, got {d.size}")
+    batch = d.size // expect
+    records = d.reshape(3, (size_y // 2) // 8, 8 * size_x) if batch == 1 \
+        else d.reshape(batch, 3, (size_y // 2) // 8, 8 * size_x)
     lut_l = np.asarray(luma_lut, np.float32).reshape(-1)
     lut_c = np.asarray(chroma_lut, np.float32).reshape(-1)
     if lut_l.size != 64 or lut_c.size != 64:
@@ -446,11 +455,12 @@ def decode_quantize32_ycbcr(data, luma_lut, chroma_lut,
     if tier == "pallas":
         from .kernels import pallas_dct as _pl
         if _pl.supports_mode("dec_quant32", size_y, size_x):
-            return _c32._dec32_rgb_panels(
-                records, jnp.asarray(lut_l), jnp.asarray(lut_c),
-                interpret=pallas_interpret)
-    return _c32.decode_ycbcr_xla(records, jnp.asarray(lut_l),
-                                 jnp.asarray(lut_c))
+            return _maybe_batch_color(records, lambda r:
+                                      _c32._dec32_rgb_panels(
+                r, jnp.asarray(lut_l), jnp.asarray(lut_c),
+                interpret=pallas_interpret))
+    return _maybe_batch_color(records, lambda r: _c32.decode_ycbcr_xla(
+        r, jnp.asarray(lut_l), jnp.asarray(lut_c)))
 
 
 def roundtrip_quantize32_ycbcr(planes, luma_lut, chroma_lut, *,
@@ -462,15 +472,21 @@ def roundtrip_quantize32_ycbcr(planes, luma_lut, chroma_lut, *,
     p, lut_l, lut_c, h, w = _validate_color(planes, luma_lut, chroma_lut)
     from .kernels import color32 as _c32
     tier = select_backend(backend, pallas_interpret=pallas_interpret)
-    top = p[:, : h // 2, :]
+    top = p[..., : h // 2, :]
     if tier == "pallas":
         from .kernels import pallas_dct as _pl
         if _pl.supports_mode("roundtrip32", h, w):
-            return _c32._roundtrip_rgb_panels(
-                top, jnp.asarray(lut_l), jnp.asarray(lut_c),
-                interpret=pallas_interpret)
-    rec = _c32.encode_ycbcr_xla(top, jnp.asarray(lut_l), jnp.asarray(lut_c))
-    return _c32.decode_ycbcr_xla(rec, jnp.asarray(lut_l), jnp.asarray(lut_c))
+            return _maybe_batch_color(top, lambda t:
+                                      _c32._roundtrip_rgb_panels(
+                t, jnp.asarray(lut_l), jnp.asarray(lut_c),
+                interpret=pallas_interpret))
+
+    def _one(t):
+        rec = _c32.encode_ycbcr_xla(t, jnp.asarray(lut_l),
+                                    jnp.asarray(lut_c))
+        return _c32.decode_ycbcr_xla(rec, jnp.asarray(lut_l),
+                                     jnp.asarray(lut_c))
+    return _maybe_batch_color(top, _one)
 
 
 # ---------------------------------------------------------------------------

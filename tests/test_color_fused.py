@@ -135,3 +135,23 @@ class TestColorApi:
         with pytest.raises(InvalidParameterError):
             sd.api.decode_quantize32_ycbcr(np.zeros(17, np.uint8), luma,
                                            chroma, W, H)
+
+    def test_api_batched_forms(self, rgb, luts):
+        import simd_dct_tpu as sd
+        luma, chroma = luts
+        batch = jnp.stack([jnp.asarray(rgb)] * 2)
+        rec_b = sd.api.encode_quantize32_ycbcr(batch, luma, chroma,
+                                               backend="xla")
+        assert rec_b.shape == (2, 3, (H // 2) * W)
+        rec_1 = sd.api.encode_quantize32_ycbcr(jnp.asarray(rgb), luma,
+                                               chroma, backend="xla")
+        np.testing.assert_array_equal(np.asarray(rec_b[0]),
+                                      np.asarray(rec_1))
+        dec_b = sd.api.decode_quantize32_ycbcr(rec_b, luma, chroma, W, H,
+                                               backend="xla")
+        assert dec_b.shape == (2, 3, H // 2, W)
+        rt_b = sd.api.roundtrip_quantize32_ycbcr(batch, luma, chroma,
+                                                 backend="xla")
+        assert rt_b.shape == (2, 3, H // 2, W)
+        np.testing.assert_array_equal(np.asarray(dec_b[0]),
+                                      np.asarray(dec_b[1]))
