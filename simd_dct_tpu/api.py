@@ -423,7 +423,7 @@ def encode_quantize32_ycbcr(planes, luma_lut, chroma_lut, *,
     if tier == "pallas":
         from .kernels import pallas_dct as _pl
         if _pl.supports_mode("enc_quant32", h, w):
-            return _maybe_batch_color(top, lambda t: _c32._enc32_rgb_panels(
+            return _maybe_batch_color(top, lambda t: _c32.enc32_rgb(
                 t, jnp.asarray(lut_l), jnp.asarray(lut_c),
                 rounding=rounding,
                 interpret=pallas_interpret).reshape(3, -1))
@@ -455,8 +455,7 @@ def decode_quantize32_ycbcr(data, luma_lut, chroma_lut,
     if tier == "pallas":
         from .kernels import pallas_dct as _pl
         if _pl.supports_mode("dec_quant32", size_y, size_x):
-            return _maybe_batch_color(records, lambda r:
-                                      _c32._dec32_rgb_panels(
+            return _maybe_batch_color(records, lambda r: _c32.dec32_rgb(
                 r, jnp.asarray(lut_l), jnp.asarray(lut_c),
                 interpret=pallas_interpret))
     return _maybe_batch_color(records, lambda r: _c32.decode_ycbcr_xla(
@@ -476,8 +475,7 @@ def roundtrip_quantize32_ycbcr(planes, luma_lut, chroma_lut, *,
     if tier == "pallas":
         from .kernels import pallas_dct as _pl
         if _pl.supports_mode("roundtrip32", h, w):
-            return _maybe_batch_color(top, lambda t:
-                                      _c32._roundtrip_rgb_panels(
+            return _maybe_batch_color(top, lambda t: _c32.rt32_rgb(
                 t, jnp.asarray(lut_l), jnp.asarray(lut_c),
                 interpret=pallas_interpret))
 

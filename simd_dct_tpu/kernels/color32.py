@@ -87,11 +87,12 @@ def _enc32_rgb_kernel(x_ref, b_ref, a_ref, ql_ref, qc_ref, out_ref, *,
 def _enc32_rgb_panels(planes: jax.Array, luma: jax.Array, chroma: jax.Array,
                       *, rounding: str = "rne", interpret: bool = False,
                       precision: str = "bf16") -> jax.Array:
-    """(3, H2, W) u8 planar RGB -> (3, S, 8W) u8 YCbCr mode32 records."""
+    """(3, H2, W) u8 planar RGB -> (3, S, 8W) u8 YCbCr mode32 records
+    (any H2 % 8 == 0; final partial panel via edge-block masking)."""
     _, h2, w = planes.shape
-    assert h2 % PANEL == 0 and w % CHUNK == 0
-    halves = 2 if (h2 // PANEL) % 2 == 0 else 1
-    num_steps = h2 // (PANEL * halves)
+    assert h2 % 8 == 0 and w % CHUNK == 0
+    halves = 2 if h2 > PANEL else 1
+    num_steps = -(-h2 // (PANEL * halves))
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     kernel = functools.partial(_enc32_rgb_kernel, rounding=rounding,
                                num_chunks=w // CHUNK, dtype=dtype,
@@ -170,12 +171,13 @@ def _dec32_rgb_kernel(rec_ref, b_ref, a_ref, qil_ref, qic_ref, out_ref, *,
 def _dec32_rgb_panels(records: jax.Array, luma: jax.Array, chroma: jax.Array,
                       *, interpret: bool = False,
                       precision: str = "bf16") -> jax.Array:
-    """(3, S, 8W) u8 YCbCr mode32 records -> (3, H2, W) u8 planar RGB."""
+    """(3, S, 8W) u8 YCbCr mode32 records -> (3, H2, W) u8 planar RGB
+    (any S; final partial block via edge-block masking)."""
     _, s, w8 = records.shape
     w = w8 // 8
-    assert (s * 8) % PANEL == 0 and w % CHUNK == 0
-    halves = 2 if s % 32 == 0 else 1
-    num_steps = s // (16 * halves)
+    assert w % CHUNK == 0
+    halves = 2 if s > 16 else 1
+    num_steps = -(-s // (16 * halves))
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     kernel = functools.partial(_dec32_rgb_kernel, num_chunks=w // CHUNK,
                                dtype=dtype, halves=halves)
@@ -253,12 +255,12 @@ def _roundtrip_rgb_panels(planes: jax.Array, luma: jax.Array,
     """(3, H2, W) u8 planar RGB -> (3, H2, W) u8: fused YCbCr mode32
     encode->decode round trip (BASELINE config 2/3 workload)."""
     _, h2, w = planes.shape
-    assert h2 % PANEL == 0 and w % CHUNK == 0
+    assert h2 % 8 == 0 and w % CHUNK == 0
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     kernel = functools.partial(_roundtrip_rgb_kernel, num_chunks=w // CHUNK,
                                dtype=dtype)
     grid_spec = pl.GridSpec(
-        grid=(h2 // PANEL,),
+        grid=(-(-h2 // PANEL),),
         in_specs=[
             pl.BlockSpec((3, PANEL, w), lambda p: (0, p, 0),
                          memory_space=pltpu.VMEM)] + [
@@ -281,36 +283,72 @@ def _roundtrip_rgb_panels(planes: jax.Array, luma: jax.Array,
       _q_big(dequant_scales(luma)), _q_big(dequant_scales(chroma)))
 
 
-# -- public entry points ---------------------------------------------------
+# -- public entry points (pad-and-slice coverage for unaligned sizes) ------
+
+def enc32_rgb(top, luma_lut, chroma_lut, rounding="rne",
+              interpret=False, precision="bf16"):
+    """(3, H2, W) u8 planar RGB top view -> (3, S, 8W) u8 YCbCr mode32
+    records; unaligned geometries via the pad-and-slice wrappers."""
+    from .pallas_dct import _ceil_to, _pad_view, _slice_records
+    _, h2, w = top.shape
+    wp = _ceil_to(w, CHUNK)   # H needs no padding: non-dividing grid
+    rec = _enc32_rgb_panels(_pad_view(top, h2, wp), jnp.asarray(luma_lut),
+                            jnp.asarray(chroma_lut), rounding=rounding,
+                            interpret=interpret, precision=precision)
+    return _slice_records(rec, h2 // 8, w, 64, h2 // 8, wp)
+
+
+def dec32_rgb(records, luma_lut, chroma_lut, interpret=False,
+              precision="bf16"):
+    """(3, S, 8W) u8 YCbCr mode32 records -> (3, H2, W) u8 planar RGB."""
+    from .pallas_dct import _ceil_to, _pad_records
+    _, s, w8 = records.shape
+    w = w8 // 8
+    wp = _ceil_to(w, CHUNK)
+    rp = _pad_records(records, s, w, 64, s, wp)
+    out = _dec32_rgb_panels(rp, jnp.asarray(luma_lut),
+                            jnp.asarray(chroma_lut), interpret=interpret,
+                            precision=precision)
+    return out[:, :, :w] if wp != w else out
+
+
+def rt32_rgb(top, luma_lut, chroma_lut, interpret=False, precision="bf16"):
+    """(3, H2, W) u8 planar RGB top view -> (3, H2, W) u8 fused RGB->RGB
+    round trip."""
+    from .pallas_dct import _ceil_to, _pad_view
+    _, h2, w = top.shape
+    wp = _ceil_to(w, CHUNK)
+    out = _roundtrip_rgb_panels(_pad_view(top, h2, wp),
+                                jnp.asarray(luma_lut),
+                                jnp.asarray(chroma_lut),
+                                interpret=interpret, precision=precision)
+    return out[:, :, :w] if wp != w else out
+
 
 def encode_quantize32_ycbcr(planes, luma_lut, chroma_lut, rounding="rne",
                             interpret=False, precision="bf16"):
     """(3, H, W) u8 planar RGB (TOP view encoded, dual-view convention)
     -> (3, S*8W) u8 per-channel YCbCr mode32 records."""
     _, h, w = planes.shape
-    rec = _enc32_rgb_panels(planes[:, : h // 2, :], jnp.asarray(luma_lut),
-                            jnp.asarray(chroma_lut), rounding=rounding,
-                            interpret=interpret, precision=precision)
-    return rec.reshape(3, -1)
+    return enc32_rgb(planes[:, : h // 2, :], luma_lut, chroma_lut,
+                     rounding=rounding, interpret=interpret,
+                     precision=precision).reshape(3, -1)
 
 
 def decode_quantize32_ycbcr(data, luma_lut, chroma_lut, size_x, size_y,
                             interpret=False, precision="bf16"):
     """(3, S*8W) u8 records -> (3, H/2, W) u8 planar RGB."""
     records = jnp.asarray(data).reshape(3, (size_y // 2) // 8, 8 * size_x)
-    return _dec32_rgb_panels(records, jnp.asarray(luma_lut),
-                             jnp.asarray(chroma_lut), interpret=interpret,
-                             precision=precision)
+    return dec32_rgb(records, luma_lut, chroma_lut, interpret=interpret,
+                     precision=precision)
 
 
 def roundtrip_quantize32_ycbcr(planes, luma_lut, chroma_lut,
                                interpret=False, precision="bf16"):
     """(3, H, W) u8 planar RGB -> (3, H/2, W) u8 fused round trip."""
     _, h, w = planes.shape
-    return _roundtrip_rgb_panels(planes[:, : h // 2, :],
-                                 jnp.asarray(luma_lut),
-                                 jnp.asarray(chroma_lut),
-                                 interpret=interpret, precision=precision)
+    return rt32_rgb(planes[:, : h // 2, :], luma_lut, chroma_lut,
+                    interpret=interpret, precision=precision)
 
 
 # -- portable XLA fallback tier (same math, no Pallas requirement) ---------

@@ -19,9 +19,12 @@ Design (SURVEY.md §3.2: the TPU translation of the AVX-512 kernel's
   permute-by-constant is the whole game.
 * Quantize + bias + clamp + u8 pack fuse in; the decode kernel inverts
   the same scheme (slices -> dequant -> transposed-basis matmuls).
-* Mode coverage: enc-quant32 encode/decode and the fused round-trip run
-  fully in-kernel; enc-quant and stereo use the hybrid tile kernels
-  (_tiles_kernel/_detile_kernel) plus kernels.panel's XLA byte permutes.
+* Mode coverage: all three modes (enc-quant scalar/pair, enc-quant32,
+  stereo planar) encode AND decode fully in-kernel; unaligned
+  geometries are served by the pad-and-slice coverage wrappers (see
+  "geometry coverage" below), so every contract-valid size takes the
+  fused path.  The hybrid tile kernels (_tiles_kernel/_detile_kernel)
+  remain as the building blocks of kernels.panel's XLA tier glue.
 
 Byte-compatible with the XLA/golden tiers up to the usual last-ulp
 rounding-boundary flips (~1% of bytes, +-1).  MXU operands default to
@@ -150,11 +153,15 @@ def _enc32_panels(view: jax.Array, scales: jax.Array, *, normalize: bool,
                   rounding: str, interpret: bool = False,
                   precision: str = "f32") -> jax.Array:
     """(H2, W) u8 view -> (S, 8W) u8 mode32 strip records.
-    Requires H2 % 128 == 0 and W % 128 == 0 (else dispatcher uses XLA)."""
+    Requires W % 128 == 0; any H2 % 8 == 0 works — the grid is a ceiling
+    division and the final partial panel relies on Mosaic's edge-block
+    masking (pad rows read garbage, but the strip bases are block-
+    diagonal per 8 rows so real strips never mix with pad rows, and the
+    partial output block drops the pad strips' records)."""
     h2, w = view.shape
-    assert h2 % PANEL == 0 and w % CHUNK == 0
-    halves = 2 if (h2 // PANEL) % 2 == 0 else 1
-    num_steps = h2 // (PANEL * halves)
+    assert h2 % 8 == 0 and w % CHUNK == 0
+    halves = 2 if h2 > PANEL else 1
+    num_steps = -(-h2 // (PANEL * halves))
     num_chunks = w // CHUNK
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
@@ -230,12 +237,14 @@ def _dec32_kernel(rec_ref, b_ref, a_ref, qi_ref, out_ref, *, normalize: bool,
 def _dec32_panels(records: jax.Array, qi: jax.Array, *, normalize: bool,
                   interpret: bool = False,
                   precision: str = "bf16") -> jax.Array:
-    """(S, 8W) u8 mode32 records -> (H2, W) u8 view."""
+    """(S, 8W) u8 mode32 records -> (H2, W) u8 view (any S; the final
+    partial record block decodes garbage pad strips whose pixel rows the
+    partial output block drops)."""
     s, w8 = records.shape
     w = w8 // 8
-    assert (s * 8) % PANEL == 0 and w % CHUNK == 0
-    halves = 2 if s % 32 == 0 else 1
-    num_steps = s // (16 * halves)
+    assert w % CHUNK == 0
+    halves = 2 if s > 16 else 1
+    num_steps = -(-s // (16 * halves))
     num_chunks = w // CHUNK
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     kernel = functools.partial(_dec32_kernel, normalize=normalize,
@@ -429,14 +438,15 @@ def _roundtrip_kernel(x_ref, b_ref, a_ref, q_ref, qi_ref, out_ref, *,
 def _roundtrip_panels(view: jax.Array, lut: jax.Array, *, normalize: bool,
                       interpret: bool = False,
                       precision: str = "bf16") -> jax.Array:
-    """(H2, W) u8 -> (H2, W) u8: fused mode32 encode->decode round trip."""
+    """(H2, W) u8 -> (H2, W) u8: fused mode32 encode->decode round trip
+    (any H2 % 8 == 0; final partial panel via edge-block masking)."""
     h2, w = view.shape
-    assert h2 % PANEL == 0 and w % CHUNK == 0
+    assert h2 % 8 == 0 and w % CHUNK == 0
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     kernel = functools.partial(_roundtrip_kernel, normalize=normalize,
                                num_chunks=w // CHUNK, dtype=dtype)
     grid_spec = pl.GridSpec(
-        grid=(h2 // PANEL,),
+        grid=(-(-h2 // PANEL),),
         in_specs=[
             pl.BlockSpec((PANEL, w), lambda p: (p, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 128), lambda p: (0, 0), memory_space=pltpu.VMEM),
@@ -463,9 +473,13 @@ def _roundtrip_panels(view: jax.Array, lut: jax.Array, *, normalize: bool,
 def roundtrip_quantize32(img, lut, interpret=False, precision="bf16"):
     """Fused mode32 encode->decode of the TOP view -> (H/2, W) u8."""
     h, w = img.shape
-    return _roundtrip_panels(img[: h // 2, :], jnp.asarray(lut, jnp.float32),
-                             normalize=False, interpret=interpret,
-                             precision=precision)
+    h2 = h // 2
+    wp = _ceil_to(w, CHUNK)
+    out = _roundtrip_panels(_pad_view(img[:h2, :], h2, wp),
+                            jnp.asarray(lut, jnp.float32),
+                            normalize=False, interpret=interpret,
+                            precision=precision)
+    return out[:, :w] if wp != w else out
 
 
 def supports(h: int, w: int) -> bool:
@@ -476,14 +490,82 @@ def supports(h: int, w: int) -> bool:
 def supports_mode(mode: str, h: int, w: int) -> bool:
     """Per-mode Pallas geometry gate for api dispatch (≙ the per-kernel
     ISA requirements of the reference dispatch, src/simd_dct.cpp:78-127).
-    All modes need panel alignment; the mode32 family additionally needs
-    W % 64 == 0 (groups of 8 blocks, src/simd_dct.cpp:118)."""
-    if not supports(h, w):
+
+    Round 2: any geometry meeting the mode's byte contract is served —
+    (PANEL, CHUNK)-aligned views hit the kernels directly, everything
+    else goes through the pad-and-slice coverage wrappers below.  The
+    mode32 family needs W % 64 == 0 (groups of 8 blocks,
+    src/simd_dct.cpp:118); the pair-cell pipeline needs whole 2-block
+    cells (W % 16); stereo planar needs only whole blocks."""
+    if h <= 0 or w <= 0 or h % 16:
         return False
     if mode in ("enc_quant32", "dec_quant32", "roundtrip32"):
         return w % 64 == 0
-    return mode in ("enc_quant", "dec_quant", "enc_quant_stereo",
-                    "dec_quant_stereo")
+    if mode in ("enc_quant", "dec_quant"):
+        return w % 16 == 0
+    if mode in ("enc_quant_stereo", "dec_quant_stereo"):
+        return w % 8 == 0
+    return False
+
+
+# -- geometry coverage ------------------------------------------------------
+#
+# Two mechanisms serve every geometry the reference accepts:
+#
+# * H axis: the kernels use NON-DIVIDING grids (ceiling division).  The
+#   final partial panel relies on Mosaic's edge-block masking — pad rows
+#   read arbitrary bytes, but every basis matrix is block-diagonal per
+#   8-row strip, so real strips never mix with pad rows, and the partial
+#   output block drops the pad strips' records (verified on v5e
+#   hardware: partial blocks compile and store correctly).  Zero extra
+#   HBM traffic for any H2 % 8 == 0.
+# * W axis (rare: W % 128 != 0, or W < 512 for the pair pipeline): the
+#   view is zero-padded up to chunk alignment and the padded
+#   groups/cells are sliced back out of the record stream.  Blocks never
+#   straddle an 8-px boundary, so padding contributes only whole
+#   trailing granules per strip (and zero record bytes decode into whole
+#   padded blocks which the pixel slice drops).
+#
+# For aligned geometries every helper is a no-op, so the fast path is
+# untouched.
+
+def _ceil_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _pad_view(view: jax.Array, h2p: int, wp: int) -> jax.Array:
+    """Zero-pad the trailing (rows, cols) axes of a (..., H2, W) view."""
+    h2, w = view.shape[-2:]
+    if (h2, w) == (h2p, wp):
+        return view
+    pad = [(0, 0)] * (view.ndim - 2) + [(0, h2p - h2), (0, wp - w)]
+    return jnp.pad(view, pad)
+
+
+def _slice_records(recs: jax.Array, s: int, w: int, unit: int,
+                   sp: int, wp: int) -> jax.Array:
+    """(..., Sp, 8*Wp) strip records -> (..., S, 8*W).  ``unit`` is the
+    record granule in pixels (64 px = one 512-byte mode32 group, 16 px =
+    one 128-byte pair cell); granules are x-major within a strip row, so
+    the padded ones are a trailing slice at granule granularity."""
+    if (sp, wp) == (s, w):
+        return recs
+    lead = recs.shape[:-2]
+    r = recs.reshape(lead + (sp, wp // unit, 8 * unit))
+    return r[..., :s, : w // unit, :].reshape(lead + (s, 8 * w))
+
+
+def _pad_records(recs: jax.Array, s: int, w: int, unit: int,
+                 sp: int, wp: int) -> jax.Array:
+    """Inverse of _slice_records: zero-pad (..., S, 8*W) records to the
+    padded geometry (zero bytes form whole padded blocks on decode)."""
+    if (sp, wp) == (s, w):
+        return recs
+    lead = recs.shape[:-2]
+    r = recs.reshape(lead + (s, w // unit, 8 * unit))
+    pad = [(0, 0)] * (r.ndim - 3) + [(0, sp - s),
+                                     (0, (wp - w) // unit), (0, 0)]
+    return jnp.pad(r, pad).reshape(lead + (sp, 8 * wp))
 
 
 def _mask_strips(records: jax.Array, start_y: int, end_y: int,
@@ -509,19 +591,26 @@ def encode_quantize32(img, lut, start_y=0, end_y=1 << 30, rounding="rne",
     bf16 runs ~2.5x faster, so bf16 is the default; 'f32' is kept for
     platforms where the two could diverge."""
     h, w = img.shape
-    view = img[: h // 2, :]
-    records = _enc32_panels(view, quant_scales(lut), normalize=False,
+    h2 = h // 2
+    wp = _ceil_to(w, CHUNK)   # H needs no padding: non-dividing grid
+    records = _enc32_panels(_pad_view(img[:h2, :], h2, wp),
+                            quant_scales(lut), normalize=False,
                             rounding=rounding, interpret=interpret,
                             precision=precision)
+    records = _slice_records(records, h2 // 8, w, 64, h2 // 8, wp)
     return _mask_strips(records, start_y, end_y).reshape(-1)
 
 
 def decode_quantize32(data, lut, size_x, size_y, interpret=False,
                       precision="bf16"):
     """Pallas fast path for the mode32 inverse (north-star decode)."""
-    records = jnp.asarray(data).reshape((size_y // 2) // 8, 8 * size_x)
-    return _dec32_panels(records, dequant_scales(lut), normalize=False,
-                         interpret=interpret, precision=precision)
+    h2 = size_y // 2
+    records = jnp.asarray(data).reshape(h2 // 8, 8 * size_x)
+    wp = _ceil_to(size_x, CHUNK)
+    records = _pad_records(records, h2 // 8, size_x, 64, h2 // 8, wp)
+    out = _dec32_panels(records, dequant_scales(lut), normalize=False,
+                        interpret=interpret, precision=precision)
+    return out[:, :size_x] if wp != size_x else out
 
 
 # -- fused enc-quant PAIR layout (the reference's flagship SIMD layout) ----
@@ -697,16 +786,17 @@ def _encq_pair_panels(view: jax.Array, scales: jax.Array, *, rounding: str,
     """(H2, W) u8 view -> (S, 8W) u8 strip records in the SIMD pair-cell
     layout (or, with scalar_pi, the block-contiguous scalar layout via a
     per-cell permutation matmul), fully in-kernel.  Requires
-    H2 % 128 == 0, W % 128 == 0 and W >= 512 (4-chunk transpose groups)."""
+    W % 128 == 0 and W >= 512 (4-chunk transpose groups); any
+    H2 % 8 == 0 (final partial panel via edge-block masking)."""
     h2, w = view.shape
-    assert h2 % PANEL == 0 and w % CHUNK == 0 and w >= 4 * CHUNK
+    assert h2 % 8 == 0 and w % CHUNK == 0 and w >= 4 * CHUNK
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     kernel = functools.partial(
         _encq_pair_kernel, rounding=rounding,
         groups=_pair_groups(w // CHUNK), as_written=as_written,
         scalar_pi=scalar_pi, dtype=dtype)
     grid_spec = pl.GridSpec(
-        grid=(h2 // PANEL,),
+        grid=(-(-h2 // PANEL),),
         in_specs=[
             pl.BlockSpec((PANEL, w), lambda p: (p, 0),
                          memory_space=pltpu.VMEM)] + [
@@ -806,14 +896,14 @@ def _decq_pair_panels(records: jax.Array, inv_scales: jax.Array, *,
     s, w8 = records.shape
     w = w8 // 8
     h2 = s * 8
-    assert h2 % PANEL == 0 and w % CHUNK == 0 and w >= 4 * CHUNK
+    assert w % CHUNK == 0 and w >= 4 * CHUNK
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     kernel = functools.partial(_decq_pair_kernel,
                                groups=_pair_groups(w // CHUNK),
                                scalar_pi=scalar_pi, dtype=dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(h2 // PANEL,),
+        grid=(-(-h2 // PANEL),),
         in_specs=[
             pl.BlockSpec((16, 8 * w), lambda p: (p, 0))] + [
             pl.BlockSpec((128, 128), lambda p: (0, 0))] * 4,
@@ -892,11 +982,12 @@ def _dec_stereo_kernel(in_ref, b_ref, a_ref, qi_ref, out_ref,
 def _dec_stereo_panels(planar: jax.Array, inv_scales: jax.Array, *,
                        interpret: bool = False,
                        precision: str = "bf16") -> jax.Array:
-    """(64, S, 2, BW) u8 planar tensor -> (H, W) u8 dual-view image."""
+    """(64, S, 2, BW) u8 planar tensor -> (H, W) u8 dual-view image
+    (any S; final partial panel via edge-block masking)."""
     _, s, _, bw = planar.shape
     h2, w = s * 8, bw * 8
-    assert h2 % PANEL == 0 and w % CHUNK == 0
-    n_pg = h2 // PANEL
+    assert w % CHUNK == 0
+    n_pg = -(-h2 // PANEL)
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     # pure reshape (no data movement): one (64, 16, 2*BW) block per panel
     flat = planar.reshape(64, s, 2 * bw)
@@ -978,7 +1069,7 @@ def _enc_stereo_kernel(xl_ref, xr_ref, b_ref, a_ref, q_ref,
     q_big = q_ref[...]
 
     def compute_tile(x_ref, c):
-        x = (x_ref[:, pl.ds(c * CHUNK, CHUNK)].astype(jnp.int32)
+        x = (x_ref[0, :, pl.ds(c * CHUNK, CHUNK)].astype(jnp.int32)
              .astype(jnp.float32) * jnp.float32(1.0 / 255.0)).astype(dtype)
         y = jnp.dot(x, amat, preferred_element_type=jnp.float32) \
             .astype(dtype)
@@ -1017,19 +1108,23 @@ def _enc_stereo_panels(img: jax.Array, scales: jax.Array, *, rounding: str,
     materialize the planar tensor (two-dispatch)."""
     h, w = img.shape
     h2 = h // 2
-    assert h2 % PANEL == 0 and w % CHUNK == 0
-    n_pg = h2 // PANEL
+    assert h2 % 8 == 0 and w % CHUNK == 0
+    n_pg = -(-h2 // PANEL)
     bw = w // 8
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    # (2, H2, W) view tensor (pure reshape) so the right view starts on
+    # a block boundary for ANY H2 % 8 == 0, not just panel multiples;
+    # the final partial panel relies on Mosaic edge-block masking.
+    views = img.reshape(2, h2, w)
     kernel = functools.partial(_enc_stereo_kernel, rounding=rounding,
                                groups=_stereo_groups(w // CHUNK),
                                dtype=dtype)
     grid_spec = pl.GridSpec(
         grid=(n_pg,),
         in_specs=[
-            pl.BlockSpec((PANEL, w), lambda pg: (pg, 0),
+            pl.BlockSpec((1, PANEL, w), lambda pg: (0, pg, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PANEL, w), lambda pg: (n_pg + pg, 0),
+            pl.BlockSpec((1, PANEL, w), lambda pg: (1, pg, 0),
                          memory_space=pltpu.VMEM)] + [
             pl.BlockSpec((128, 128), lambda pg: (0, 0),
                          memory_space=pltpu.VMEM)] * 3,
@@ -1044,7 +1139,7 @@ def _enc_stereo_panels(img: jax.Array, scales: jax.Array, *, rounding: str,
             flops=2 * 2 * 128 * 128 * w * 2 * n_pg,
             bytes_accessed=2 * h * w, transcendentals=0),
         interpret=interpret,
-    )(img, img, jnp.asarray(_row_basis_np()).astype(dtype),
+    )(views, views, jnp.asarray(_row_basis_np()).astype(dtype),
       jnp.asarray(_stereo_col_basis_np()).astype(dtype),
       _stereo_q_tile(scales))
     return jnp.stack([out_l, out_r], axis=2)
@@ -1064,45 +1159,30 @@ def encode_quantize(img, lut, start_y=0, end_y=1 << 30, rounding="rne",
     in-kernel for the SIMD pair layouts (src/simd_dct.cpp:1540-1704);
     hybrid (tile kernel + XLA permute) for the NoSimd scalar layout."""
     h, w = img.shape
-    view = img[: h // 2, :]
-    if w >= 4 * CHUNK:
-        records = _encq_pair_panels(
-            view, quant_scales(lut), rounding=rounding,
-            as_written=(layout == "pair_as_written"),
-            scalar_pi=(layout == "scalar"), interpret=interpret,
-            precision=precision)
-        return _mask_strips(records, start_y, end_y,
-                            legacy_range).reshape(-1)
-    from . import panel as _panel
-    tiles = _tiles_panels(view, quant_scales(lut), normalize=True,
-                          rounding=rounding, orientation="fx",
-                          interpret=interpret, precision=precision)
-    flat = (_panel.tiles_to_block_contiguous(tiles) if layout == "scalar"
-            else _panel.tiles_to_pair(tiles))
-    if layout == "pair_as_written":
-        from ..layout import reorder as _reorder
-        flat = _reorder.pair_as_written(flat)
-    records = flat.reshape((h // 2) // 8, 8 * w)
+    h2 = h // 2
+    wp = max(_ceil_to(w, CHUNK), 4 * CHUNK)
+    records = _encq_pair_panels(
+        _pad_view(img[:h2, :], h2, wp), quant_scales(lut),
+        rounding=rounding, as_written=(layout == "pair_as_written"),
+        scalar_pi=(layout == "scalar"), interpret=interpret,
+        precision=precision)
+    records = _slice_records(records, h2 // 8, w, 16, h2 // 8, wp)
     return _mask_strips(records, start_y, end_y, legacy_range).reshape(-1)
 
 
 def decode_quantize(data, lut, size_x, size_y, layout="scalar",
                     interpret=False, precision="bf16"):
-    """Fast path for the enc-quant inverse: fully in-kernel for W >= 512
-    (the exact inverse of the fused encode pipeline)."""
+    """Fast path for the enc-quant inverse: fully in-kernel (the exact
+    inverse of the fused encode pipeline; unaligned geometries via
+    record padding)."""
     h2 = size_y // 2
-    d = jnp.asarray(data).reshape(-1)
-    if size_x >= 4 * CHUNK:
-        records = d.reshape(h2 // 8, 8 * size_x)
-        return _decq_pair_panels(records, dequant_scales(lut),
-                                 scalar_pi=(layout == "scalar"),
-                                 interpret=interpret, precision=precision)
-    from . import panel as _panel
-    tiles = (_panel.block_contiguous_to_tiles(d, h2, size_x)
-             if layout == "scalar" else _panel.pair_to_tiles(d, h2, size_x))
-    return _detile_panels(tiles, dequant_scales(lut), normalize=True,
-                          orientation="fx", interpret=interpret,
-                          precision=precision)
+    records = jnp.asarray(data).reshape(h2 // 8, 8 * size_x)
+    wp = max(_ceil_to(size_x, CHUNK), 4 * CHUNK)
+    records = _pad_records(records, h2 // 8, size_x, 16, h2 // 8, wp)
+    out = _decq_pair_panels(records, dequant_scales(lut),
+                            scalar_pi=(layout == "scalar"),
+                            interpret=interpret, precision=precision)
+    return out[:, :size_x] if wp != size_x else out
 
 
 def encode_quantize_stereo(img, lut, start_y=0, end_y=1 << 30,
@@ -1111,8 +1191,14 @@ def encode_quantize_stereo(img, lut, start_y=0, end_y=1 << 30,
     """Fast path for the stereo coefficient-planar mode: fully fused
     in-kernel (src/simd_dct.cpp:896-1103 semantics)."""
     h, w = img.shape
+    h2, bw = h // 2, w // 8
+    wp = _ceil_to(w, CHUNK)
+    if wp != w:   # W padding pads both stacked views row-wise at once
+        img = jnp.pad(img, ((0, 0), (0, wp - w)))
     planar = _enc_stereo_panels(img, quant_scales(lut), rounding=rounding,
                                 interpret=interpret, precision=precision)
+    if wp != w:
+        planar = planar[:, :, :, :bw]
     flat = planar.reshape(-1)
     if not (start_y == 0 and end_y >= h):
         s = np.arange(h // 16)
@@ -1127,7 +1213,14 @@ def decode_quantize_stereo(data, lut, size_x, size_y, interpret=False,
     """Fast path for the stereo inverse: fully in-kernel (the exact
     inverse of the fused plane-patch encode)."""
     h2 = size_y // 2
-    d = jnp.asarray(data).reshape(-1)
-    planar = d.reshape(64, h2 // 8, 2, size_x // 8)
-    return _dec_stereo_panels(planar, dequant_scales(lut),
-                              interpret=interpret, precision=precision)
+    planar = jnp.asarray(data).reshape(64, h2 // 8, 2, size_x // 8)
+    wp = _ceil_to(size_x, CHUNK)
+    if wp != size_x:
+        planar = jnp.pad(planar, ((0, 0), (0, 0), (0, 0),
+                                  (0, (wp - size_x) // 8)))
+    out = _dec_stereo_panels(planar, dequant_scales(lut),
+                             interpret=interpret, precision=precision)
+    if wp != size_x:
+        out = out.reshape(2, h2, wp)[:, :, :size_x] \
+            .reshape(size_y, size_x)
+    return out

@@ -136,6 +136,29 @@ class TestColorApi:
             sd.api.decode_quantize32_ycbcr(np.zeros(17, np.uint8), luma,
                                            chroma, W, H)
 
+    def test_api_unaligned_geometry(self, luts):
+        """Round 2: unaligned color geometries reach the fused RGB
+        kernels through the pad-and-slice wrappers."""
+        import simd_dct_tpu as sd
+        luma, chroma = luts
+        h, w = 48, 192          # h2=24 (3 strips), W not chunk-aligned
+        rng = np.random.default_rng(5)
+        rgb = rng.integers(0, 256, (3, h, w), dtype=np.uint8)
+        kw = dict(backend="pallas", pallas_interpret=True)
+        rec = sd.api.encode_quantize32_ycbcr(rgb, luma, chroma, **kw)
+        ref = sd.api.encode_quantize32_ycbcr(rgb, luma, chroma,
+                                             backend="xla")
+        diff = np.abs(np.asarray(rec).astype(np.int16)
+                      - np.asarray(ref).astype(np.int16))
+        assert diff.max(initial=0) <= 1
+        assert np.count_nonzero(diff) <= max(4, diff.size * 0.03)
+        dec = sd.api.decode_quantize32_ycbcr(rec, luma, chroma, w, h, **kw)
+        assert dec.shape == (3, h // 2, w)
+        rt = sd.api.roundtrip_quantize32_ycbcr(rgb, luma, chroma, **kw)
+        ddiff = np.abs(np.asarray(dec).astype(np.int16)
+                       - np.asarray(rt).astype(np.int16))
+        assert ddiff.max(initial=0) <= 2
+
     def test_api_batched_forms(self, rgb, luts):
         import simd_dct_tpu as sd
         luma, chroma = luts
