@@ -28,8 +28,9 @@ from .mesh import DATA_AXIS
 
 def _use_pallas(mesh: Mesh, h2_local: int, w: int) -> bool:
     """Shards run the fused Pallas kernels when the mesh devices are TPUs
-    with a working Mosaic path and panel-aligned local geometry (the
-    multi-chip analog of the api tier cascade); otherwise the portable
+    with a working Mosaic path and chunk-aligned width (any H2 % 8 == 0
+    local strip count rides the kernels' non-dividing grids) — the
+    multi-chip analog of the api tier cascade; otherwise the portable
     XLA tier (e.g. on the virtual CPU test mesh)."""
     if mesh.devices.flat[0].platform != "tpu":
         return False

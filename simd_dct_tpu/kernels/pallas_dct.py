@@ -483,8 +483,11 @@ def roundtrip_quantize32(img, lut, interpret=False, precision="bf16"):
 
 
 def supports(h: int, w: int) -> bool:
-    """Pallas fast path geometry requirement (else XLA tier)."""
-    return (h // 2) % PANEL == 0 and w % CHUNK == 0
+    """Zero-overhead Pallas geometry: no W padding needed, and any
+    H2 % 8 == 0 rides the non-dividing grids directly.  Used by the
+    sharded paths (dist/sharding.py), which call the panel kernels
+    without the W pad-and-slice wrappers."""
+    return h % 16 == 0 and w % CHUNK == 0
 
 
 def supports_mode(mode: str, h: int, w: int) -> bool:

@@ -30,8 +30,9 @@ def _agree(a, b, tol_rate=0.002):
 
 def test_supports():
     assert PK.supports(256, 128)
-    assert not PK.supports(192, 128)   # H2=96 not a panel multiple
-    assert not PK.supports(256, 192)
+    assert PK.supports(192, 128)       # any H2 % 8 == 0: non-dividing grid
+    assert not PK.supports(256, 192)   # W % 128 != 0 needs pad-and-slice
+    assert not PK.supports(40, 128)    # H % 16 != 0 (dual-view contract)
 
 
 def test_enc32_interpret(img):
