@@ -74,6 +74,16 @@ def main():
         jax.block_until_ready([x for _, x in out])
         return out
 
+    def dev_batches_u32(shape):
+        out = []
+        for b in (8, 72):
+            key = jax.random.PRNGKey(b)
+            out.append((b, jax.random.randint(
+                key, (b,) + shape, 0, 2 ** 31 - 1, dtype=jnp.int32)
+                .astype(jnp.uint32)))
+        jax.block_until_ready([x for _, x in out])
+        return out
+
     # the constant per-dispatch cost (~25 ms through the tunnel) cancels
     # in the slope
     bs_enc = dev_batches((H2, W))
@@ -98,21 +108,35 @@ def main():
             f2 = jax.jit(lambda o: jnp.sum(o.astype(jnp.int32)))
             return lambda xb: f2(f1(xb))
 
+        # Second probe with u32 lanes over the same byte count: XLA's
+        # u8 elementwise pass underruns the HBM ceiling (~390 vs ~570
+        # GB/s measured), which made the encode read >1.0x "roofline".
+        # The roofline is the max of both probes.
+        def copy_checksum32():
+            f1 = jax.jit(lambda xs: xs + jnp.uint32(1))
+            f2 = jax.jit(lambda o: jnp.sum(o).astype(jnp.float32))
+            return lambda xb: f2(f1(xb))
+
+        bs_copy32 = dev_batches_u32((H2, W // 4))
+
         def one_enc(v):
             return PK._enc32_panels(v, scales, normalize=False,
                                     rounding="rne", precision="bf16")
         try:
             # median of repeated slope estimates: single slopes vary
             # +-20% (occasionally negative) from tunnel jitter
-            def robust_slope(mk, tries=7):
+            def robust_slope(mk, tries=7, batches=None):
                 import statistics
-                vals = [v for v in (_slope_ms(mk, bs_enc)
+                vals = [v for v in (_slope_ms(mk, batches or bs_enc)
                                     for _ in range(tries)) if v > 0]
                 if not vals:
                     raise RuntimeError("no positive slope measurement")
                 return statistics.median(vals)
 
-            copy_s = robust_slope(copy_checksum)
+            # roofline = the faster of the u8 and u32 copy probes
+            copy_s = min(robust_slope(copy_checksum),
+                         robust_slope(copy_checksum32, batches=bs_copy32))
+            del bs_copy32
             enc_s = robust_slope(checksum(one_enc))
             tier = "pallas_bf16"
         except Exception:
@@ -201,9 +225,12 @@ def main():
     gbps = logical_bytes / enc_s / 1e9
     copy_gbps = None
     if use_pallas and copy_s > 0:
-        # measured same-harness u8 copy roofline (the honest ceiling)
+        # measured same-harness copy roofline (the honest ceiling),
+        # clamped to the device's spec HBM peak — a probe reading above
+        # spec is tunnel noise, not bandwidth
         copy_gbps = round(logical_bytes / copy_s / 1e9, 2)
-        roof_gbps = copy_gbps
+        spec = hbm_peak_gbps(info.device_kind)
+        roof_gbps = min(copy_gbps, spec) if spec else copy_gbps
     else:
         roof_gbps = hbm_peak_gbps(info.device_kind) or 819.0
     # An encode "faster than copy" is a measurement failure, not a win:
