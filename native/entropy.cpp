@@ -1,0 +1,275 @@
+// Native entropy-coding stage: order-0 canonical Huffman over the
+// quantized record byte stream (north-star extension BEYOND the
+// reference — rainerzufalldererste/simd_dct stops at quantized bytes;
+// this completes the codec story: records -> compressed bitstream).
+//
+// Division of labor with the TPU: the device computes the quantized
+// records and (optionally) the 256-bin histogram in one pass; the
+// variable-length bit packing — inherently sequential, branchy, and
+// byte-granular — runs here on the host.  Codes are canonical and
+// length-limited to 15 bits (JPEG K.3 Adjust_BITS), so the decoder is a
+// single 32K-entry peek LUT.
+//
+// Stream format (little-endian):
+//   u32 magic "SDE1" | u64 n_symbols | u64 payload_bits |
+//   u8 lengths[256] | MSB-first payload bytes
+//
+// Build: g++ -O2 (see simd_dct_tpu/native.py _build, same toolchain as
+// the golden oracle; no fast-math requirements here).
+
+#include <algorithm>
+#include <cstddef>
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+static const uint32_t kMagic = 0x31454453u;  // "SDE1"
+static const int kMaxLen = 15;
+static const size_t kHeader = 4 + 8 + 8 + 256;
+
+// ---------------------------------------------------------------------------
+// histogram (host fallback; the TPU path computes this on-device)
+// ---------------------------------------------------------------------------
+
+void entropy_histogram(const uint8_t* in, size_t n, uint64_t* hist) {
+  std::memset(hist, 0, 256 * sizeof(uint64_t));
+  // 4 sub-histograms break the store-to-load dependency chain
+  uint64_t h[4][256];
+  std::memset(h, 0, sizeof(h));
+  size_t i = 0;
+  for (; i + 4 <= n; i += 4) {
+    h[0][in[i]]++;
+    h[1][in[i + 1]]++;
+    h[2][in[i + 2]]++;
+    h[3][in[i + 3]]++;
+  }
+  for (; i < n; i++) h[0][in[i]]++;
+  for (int s = 0; s < 256; s++)
+    hist[s] = h[0][s] + h[1][s] + h[2][s] + h[3][s];
+}
+
+// ---------------------------------------------------------------------------
+// code-length construction: heap Huffman + JPEG-style length limiting
+// ---------------------------------------------------------------------------
+
+int entropy_build_lengths(const uint64_t* hist, uint8_t* lengths) {
+  std::memset(lengths, 0, 256);
+  int nz = 0, last = -1;
+  for (int i = 0; i < 256; i++)
+    if (hist[i]) { nz++; last = i; }
+  if (nz == 0) return 1;           // empty input has no code
+  if (nz == 1) { lengths[last] = 1; return 0; }
+
+  struct Node { uint64_t f; int l, r; };
+  Node nodes[512];
+  int heap[512], hs = 0, cnt = 0;
+  auto less = [&](int a, int b) { return nodes[a].f < nodes[b].f; };
+  auto push = [&](int x) {
+    heap[hs++] = x;
+    for (int i = hs - 1; i > 0;) {
+      int p = (i - 1) / 2;
+      if (!less(heap[i], heap[p])) break;
+      std::swap(heap[i], heap[p]);
+      i = p;
+    }
+  };
+  auto pop = [&]() {
+    int top = heap[0];
+    heap[0] = heap[--hs];
+    for (int i = 0;;) {
+      int a = 2 * i + 1, b = 2 * i + 2, m = i;
+      if (a < hs && less(heap[a], heap[m])) m = a;
+      if (b < hs && less(heap[b], heap[m])) m = b;
+      if (m == i) break;
+      std::swap(heap[i], heap[m]);
+      i = m;
+    }
+    return top;
+  };
+
+  int leaf_of[256];
+  for (int i = 0; i < 256; i++) {
+    leaf_of[i] = -1;
+    if (hist[i]) {
+      nodes[cnt] = {hist[i], -1, -1};
+      leaf_of[i] = cnt;
+      push(cnt++);
+    }
+  }
+  while (hs > 1) {
+    int a = pop(), b = pop();
+    nodes[cnt] = {nodes[a].f + nodes[b].f, a, b};
+    push(cnt++);
+  }
+
+  int depth[512];
+  std::memset(depth, 0, sizeof(depth));
+  {
+    int stack[512], sp = 0;
+    stack[sp++] = heap[0];
+    while (sp) {
+      int x = stack[--sp];
+      if (nodes[x].l >= 0) {
+        depth[nodes[x].l] = depth[x] + 1;
+        stack[sp++] = nodes[x].l;
+      }
+      if (nodes[x].r >= 0) {
+        depth[nodes[x].r] = depth[x] + 1;
+        stack[sp++] = nodes[x].r;
+      }
+    }
+  }
+
+  int bl[512] = {0};
+  int maxd = 0;
+  for (int i = 0; i < 256; i++)
+    if (leaf_of[i] >= 0) {
+      int d = depth[leaf_of[i]];
+      bl[d]++;
+      maxd = std::max(maxd, d);
+    }
+  // JPEG K.3 Adjust_BITS: fold lengths > kMaxLen back while keeping the
+  // Kraft sum exact.
+  for (int l = maxd; l > kMaxLen; l--) {
+    while (bl[l] > 0) {
+      int j = l - 2;
+      while (bl[j] == 0) j--;
+      bl[l] -= 2;
+      bl[l - 1] += 1;
+      bl[j + 1] += 2;
+      bl[j] -= 1;
+    }
+  }
+  if (maxd > kMaxLen) maxd = kMaxLen;
+
+  // shortest codes to the most frequent symbols
+  int order[256], m = 0;
+  for (int i = 0; i < 256; i++)
+    if (hist[i]) order[m++] = i;
+  std::sort(order, order + m, [&](int a, int b) {
+    if (hist[a] != hist[b]) return hist[a] > hist[b];
+    return a < b;
+  });
+  int k = 0;
+  for (int l = 1; l <= maxd; l++)
+    for (int c = 0; c < bl[l]; c++) lengths[order[k++]] = (uint8_t)l;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// canonical code assignment shared by encoder and decoder
+// ---------------------------------------------------------------------------
+
+static int canonical_codes(const uint8_t* lengths, uint16_t* codes,
+                           uint32_t* first_of_len /* [17] */) {
+  int bl[17] = {0};
+  for (int i = 0; i < 256; i++) {
+    if (lengths[i] > kMaxLen) return -1;
+    bl[lengths[i]]++;
+  }
+  bl[0] = 0;
+  uint64_t kraft = 0;
+  for (int i = 0; i < 256; i++)
+    if (lengths[i]) kraft += 1ull << (kMaxLen - lengths[i]);
+  if (kraft > (1ull << kMaxLen)) return -1;   // over-subscribed table
+  uint32_t code = 0;
+  uint32_t next[17];
+  for (int l = 1; l <= 16; l++) {
+    code = (code + bl[l - 1]) << 1;
+    next[l] = code;
+    if (first_of_len) first_of_len[l] = code;
+  }
+  for (int i = 0; i < 256; i++)
+    if (lengths[i]) codes[i] = (uint16_t)next[lengths[i]]++;
+  return 0;
+}
+
+size_t entropy_encode_bound(size_t n) {
+  // 15 bits/symbol worst case + header + slack
+  return (n * 15) / 8 + kHeader + 16;
+}
+
+// Returns compressed byte count, or <0 on error (-3 = out too small,
+// -4 = symbol with no code — histogram/lengths don't cover the data).
+long long entropy_encode(const uint8_t* in, size_t n,
+                         const uint8_t* lengths, uint8_t* out,
+                         size_t out_cap) {
+  uint16_t codes[256];
+  if (canonical_codes(lengths, codes, nullptr)) return -2;
+  if (out_cap < kHeader) return -3;
+  uint64_t acc = 0, bits = 0;
+  int nb = 0;
+  size_t pos = kHeader;
+  for (size_t i = 0; i < n; i++) {
+    int l = lengths[in[i]];
+    if (!l) return -4;
+    acc = (acc << l) | codes[in[i]];
+    nb += l;
+    bits += l;
+    while (nb >= 8) {
+      nb -= 8;
+      if (pos >= out_cap) return -3;
+      out[pos++] = (uint8_t)(acc >> nb);
+    }
+  }
+  if (nb) {
+    if (pos >= out_cap) return -3;
+    out[pos++] = (uint8_t)(acc << (8 - nb));
+  }
+  std::memcpy(out, &kMagic, 4);
+  uint64_t n64 = n;
+  std::memcpy(out + 4, &n64, 8);
+  std::memcpy(out + 12, &bits, 8);
+  std::memcpy(out + 20, lengths, 256);
+  return (long long)pos;
+}
+
+// Returns decoded symbol count, or <0 on error.
+long long entropy_decode(const uint8_t* in, size_t n_comp, uint8_t* out,
+                         size_t out_cap) {
+  if (n_comp < kHeader) return -1;
+  uint32_t magic;
+  std::memcpy(&magic, in, 4);
+  if (magic != kMagic) return -1;
+  uint64_t n, bits;
+  std::memcpy(&n, in + 4, 8);
+  std::memcpy(&bits, in + 12, 8);
+  const uint8_t* lengths = in + 20;
+  if (n > out_cap) return -2;
+  if (n == 0) return 0;
+  if ((bits + 7) / 8 > n_comp - kHeader) return -1;
+
+  uint16_t codes[256];
+  if (canonical_codes(lengths, codes, nullptr)) return -1;
+  // peek LUT: top-15-bit window -> (len << 8) | symbol
+  static thread_local uint16_t lut[1 << kMaxLen];
+  std::memset(lut, 0, sizeof(lut));
+  for (int i = 0; i < 256; i++) {
+    int l = lengths[i];
+    if (!l) continue;
+    uint32_t lo = (uint32_t)codes[i] << (kMaxLen - l);
+    uint32_t hi = lo + (1u << (kMaxLen - l));
+    uint16_t v = (uint16_t)((l << 8) | i);
+    for (uint32_t k = lo; k < hi; k++) lut[k] = v;
+  }
+
+  const uint8_t* p = in + kHeader;
+  size_t avail = n_comp - kHeader, ip = 0;
+  uint64_t acc = 0;
+  int nb = 0;
+  for (uint64_t i = 0; i < n; i++) {
+    while (nb < kMaxLen) {
+      acc = (acc << 8) | (ip < avail ? p[ip++] : 0);
+      nb += 8;
+    }
+    uint16_t v = lut[(acc >> (nb - kMaxLen)) & ((1u << kMaxLen) - 1)];
+    int l = v >> 8;
+    if (!l) return -3;   // invalid code in stream
+    nb -= l;
+    out[i] = (uint8_t)v;
+  }
+  return (long long)n;
+}
+
+}  // extern "C"

@@ -12,6 +12,8 @@ sharding.  Layer map (SURVEY.md §7):
 * ``api``      — validated public entry points (≙ simd_dct.h)
 * ``dist``     — mesh sharding / multi-host scaling
 * ``bench``    — statistics-grade benchmark harness (≙ main.cpp harness)
+* ``entropy``  — Huffman bitstream stage (beyond the reference): on-device
+  histogram + native C++ canonical coder (native/entropy.cpp)
 """
 
 __version__ = "0.1.0"
@@ -20,6 +22,7 @@ from . import core
 from . import layout
 from . import dispatch
 from . import api
+from . import entropy
 from .api import (
     SimdDctResult, SimdDctError, InvalidParameterError, NotSupportedError,
     encode_quantize, encode_quantize32, encode_quantize_stereo,
@@ -30,7 +33,7 @@ from .core.quantize import default_quant_lut
 from .config import EncoderConfig, Encoder
 
 __all__ = [
-    "core", "layout", "dispatch", "api", "__version__",
+    "core", "layout", "dispatch", "api", "entropy", "__version__",
     "SimdDctResult", "SimdDctError", "InvalidParameterError",
     "NotSupportedError",
     "encode_quantize", "encode_quantize32", "encode_quantize_stereo",

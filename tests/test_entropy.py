@@ -1,0 +1,135 @@
+"""Entropy-coding stage: native canonical Huffman + on-device histogram.
+
+North-star extension beyond the reference (which stops at quantized
+bytes); the roundtrip contract is EXACT byte recovery."""
+
+import numpy as np
+import pytest
+
+import simd_dct_tpu as sd
+from simd_dct_tpu import entropy as E
+
+
+class TestRoundtrip:
+    @pytest.mark.parametrize("case", [
+        "random", "skewed", "constant", "single", "two_symbols", "all256",
+    ])
+    def test_exact(self, case):
+        rng = np.random.default_rng(9)
+        data = {
+            "random": rng.integers(0, 256, 100_000, dtype=np.uint8),
+            "skewed": rng.choice(
+                np.arange(256, dtype=np.uint8), 200_000,
+                p=np.r_[0.9, np.full(255, 0.1 / 255)]),
+            "constant": np.full(5_000, 127, np.uint8),
+            "single": np.asarray([42], np.uint8),
+            "two_symbols": np.tile(
+                np.asarray([0, 255], np.uint8), 1_000),
+            "all256": np.arange(256, dtype=np.uint8),
+        }[case]
+        blob = E.compress(data)
+        back = E.decompress(blob)
+        np.testing.assert_array_equal(back, data)
+
+    def test_empty(self):
+        with pytest.raises(E.EntropyError):
+            E.compress(np.zeros(0, np.uint8))
+
+    def test_truncated_stream_rejected(self):
+        with pytest.raises(E.EntropyError):
+            E.decompress(np.zeros(10, np.uint8))
+
+    def test_bad_magic_rejected(self):
+        blob = E.compress(np.full(100, 7, np.uint8)).copy()
+        blob[0] ^= 0xFF
+        with pytest.raises(E.EntropyError):
+            E.decompress(blob)
+
+
+class TestTables:
+    def test_skewed_beats_uniform_lengths(self):
+        """The most frequent symbol gets the shortest code."""
+        hist = np.ones(256, np.uint64)
+        hist[127] = 1_000_000
+        lengths = E.build_lengths(hist)
+        assert lengths[127] == lengths.min()
+        assert lengths.max() <= 15
+
+    def test_length_limit_on_pathological_histogram(self):
+        """Fibonacci-ish frequencies force deep trees; lengths must be
+        folded to <= 15 with a valid Kraft sum."""
+        hist = np.zeros(256, np.uint64)
+        a, b = 1, 1
+        for i in range(40):
+            hist[i] = a
+            a, b = b, a + b
+        lengths = E.build_lengths(hist)
+        assert lengths.max() <= 15
+        kraft = sum(2.0 ** -int(l) for l in lengths if l)
+        assert kraft <= 1.0 + 1e-12
+        # still decodes exactly
+        rng = np.random.default_rng(1)
+        data = rng.choice(np.arange(40, dtype=np.uint8), 50_000,
+                          p=hist[:40] / hist[:40].sum())
+        np.testing.assert_array_equal(
+            E.decompress(E.compress(data, lengths)), data)
+
+    def test_symbol_without_code_rejected(self):
+        lengths = E.build_lengths(
+            np.r_[np.ones(2, np.uint64), np.zeros(254, np.uint64)])
+        with pytest.raises(E.EntropyError):
+            E.compress(np.asarray([200], np.uint8), lengths)
+
+
+class TestHistogram:
+    def test_device_matches_host(self):
+        rng = np.random.default_rng(2)
+        data = rng.integers(0, 256, 65_536, dtype=np.uint8)
+        dev = E.histogram(data, device=True)
+        host = E.histogram(data, device=False)
+        ref = np.bincount(data, minlength=256).astype(np.uint64)
+        np.testing.assert_array_equal(dev, ref)
+        np.testing.assert_array_equal(host, ref)
+
+
+class TestPipeline:
+    def test_quantized_records_compress_and_recover(self):
+        """encode -> compress -> decompress -> decode equals
+        encode -> decode, and smooth content compresses well."""
+        h, w = 128, 256
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.clip(128 + 60 * np.sin(xx / 17) * np.cos(yy / 13),
+                      0, 255).astype(np.uint8)
+        lut = sd.default_quant_lut(50) * 255.0
+        rec = np.asarray(sd.encode_quantize32(img, lut))
+        blob = E.compress(rec, E.build_lengths(E.histogram(rec)))
+        back = E.decompress(blob)
+        np.testing.assert_array_equal(back, rec)
+        ratio = rec.size / blob.size
+        assert ratio > 2.0, f"expected >2x on smooth content, got {ratio:.2f}"
+
+    def test_end_to_end_helpers(self):
+        h, w = 64, 128
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.clip(128 + 50 * np.sin(xx / 9), 0, 255).astype(np.uint8)
+        lut = sd.default_quant_lut(100) * 255.0
+        blob = E.encode_quantize32_compressed(img, lut)
+        dec = E.decode_quantize32_compressed(blob, lut, w, h)
+        ref = sd.decode_quantize32(
+            np.asarray(sd.encode_quantize32(img, lut)), lut, w, h)
+        np.testing.assert_array_equal(np.asarray(dec), np.asarray(ref))
+
+    def test_shared_table_across_frames(self):
+        """A table built from one frame's histogram decodes other frames
+        with the same statistics (the multi-frame video workflow)."""
+        rng = np.random.default_rng(4)
+        lut = sd.default_quant_lut(50) * 255.0
+        frames = [np.clip(128 + 60 * np.sin(
+            (np.mgrid[0:64, 0:128][1] + p) / 11), 0, 255).astype(np.uint8)
+            for p in (0, 3)]
+        recs = [np.asarray(sd.encode_quantize32(f, lut)) for f in frames]
+        hist = E.histogram(recs[0]) + E.histogram(recs[1])
+        lengths = E.build_lengths(hist)
+        for rec in recs:
+            np.testing.assert_array_equal(
+                E.decompress(E.compress(rec, lengths)), rec)
