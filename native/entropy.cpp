@@ -259,15 +259,199 @@ long long entropy_decode(const uint8_t* in, size_t n_comp, uint8_t* out,
   uint64_t acc = 0;
   int nb = 0;
   for (uint64_t i = 0; i < n; i++) {
-    while (nb < kMaxLen) {
-      acc = (acc << 8) | (ip < avail ? p[ip++] : 0);
-      nb += 8;
+    if (nb < kMaxLen) {
+      // bulk refill: 32 bits at a time while the fast path has input
+      if (ip + 4 <= avail) {
+        uint32_t w;
+        std::memcpy(&w, p + ip, 4);
+        ip += 4;
+        acc = (acc << 32) | __builtin_bswap32(w);   // MSB-first stream
+        nb += 32;
+      } else {
+        while (nb < kMaxLen) {
+          acc = (acc << 8) | (ip < avail ? p[ip++] : 0);
+          nb += 8;
+        }
+      }
     }
     uint16_t v = lut[(acc >> (nb - kMaxLen)) & ((1u << kMaxLen) - 1)];
     int l = v >> 8;
     if (!l) return -3;   // invalid code in stream
     nb -= l;
     out[i] = (uint8_t)v;
+  }
+  return (long long)n;
+}
+
+// ---------------------------------------------------------------------------
+// 4-stream variant: the single-stream decoder is bound by the serial
+// per-symbol dependency chain (acc -> lut -> nb -> acc, ~8 ns/symbol).
+// Splitting the input into 4 contiguous chunks with independent
+// bitstreams lets the decode loop run 4 chains in parallel (ILP) —
+// the same trick as zstd's 4-stream Huffman.
+//
+// Stream format (little-endian):
+//   u32 magic "SDE4" | u64 n_symbols | u64 comp_bytes[4] |
+//   u8 lengths[256] | payload0 | payload1 | payload2 | payload3
+// Chunk s covers symbols [s*ceil(n/4), min((s+1)*ceil(n/4), n)).
+// ---------------------------------------------------------------------------
+
+static const uint32_t kMagic4 = 0x34454453u;  // "SDE4"
+static const size_t kHeader4 = 4 + 8 + 4 * 8 + 256;
+
+size_t entropy_encode4_bound(size_t n) {
+  return (n * 15) / 8 + kHeader4 + 64;
+}
+
+long long entropy_encode4(const uint8_t* in, size_t n,
+                          const uint8_t* lengths, uint8_t* out,
+                          size_t out_cap) {
+  uint16_t codes[256];
+  if (canonical_codes(lengths, codes, nullptr)) return -2;
+  if (out_cap < kHeader4) return -3;
+  size_t chunk = (n + 3) / 4;
+  uint64_t comp[4] = {0, 0, 0, 0};
+  size_t pos = kHeader4;
+  for (int s = 0; s < 4; s++) {
+    size_t lo = std::min(n, s * chunk), hi = std::min(n, (s + 1) * chunk);
+    uint64_t acc = 0;
+    int nb = 0;
+    size_t start = pos;
+    for (size_t i = lo; i < hi; i++) {
+      int l = lengths[in[i]];
+      if (!l) return -4;
+      acc = (acc << l) | codes[in[i]];
+      nb += l;
+      while (nb >= 8) {
+        nb -= 8;
+        if (pos >= out_cap) return -3;
+        out[pos++] = (uint8_t)(acc >> nb);
+      }
+    }
+    if (nb) {
+      if (pos >= out_cap) return -3;
+      out[pos++] = (uint8_t)(acc << (8 - nb));
+    }
+    comp[s] = pos - start;
+  }
+  std::memcpy(out, &kMagic4, 4);
+  uint64_t n64 = n;
+  std::memcpy(out + 4, &n64, 8);
+  std::memcpy(out + 12, comp, 32);
+  std::memcpy(out + 44, lengths, 256);
+  return (long long)pos;
+}
+
+long long entropy_decode4(const uint8_t* in, size_t n_comp, uint8_t* out,
+                          size_t out_cap) {
+  if (n_comp < kHeader4) return -1;
+  uint32_t magic;
+  std::memcpy(&magic, in, 4);
+  if (magic != kMagic4) return -1;
+  uint64_t n, comp[4];
+  std::memcpy(&n, in + 4, 8);
+  std::memcpy(comp, in + 12, 32);
+  const uint8_t* lengths = in + 44;
+  if (n > out_cap) return -2;
+  if (n == 0) return 0;
+  if (kHeader4 + comp[0] + comp[1] + comp[2] + comp[3] > n_comp) return -1;
+
+  uint16_t codes[256];
+  if (canonical_codes(lengths, codes, nullptr)) return -1;
+  static thread_local uint16_t lut[1 << kMaxLen];
+  std::memset(lut, 0, sizeof(lut));
+  for (int i = 0; i < 256; i++) {
+    int l = lengths[i];
+    if (!l) continue;
+    uint32_t lo = (uint32_t)codes[i] << (kMaxLen - l);
+    uint32_t hi = lo + (1u << (kMaxLen - l));
+    uint16_t v = (uint16_t)((l << 8) | i);
+    for (uint32_t k = lo; k < hi; k++) lut[k] = v;
+  }
+
+  size_t chunk = (n + 3) / 4;
+  const uint8_t* p[4];
+  size_t avail[4], ip[4] = {0, 0, 0, 0};
+  uint8_t* op[4];
+  size_t ns[4];
+  {
+    const uint8_t* base = in + kHeader4;
+    for (int s = 0; s < 4; s++) {
+      p[s] = base;
+      base += comp[s];
+      avail[s] = comp[s];
+      size_t lo = std::min((size_t)n, s * chunk);
+      size_t hi = std::min((size_t)n, (s + 1) * chunk);
+      op[s] = out + lo;
+      ns[s] = hi - lo;
+    }
+  }
+  uint64_t acc[4] = {0, 0, 0, 0};
+  int nb[4] = {0, 0, 0, 0};
+  size_t n_min = std::min(std::min(ns[0], ns[1]), std::min(ns[2], ns[3]));
+  const uint32_t mask = (1u << kMaxLen) - 1;
+  int bad = 0;
+
+  // fast interleaved main loop: 4 independent dependency chains, two
+  // symbols per chain per iteration (one 32-bit refill covers both:
+  // after refill nb >= 2*kMaxLen, so the second lookup needs no check)
+  size_t i = 0;
+#define REFILL(s, want)                                                 \
+    if (nb[s] < (want)) {                                               \
+      if (ip[s] + 4 <= avail[s]) {                                      \
+        uint32_t w;                                                     \
+        std::memcpy(&w, p[s] + ip[s], 4);                               \
+        ip[s] += 4;                                                     \
+        acc[s] = (acc[s] << 32) | __builtin_bswap32(w);                 \
+        nb[s] += 32;                                                    \
+      } else {                                                          \
+        while (nb[s] < (want)) {                                        \
+          acc[s] = (acc[s] << 8)                                        \
+                   | (ip[s] < avail[s] ? p[s][ip[s]++] : 0);            \
+          nb[s] += 8;                                                   \
+        }                                                               \
+      }                                                                 \
+    }
+#define LOOKUP(s, dst)                                                  \
+    {                                                                   \
+      uint16_t v = lut[(acc[s] >> (nb[s] - kMaxLen)) & mask];           \
+      int l = v >> 8;                                                   \
+      bad |= (l == 0);                                                  \
+      nb[s] -= l ? l : 1;                                               \
+      (dst) = (uint8_t)v;                                               \
+    }
+  for (; i + 2 <= n_min; i += 2) {
+    REFILL(0, 2 * kMaxLen) REFILL(1, 2 * kMaxLen)
+    REFILL(2, 2 * kMaxLen) REFILL(3, 2 * kMaxLen)
+    LOOKUP(0, op[0][i]) LOOKUP(1, op[1][i])
+    LOOKUP(2, op[2][i]) LOOKUP(3, op[3][i])
+    LOOKUP(0, op[0][i + 1]) LOOKUP(1, op[1][i + 1])
+    LOOKUP(2, op[2][i + 1]) LOOKUP(3, op[3][i + 1])
+  }
+  for (; i < n_min; i++) {
+    REFILL(0, kMaxLen) REFILL(1, kMaxLen)
+    REFILL(2, kMaxLen) REFILL(3, kMaxLen)
+    LOOKUP(0, op[0][i]) LOOKUP(1, op[1][i])
+    LOOKUP(2, op[2][i]) LOOKUP(3, op[3][i])
+  }
+#undef REFILL
+#undef LOOKUP
+  if (bad) return -3;
+  // tails (chunks differ in length by at most 1 symbol)
+  for (int s = 0; s < 4; s++) {
+    for (size_t j = n_min; j < ns[s]; j++) {
+      if (nb[s] < kMaxLen) {
+        while (nb[s] < kMaxLen) {
+          acc[s] = (acc[s] << 8) | (ip[s] < avail[s] ? p[s][ip[s]++] : 0);
+          nb[s] += 8;
+        }
+      }
+      uint16_t v = lut[(acc[s] >> (nb[s] - kMaxLen)) & mask];
+      int l = v >> 8;
+      if (!l) return -3;
+      nb[s] -= l;
+      op[s][j] = (uint8_t)v;
+    }
   }
   return (long long)n;
 }

@@ -47,8 +47,9 @@ def _build() -> str:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
     if (not os.path.exists(_SO)
             or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-        subprocess.run(["g++", "-O2", "-fPIC", "-shared", "-std=c++17",
-                        _SRC, "-o", _SO], check=True, capture_output=True)
+        subprocess.run(["g++", "-O3", "-march=native", "-fPIC", "-shared",
+                        "-std=c++17", _SRC, "-o", _SO],
+                       check=True, capture_output=True)
     return _SO
 
 
@@ -70,6 +71,12 @@ def _load() -> ctypes.CDLL:
             lib.entropy_encode.argtypes = [u8p, st, u8p, u8p, st]
             lib.entropy_decode.restype = ctypes.c_longlong
             lib.entropy_decode.argtypes = [u8p, st, u8p, st]
+            lib.entropy_encode4_bound.restype = st
+            lib.entropy_encode4_bound.argtypes = [st]
+            lib.entropy_encode4.restype = ctypes.c_longlong
+            lib.entropy_encode4.argtypes = [u8p, st, u8p, u8p, st]
+            lib.entropy_decode4.restype = ctypes.c_longlong
+            lib.entropy_decode4.argtypes = [u8p, st, u8p, st]
             _lib = lib
     return _lib
 
@@ -130,32 +137,52 @@ def build_lengths(hist) -> np.ndarray:
 # compress / decompress
 # ---------------------------------------------------------------------------
 
-def compress(records, lengths=None) -> np.ndarray:
-    """u8 records -> self-contained compressed stream (u8 array:
-    276-byte header + payload).  ``lengths`` (from build_lengths) may be
-    reused across frames with matching statistics; by default a table is
-    built from this array's own histogram."""
+def compress(records, lengths=None, *, streams: int = 4) -> np.ndarray:
+    """u8 records -> self-contained compressed stream (u8 array: header
+    + payload).  ``lengths`` (from build_lengths) may be reused across
+    frames with matching statistics; by default a table is built from
+    this array's own histogram.  ``streams=4`` (default) splits the
+    input into 4 independent bitstreams so the decoder runs 4
+    dependency chains in parallel (zstd-style); ``streams=1`` emits the
+    minimal single-stream format."""
     data = np.ascontiguousarray(np.asarray(records), np.uint8).reshape(-1)
     if lengths is None:
         lengths = build_lengths(histogram(data, device=False))
     lengths = np.ascontiguousarray(lengths, np.uint8)
     lib = _load()
-    out = np.zeros(lib.entropy_encode_bound(data.size), np.uint8)
-    n = lib.entropy_encode(_u8p(data), data.size, _u8p(lengths),
-                           _u8p(out), out.size)
+    if streams == 4:
+        out = np.zeros(lib.entropy_encode4_bound(data.size), np.uint8)
+        n = lib.entropy_encode4(_u8p(data), data.size, _u8p(lengths),
+                                _u8p(out), out.size)
+    elif streams == 1:
+        out = np.zeros(lib.entropy_encode_bound(data.size), np.uint8)
+        n = lib.entropy_encode(_u8p(data), data.size, _u8p(lengths),
+                               _u8p(out), out.size)
+    else:
+        raise EntropyError("streams must be 1 or 4")
     if n < 0:
         raise EntropyError(f"encode failed (code {n})")
     return out[:n]
 
 
+_MAGIC1 = 0x31454453   # "SDE1"
+_MAGIC4 = 0x34454453   # "SDE4"
+
+
 def decompress(blob) -> np.ndarray:
-    """Compressed stream -> u8 records (exact inverse of compress)."""
+    """Compressed stream -> u8 records (exact inverse of compress);
+    dispatches on the stream magic (single- or 4-stream format)."""
     data = np.ascontiguousarray(np.asarray(blob), np.uint8).reshape(-1)
-    if data.size < HEADER_BYTES:
+    if data.size < 12:
         raise EntropyError("stream too short")
+    magic = int(np.frombuffer(data[:4].tobytes(), np.uint32)[0])
+    if magic not in (_MAGIC1, _MAGIC4):
+        raise EntropyError("bad stream magic")
     n_out = int(np.frombuffer(data[4:12].tobytes(), np.uint64)[0])
     out = np.zeros(max(n_out, 1), np.uint8)
-    n = _load().entropy_decode(_u8p(data), data.size, _u8p(out), out.size)
+    fn = (_load().entropy_decode4 if magic == _MAGIC4
+          else _load().entropy_decode)
+    n = fn(_u8p(data), data.size, _u8p(out), out.size)
     if n < 0:
         raise EntropyError(f"decode failed (code {n})")
     return out[:n_out]

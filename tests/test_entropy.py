@@ -31,6 +31,23 @@ class TestRoundtrip:
         back = E.decompress(blob)
         np.testing.assert_array_equal(back, data)
 
+    @pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 7, 1000, 100_003])
+    def test_both_formats_exact(self, n):
+        """Single- and 4-stream formats roundtrip exactly at awkward
+        lengths (chunk boundaries, sub-chunk inputs)."""
+        rng = np.random.default_rng(n)
+        data = rng.integers(0, 256, n, dtype=np.uint8)
+        for streams in (1, 4):
+            blob = E.compress(data, streams=streams)
+            np.testing.assert_array_equal(E.decompress(blob), data)
+
+    def test_four_stream_is_default_and_decodes(self):
+        rng = np.random.default_rng(0)
+        data = rng.integers(0, 64, 10_000, dtype=np.uint8)
+        blob = E.compress(data)
+        assert blob[:4].tobytes() == b"SDE4"
+        np.testing.assert_array_equal(E.decompress(blob), data)
+
     def test_empty(self):
         with pytest.raises(E.EntropyError):
             E.compress(np.zeros(0, np.uint8))
