@@ -71,6 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="slope-based timing over vmapped batches (use on "
                         "remote/tunneled devices where per-call walls are "
                         "dominated by dispatch overhead)")
+    p.add_argument("--compress", action="store_true",
+                   help="entropy-code each mode's records (on-device "
+                        "histogram + native 4-stream Huffman) and report "
+                        "the ratio; with --to, the compressed stream is "
+                        "written instead of raw records")
     p.add_argument("--start-y", type=int, default=0)
     p.add_argument("--end-y", type=int, default=None)
     p.add_argument("--sharded", type=int, default=None, metavar="N",
@@ -190,6 +195,17 @@ def main(argv=None) -> int:
             rec = np.asarray(dec(last_output))
             print(f"{name + ' round-trip':<28} | PSNR "
                   f"{_psnr(ref_for_psnr, rec):6.2f} dB")
+        if args.compress:
+            import time as _t
+            from simd_dct_tpu import entropy as E
+            lengths = E.build_lengths(E.histogram(out))   # on-device pass
+            t0 = _t.perf_counter()
+            blob = E.compress(last_output.reshape(-1), lengths)
+            dt = _t.perf_counter() - t0
+            print(f"{name + ' entropy':<28} | "
+                  f"{last_output.size / blob.size:6.2f}x ratio | "
+                  f"{last_output.size / dt / 1e6:7.0f} MB/s pack")
+            last_output = blob
 
     mesh = None
     if args.sharded is not None:
