@@ -14,8 +14,9 @@
 //   u32 magic "SDE1" | u64 n_symbols | u64 payload_bits |
 //   u8 lengths[256] | MSB-first payload bytes
 //
-// Build: g++ -O2 (see simd_dct_tpu/native.py _build, same toolchain as
-// the golden oracle; no fast-math requirements here).
+// Build: g++ -O3, portable ISA baseline (see simd_dct_tpu/entropy.py
+// _build; the cached .so may be reused across hosts, so no
+// -march=native).  No fast-math requirements here.
 
 #include <algorithm>
 #include <cstddef>
@@ -354,7 +355,13 @@ long long entropy_decode4(const uint8_t* in, size_t n_comp, uint8_t* out,
   const uint8_t* lengths = in + 44;
   if (n > out_cap) return -2;
   if (n == 0) return 0;
-  if (kHeader4 + comp[0] + comp[1] + comp[2] + comp[3] > n_comp) return -1;
+  // untrusted u64 sizes: bound each term BEFORE summing (a wrapped sum
+  // would pass the check and license out-of-bounds reads via avail[s])
+  uint64_t budget = n_comp - kHeader4;
+  for (int s = 0; s < 4; s++) {
+    if (comp[s] > budget) return -1;
+    budget -= comp[s];
+  }
 
   uint16_t codes[256];
   if (canonical_codes(lengths, codes, nullptr)) return -1;

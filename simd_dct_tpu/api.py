@@ -438,14 +438,20 @@ def decode_quantize32_ycbcr(data, luma_lut, chroma_lut,
                             pallas_interpret: bool = False):
     """(3, S*8W) u8 YCbCr records -> (3, H/2, W) u8 planar RGB."""
     d = jnp.asarray(data)
+    if size_x <= 0 or size_y < 16:
+        raise InvalidParameterError(
+            f"invalid dimensions {(size_x, size_y)}")
     expect = 3 * (size_y // 2) * size_x
-    if d.size % expect or d.size == 0:
+    if d.size == 0 or d.size % expect:
         raise InvalidParameterError(
             f"expected a multiple of {expect} record bytes for "
             f"{(size_x, size_y)}, got {d.size}")
     batch = d.size // expect
-    records = d.reshape(3, (size_y // 2) // 8, 8 * size_x) if batch == 1 \
-        else d.reshape(batch, 3, (size_y // 2) // 8, 8 * size_x)
+    # a batched INPUT shape keeps its batch axis even for B == 1, so
+    # decode stays shape-symmetric with the batched encode
+    batched = batch > 1 or d.ndim >= 3
+    records = d.reshape(batch, 3, (size_y // 2) // 8, 8 * size_x) \
+        if batched else d.reshape(3, (size_y // 2) // 8, 8 * size_x)
     lut_l = np.asarray(luma_lut, np.float32).reshape(-1)
     lut_c = np.asarray(chroma_lut, np.float32).reshape(-1)
     if lut_l.size != 64 or lut_c.size != 64:

@@ -36,7 +36,8 @@ _SO = os.path.join(_REPO_ROOT, "native", "build", "libentropy.so")
 _lock = threading.Lock()
 _lib = None
 
-HEADER_BYTES = 4 + 8 + 8 + 256
+HEADER_BYTES1 = 4 + 8 + 8 + 256        # "SDE1" single-stream header
+HEADER_BYTES4 = 4 + 8 + 4 * 8 + 256    # "SDE4" 4-stream header
 
 
 class EntropyError(RuntimeError):
@@ -47,9 +48,10 @@ def _build() -> str:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
     if (not os.path.exists(_SO)
             or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-        subprocess.run(["g++", "-O3", "-march=native", "-fPIC", "-shared",
-                        "-std=c++17", _SRC, "-o", _SO],
-                       check=True, capture_output=True)
+        # portable ISA baseline: the cached .so may be reused across
+        # hosts (shared checkouts), so no -march=native
+        subprocess.run(["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+                        _SRC, "-o", _SO], check=True, capture_output=True)
     return _SO
 
 
@@ -162,7 +164,9 @@ def compress(records, lengths=None, *, streams: int = 4) -> np.ndarray:
         raise EntropyError("streams must be 1 or 4")
     if n < 0:
         raise EntropyError(f"encode failed (code {n})")
-    return out[:n]
+    # .copy(): out[:n] alone would pin the bound-sized (~1.9x raw)
+    # scratch buffer alive for the blob's lifetime
+    return out[:n].copy()
 
 
 _MAGIC1 = 0x31454453   # "SDE1"
@@ -179,6 +183,11 @@ def decompress(blob) -> np.ndarray:
     if magic not in (_MAGIC1, _MAGIC4):
         raise EntropyError("bad stream magic")
     n_out = int(np.frombuffer(data[4:12].tobytes(), np.uint64)[0])
+    # untrusted header: Huffman emits >= 1 bit/symbol, so a valid stream
+    # can't decode to more than 8x its own size — reject before the
+    # allocation, not after
+    if n_out > 8 * data.size:
+        raise EntropyError("corrupt stream: implausible symbol count")
     out = np.zeros(max(n_out, 1), np.uint8)
     fn = (_load().entropy_decode4 if magic == _MAGIC4
           else _load().entropy_decode)

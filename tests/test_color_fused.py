@@ -178,3 +178,28 @@ class TestColorApi:
         assert rt_b.shape == (2, 3, H // 2, W)
         np.testing.assert_array_equal(np.asarray(dec_b[0]),
                                       np.asarray(dec_b[1]))
+
+    def test_api_batch_of_one_keeps_axis(self, rgb, luts):
+        """A (1,3,H,W) batch stays batched through decode — shape
+        symmetry with the batched encode/roundtrip."""
+        import simd_dct_tpu as sd
+        luma, chroma = luts
+        batch1 = jnp.stack([jnp.asarray(rgb)])
+        rec = sd.api.encode_quantize32_ycbcr(batch1, luma, chroma,
+                                             backend="xla")
+        assert rec.shape == (1, 3, (H // 2) * W)
+        dec = sd.api.decode_quantize32_ycbcr(rec, luma, chroma, W, H,
+                                             backend="xla")
+        assert dec.shape == (1, 3, H // 2, W)
+        rt = sd.api.roundtrip_quantize32_ycbcr(batch1, luma, chroma,
+                                               backend="xla")
+        assert rt.shape == dec.shape
+
+    def test_api_degenerate_dims_rejected(self, luts):
+        import simd_dct_tpu as sd
+        from simd_dct_tpu.api import InvalidParameterError
+        luma, chroma = luts
+        for sx, sy in ((0, 64), (128, 0), (128, 8)):
+            with pytest.raises(InvalidParameterError):
+                sd.api.decode_quantize32_ycbcr(
+                    np.zeros(10, np.uint8), luma, chroma, sx, sy)

@@ -62,6 +62,33 @@ class TestRoundtrip:
         with pytest.raises(E.EntropyError):
             E.decompress(blob)
 
+    def test_wrapping_chunk_sizes_rejected(self):
+        """Corrupted 4-stream chunk sizes whose u64 sum wraps below the
+        input size must be rejected, not drive out-of-bounds reads."""
+        rng = np.random.default_rng(3)
+        blob = E.compress(rng.integers(0, 256, 10_000, np.uint8)).copy()
+        comp = np.frombuffer(blob[12:44].tobytes(), np.uint64).copy()
+        comp[0] = np.uint64(2**64 - 50)
+        comp[1] = np.uint64(50 + int(comp[1]))
+        blob[12:44] = np.frombuffer(comp.tobytes(), np.uint8)
+        with pytest.raises(E.EntropyError):
+            E.decompress(blob)
+
+    def test_implausible_symbol_count_rejected(self):
+        """A corrupted n_symbols header must be rejected before the
+        output allocation (Huffman emits >= 1 bit/symbol)."""
+        blob = E.compress(np.full(100, 7, np.uint8)).copy()
+        blob[4:12] = np.frombuffer(
+            np.uint64(10**12).tobytes(), np.uint8)
+        with pytest.raises(E.EntropyError):
+            E.decompress(blob)
+
+    def test_compress_returns_owned_buffer(self):
+        """compress must not return a view pinning the bound-sized
+        scratch (~1.9x raw) alive."""
+        blob = E.compress(np.full(100_000, 7, np.uint8))
+        assert blob.base is None or blob.base.nbytes == blob.nbytes
+
 
 class TestTables:
     def test_skewed_beats_uniform_lengths(self):
