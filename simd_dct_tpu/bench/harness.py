@@ -187,7 +187,11 @@ def config4_video_batch():
     from ..dispatch import probe
     from ..core.quantize import default_quant_lut
     rng = np.random.default_rng(4)
-    h, w = 1024, 1920   # 1080p-class, dual-view geometry
+    # true 1080p-class dual-view geometry (H2=544 is NOT panel-aligned:
+    # exercises the non-dividing-grid coverage on the fused path; 1080
+    # itself violates the H % 16 dual-view contract so 1088 is the
+    # nearest valid height)
+    h, w = 1088, 1920
     lut = jnp.asarray(default_quant_lut(100) * 255.0)
 
     if probe().supports_pallas:
