@@ -146,3 +146,19 @@ class Encoder:
         return api.roundtrip_quantize32_ycbcr(
             planes, self._lut * np.float32(255.0),
             self.chroma_lut() * np.float32(255.0), **self._kw())
+
+    # -- entropy-coded bitstream (north-star extension) -----------------
+
+    def encode_quantize32_compressed(self, image) -> np.ndarray:
+        """Fused mode32 encode + on-device histogram + native 4-stream
+        Huffman pack -> self-contained compressed stream."""
+        from . import entropy
+        rec = self.encode_quantize32(image)
+        lengths = entropy.build_lengths(entropy.histogram(rec))
+        return entropy.compress(np.asarray(rec), lengths)
+
+    def decode_quantize32_compressed(self, blob, size_x: int, size_y: int):
+        """Inverse: native Huffman unpack + fused mode32 decode."""
+        from . import entropy
+        return self.decode_quantize32(entropy.decompress(blob),
+                                      size_x, size_y)

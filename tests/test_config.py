@@ -69,3 +69,20 @@ def test_encoder_ycbcr_and_compat_decode():
     want = native.decode_quantize(rec2, cenc.lut, 128, 64)
     got = np.asarray(cenc.decode_quantize(rec2, 128, 64))
     assert int((got != want).sum()) == 0
+
+
+def test_encoder_compressed_pipeline():
+    """Facade entropy methods: compress -> decompress -> decode equals
+    the uncompressed decode exactly."""
+    import numpy as np
+    import simd_dct_tpu as sd
+    yy, xx = np.mgrid[0:64, 0:128]
+    img = np.clip(128 + 50 * np.sin(xx / 9) * np.cos(yy / 5),
+                  0, 255).astype(np.uint8)
+    enc = sd.Encoder(sd.EncoderConfig(quality=100))
+    blob = enc.encode_quantize32_compressed(img)
+    dec = enc.decode_quantize32_compressed(blob, 128, 64)
+    ref = enc.decode_quantize32(np.asarray(enc.encode_quantize32(img)),
+                                128, 64)
+    np.testing.assert_array_equal(np.asarray(dec), np.asarray(ref))
+    assert blob.size < 64 * 128 // 2  # smooth content compresses >2x
