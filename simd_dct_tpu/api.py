@@ -272,13 +272,22 @@ def decode_quantize(data, lut, size_x: int, size_y: int, *,
             f"decodable layouts are 'scalar' and 'pair', got {layout!r}")
     d, lut_arr = _validate_decode(data, lut, size_x, size_y,
                                   (size_y // 2) * size_x)
+    # tier selection FIRST so an invalid backend raises even with compat
+    # (mirrors the encode entry points' ordering)
+    tier = select_backend(backend, pallas_interpret=pallas_interpret)
     if compat:
+        if tier == "numpy":
+            # numpy = no-jax tier: the C++ oracle IS the compat decode
+            from . import native as _native
+            return _maybe_batch(
+                d, lambda dd: _native.decode_quantize(
+                    np.asarray(dd), lut_arr, size_x, size_y, layout=layout),
+                numpy_tier=True, base_ndim=1)
         from .kernels import compat as _compat
         return _maybe_batch(
             d, lambda dd: _compat.decode_quantize(dd, lut_arr, size_x,
                                                   size_y, layout=layout),
             numpy_tier=False, base_ndim=1)
-    tier = select_backend(backend, pallas_interpret=pallas_interpret)
     if tier == "numpy":
         return _maybe_batch(
             d, lambda dd: _golden.decode_quantize_golden(
@@ -306,13 +315,19 @@ def decode_quantize32(data, lut, size_x: int, size_y: int, *,
         raise NotSupportedError("enc-quant32 requires W % 64 == 0")
     d, lut_arr = _validate_decode(data, lut, size_x, size_y,
                                   (size_y // 2) * size_x)
+    tier = select_backend(backend, pallas_interpret=pallas_interpret)
     if compat:
+        if tier == "numpy":
+            from . import native as _native
+            return _maybe_batch(
+                d, lambda dd: _native.decode_quantize32(
+                    np.asarray(dd), lut_arr, size_x, size_y),
+                numpy_tier=True, base_ndim=1)
         from .kernels import compat as _compat
         return _maybe_batch(
             d, lambda dd: _compat.decode_quantize32(dd, lut_arr, size_x,
                                                     size_y),
             numpy_tier=False, base_ndim=1)
-    tier = select_backend(backend, pallas_interpret=pallas_interpret)
     if tier == "numpy":
         return _maybe_batch(
             d, lambda dd: _golden.decode_quantize32_golden(
@@ -337,13 +352,19 @@ def decode_quantize_stereo(data, lut, size_x: int, size_y: int, *,
                            compat: bool = False,
                            pallas_interpret: bool = False):
     d, lut_arr = _validate_decode(data, lut, size_x, size_y, size_y * size_x)
+    tier = select_backend(backend, pallas_interpret=pallas_interpret)
     if compat:
+        if tier == "numpy":
+            from . import native as _native
+            return _maybe_batch(
+                d, lambda dd: _native.decode_quantize_stereo(
+                    np.asarray(dd), lut_arr, size_x, size_y),
+                numpy_tier=True, base_ndim=1)
         from .kernels import compat as _compat
         return _maybe_batch(
             d, lambda dd: _compat.decode_quantize_stereo(dd, lut_arr,
                                                          size_x, size_y),
             numpy_tier=False, base_ndim=1)
-    tier = select_backend(backend, pallas_interpret=pallas_interpret)
     if tier == "numpy":
         return _maybe_batch(
             d, lambda dd: _golden.decode_quantize_stereo_golden(
@@ -374,14 +395,22 @@ def roundtrip_quantize32(image, lut, *, backend: str | None = None,
     if tier == "pallas":
         from .kernels import pallas_dct as _pl
         if _pl.supports_mode("roundtrip32", h, w):
-            return _pl.roundtrip_quantize32(img, jnp.asarray(lut_arr),
-                                            interpret=pallas_interpret)
+            return _maybe_batch(
+                img, lambda im: _pl.roundtrip_quantize32(
+                    im, jnp.asarray(lut_arr), interpret=pallas_interpret),
+                numpy_tier=False)
         tier = "xla"
     if tier == "numpy":
-        enc = _golden.encode_quantize32_golden(np.asarray(img), lut_arr)
-        return _golden.decode_quantize32_golden(enc, lut_arr, w, h)
-    rec = _xla.encode_quantize32(img, jnp.asarray(lut_arr), 0, 1 << 30, "rne")
-    return _xla.decode_quantize32(rec, jnp.asarray(lut_arr), w, h)
+        def _one_np(im):
+            enc = _golden.encode_quantize32_golden(np.asarray(im), lut_arr)
+            return _golden.decode_quantize32_golden(enc, lut_arr, w, h)
+        return _maybe_batch(img, _one_np, numpy_tier=True)
+
+    def _one_xla(im):
+        rec = _xla.encode_quantize32(im, jnp.asarray(lut_arr), 0, 1 << 30,
+                                     "rne")
+        return _xla.decode_quantize32(rec, jnp.asarray(lut_arr), w, h)
+    return _maybe_batch(img, _one_xla, numpy_tier=False)
 
 
 # ---------------------------------------------------------------------------
@@ -438,9 +467,15 @@ def decode_quantize32_ycbcr(data, luma_lut, chroma_lut,
                             pallas_interpret: bool = False):
     """(3, S*8W) u8 YCbCr records -> (3, H/2, W) u8 planar RGB."""
     d = jnp.asarray(data)
-    if size_x <= 0 or size_y < 16:
+    if size_x <= 0 or size_y <= 0:
         raise InvalidParameterError(
             f"invalid dimensions {(size_x, size_y)}")
+    if size_y % 16:
+        raise NotSupportedError(
+            f"dual-view geometry requires H % 16 == 0, got H={size_y}")
+    if size_x % 64:
+        raise NotSupportedError(
+            f"enc-quant32 requires W % 64 == 0, got {size_x}")
     expect = 3 * (size_y // 2) * size_x
     if d.size == 0 or d.size % expect:
         raise InvalidParameterError(

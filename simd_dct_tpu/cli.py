@@ -149,7 +149,7 @@ def main(argv=None) -> int:
     last_output = None
     print(HEADER)
 
-    def _slope_row(name, enc_one, base):
+    def _slope_row(name, enc_one, base, nbytes):
         """Accurate per-image cost: slope between two vmapped batch sizes,
         wall ended by a host-side checksum scalar (see utils docs)."""
         import time as _time
@@ -174,21 +174,22 @@ def main(argv=None) -> int:
             walls[bsz] = best
             del xb, f1, f2
         per_s = max((walls[20] - walls[4]) / 16, 1e-12)
-        gbps = img.size / per_s / 1e9
-        print(f"{name + ' (slope)':<28} | {per_s / img.size * 1e9:9.4f} ns/B | "
+        gbps = nbytes / per_s / 1e9
+        print(f"{name + ' (slope)':<28} | {per_s / nbytes * 1e9:9.4f} ns/B | "
               f"{gbps:8.2f} GB/s per image")
 
     def run_mode(name, enc, dec, ref_for_psnr, enc_one=None,
-                 enc_base=None):
+                 enc_base=None, nbytes=None):
         nonlocal last_output
+        nbytes = img.size if nbytes is None else nbytes
         out = enc()
         jax.block_until_ready(out)
         if args.accurate and enc_one is not None:
             _slope_row(name, enc_one,
-                       imgj if enc_base is None else enc_base)
+                       imgj if enc_base is None else enc_base, nbytes)
         else:
             stats = time_fn(name, lambda: jax.block_until_ready(enc()),
-                            bytes_processed=img.size, runs=runs)
+                            bytes_processed=nbytes, runs=runs)
             print(stats.row())
         last_output = np.asarray(out)
         if args.decode and dec is not None:
@@ -280,7 +281,12 @@ def main(argv=None) -> int:
             print(f"{'enc-quant32-ycbcr':<28} | no sharded path; skipped")
         else:
             from simd_dct_tpu.layout import BASE_CHROMA_QUANT_TABLE
-            chroma = BASE_CHROMA_QUANT_TABLE * (args.quality or 100.0) * 255.0
+            # chroma follows the same quality convention as luma: unscaled
+            # when --quality is omitted (matches Encoder.chroma_lut; the
+            # reference applies quality only when the flag is passed,
+            # src/main.cpp:123,214)
+            q = 1.0 if args.quality is None else args.quality
+            chroma = BASE_CHROMA_QUANT_TABLE * q * 255.0
             planesj = jax.numpy.asarray(np.ascontiguousarray(rgb_planes))
             run_mode(
                 "enc-quant32-ycbcr",
@@ -291,7 +297,8 @@ def main(argv=None) -> int:
                 np.asarray(rgb_planes)[:, : h // 2],
                 enc_one=lambda pl3: sd.api.encode_quantize32_ycbcr(
                     pl3, lut * 255.0, chroma),
-                enc_base=planesj)
+                enc_base=planesj,
+                nbytes=3 * img.size)   # 3 planes per frame
 
     if args.out_file and last_output is not None:
         last_output.tofile(args.out_file)

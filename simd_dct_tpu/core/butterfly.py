@@ -8,14 +8,16 @@ differ by ±1 when a coefficient lands exactly on a rounding boundary.
 This module evaluates the SAME 29-mul/29-add dataflow as the reference
 butterfly (and as ``native/golden_dct.cpp:dct8``, the strict-IEEE oracle),
 op for op, left-to-right — so its f32 results are bit-identical to the
-oracle on any IEEE backend that does not fuse or reassociate (NumPy always;
-XLA:CPU/TPU keep elementwise HLO ops exact).  Quantization is likewise
-evaluated in the oracle's exact op order per rounding mode, including a
-true ``roundf`` (half-away-from-zero) instead of the ``floor(v+0.5)``
-approximation (which diverges when ``v+0.5`` rounds up across an integer).
+oracle.  Quantization is likewise evaluated in the oracle's exact op order
+per rounding mode, including a true ``roundf`` (half-away-from-zero)
+instead of the ``floor(v+0.5)`` approximation (which diverges when
+``v+0.5`` rounds up across an integer).
 
-Works on NumPy arrays and traced jnp values alike: only operators, stack,
-and where/floor/rint are used, dispatched through the argument's namespace.
+NumPy ONLY: plain NumPy never contracts mul+add into an FMA, so the
+association order holds by construction.  Do NOT call these with traced
+jnp values — XLA backends contract FMAs during codegen and the fusion
+survives ``lax.optimization_barrier`` (verified empirically; see
+kernels/compat.py, whose staged-jit engine is the jax-tier equivalent).
 """
 
 from __future__ import annotations
@@ -32,31 +34,11 @@ __all__ = [
 _HALF_BIAS = np.float32(np.float32(127.0) / np.float32(255.0))
 
 
-def _xp(a):
-    import jax.numpy as jnp
-    return np if isinstance(a, np.ndarray) else jnp
-
-
-def _shield(x, xp):
-    """Make a product's f32 value opaque to the XLA emitter.
-
-    XLA's backends contract ``add(mul(a, b), c)`` into an FMA (verified on
-    XLA:CPU: ~45% of butterfly outputs differ by 1 ulp without this), which
-    keeps the product at infinite precision and breaks bit-exactness with
-    the strict-IEEE oracle.  An optimization_barrier around each product
-    forces the individually-rounded f32 value the oracle computes.  NumPy
-    needs nothing."""
-    if xp is np:
-        return x
-    import jax
-    return jax.lax.optimization_barrier(x)
-
-
 def dct8_butterfly(v):
     """1-D 8-point DCT-II along the last axis (length 8), evaluated with the
     reference butterfly's exact f32 association order
-    (src/simd_dct.cpp:148-171 dataflow; ≡ native/golden_dct.cpp:dct8)."""
-    xp = _xp(v)
+    (src/simd_dct.cpp:148-171 dataflow; ≡ native/golden_dct.cpp:dct8).
+    NumPy arrays only (see module docstring)."""
     v0, v1, v2, v3 = v[..., 0], v[..., 1], v[..., 2], v[..., 3]
     v4, v5, v6, v7 = v[..., 4], v[..., 5], v[..., 6], v[..., 7]
     x07p = v0 + v7
@@ -72,8 +54,8 @@ def dct8_butterfly(v):
     qp = x16p + x25p
     qm = x16p - x25p
 
-    def m(c, x):  # individually-rounded product (no FMA contraction)
-        return _shield(c * x, xp)
+    def m(c, x):  # individually-rounded product (NumPy never contracts)
+        return c * x
 
     o0 = C_NORM * (pp + qp)
     o2 = C_NORM * (m(C_B, pm) + m(C_E, qm))
@@ -83,12 +65,11 @@ def dct8_butterfly(v):
     o3 = C_NORM * (m(C_C, x07m) + m(C_F, x61m) - m(C_A, x25m) + m(C_D, x43m))
     o5 = C_NORM * (m(C_D, x07m) + m(C_A, x61m) + m(C_F, x25m) - m(C_C, x43m))
     o7 = C_NORM * (m(C_F, x07m) + m(C_D, x61m) + m(C_C, x25m) + m(C_A, x43m))
-    return xp.stack([o0, o1, o2, o3, o4, o5, o6, o7], axis=-1)
+    return np.stack([o0, o1, o2, o3, o4, o5, o6, o7], axis=-1)
 
 
 def _swap(b):
-    xp = _xp(b)
-    return xp.swapaxes(b, -1, -2)
+    return np.swapaxes(b, -1, -2)
 
 
 def dct2d_fx_major(blocks):
@@ -108,12 +89,12 @@ def dct2d_fy_major(blocks):
     return dct8_butterfly(b)
 
 
-def _roundf_nonneg(v, xp):
+def _roundf_nonneg(v):
     """Exact ``roundf`` (round-half-away-from-zero) for v >= 0: the
     ``floor(v + 0.5)`` shortcut diverges when ``v + 0.5f`` rounds up across
     an integer; comparing the exact fraction ``v - floor(v)`` does not."""
-    w = xp.floor(v)
-    return xp.where(v - w >= np.float32(0.5), w + np.float32(1.0), w)
+    w = np.floor(v)
+    return np.where(v - w >= np.float32(0.5), w + np.float32(1.0), w)
 
 
 def quantize_exact(buffer, lut, rounding: str):
@@ -123,21 +104,20 @@ def quantize_exact(buffer, lut, rounding: str):
 
     ``lut`` is the raw 64-entry table; the per-mode q tables are computed
     here exactly as the oracle does (255/(lut*vr) and 1/(lut*vr), f32)."""
-    xp = _xp(buffer)
     lut_f = np.asarray(lut, np.float32).reshape(64)
     q_rne = (np.float32(255.0) / (lut_f * VR)).astype(np.float32)
     if rounding == "rne":
-        x = buffer * xp.asarray(q_rne)
-        v = xp.rint(x).astype(np.int32) + 127
-        return xp.clip(v, 0, 255).astype(np.uint8)
+        x = buffer * q_rne
+        v = np.rint(x).astype(np.int32) + 127
+        return np.clip(v, 0, 255).astype(np.uint8)
     if rounding == "clamp_first":
-        x = _shield(buffer * xp.asarray(q_rne), xp)
-        v = xp.clip(x + np.float32(127.0), np.float32(0.0), np.float32(255.0))
-        return xp.rint(v).astype(np.uint8)
+        x = buffer * q_rne
+        v = np.clip(x + np.float32(127.0), np.float32(0.0), np.float32(255.0))
+        return np.rint(v).astype(np.uint8)
     if rounding == "scalar":
         q_scalar = (np.float32(1.0) / (lut_f * VR)).astype(np.float32)
-        x = _shield(buffer * xp.asarray(q_scalar), xp)
-        v = xp.clip(x + _HALF_BIAS, np.float32(0.0), np.float32(1.0)) \
+        x = buffer * q_scalar
+        v = np.clip(x + _HALF_BIAS, np.float32(0.0), np.float32(1.0)) \
             * np.float32(255.0)
-        return _roundf_nonneg(v, xp).astype(np.uint8)
+        return _roundf_nonneg(v).astype(np.uint8)
     raise ValueError(f"unknown rounding {rounding!r}")

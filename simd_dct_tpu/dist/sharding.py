@@ -87,8 +87,6 @@ def decode_quantize32_sharded(records: jax.Array, lut, size_x: int,
     sharded on rows."""
     lut = jnp.asarray(lut, jnp.float32)
 
-    n = _num_shards(mesh, axis_name)
-
     def shard_fn(local, lut_r):
         s_local = local.shape[0]
         if _use_pallas(mesh, s_local * 8, size_x):

@@ -173,17 +173,9 @@ def _raw_blocks(view):
     return L_blocks.blockize(view).astype(jnp.float32)
 
 
-def _strip_mask(num_strips, start_y, end_y, legacy_range=False):
-    s = np.arange(num_strips)
-    cmp = s * 8 if legacy_range else s * 16
-    return (cmp >= start_y) & (cmp <= end_y)
-
-
-def _apply_mask(flat, mask, bytes_per_strip):
-    if mask.all():
-        return flat
-    m = jnp.repeat(jnp.asarray(mask), bytes_per_strip)
-    return jnp.where(m, flat, jnp.uint8(0))
+# strip-range masking: shared with the XLA tier (same semantics, one
+# implementation of the legacy_range y-vs-y*2 quirk)
+from .xla_path import _strip_mask, _apply_mask  # noqa: E402
 
 
 def encode_quantize(img, lut, start_y=0, end_y=1 << 30, rounding="rne",
@@ -194,10 +186,10 @@ def encode_quantize(img, lut, start_y=0, end_y=1 << 30, rounding="rne",
     data = quantize_exact(bufs, lut, rounding)
     flat = (L_reorder.block_contiguous(data) if layout == "scalar"
             else L_reorder.pair_cells(data))
+    mask = _strip_mask(h // 16, start_y, end_y, legacy_range)
     if layout == "pair_as_written":
-        flat = L_reorder.pair_as_written(flat)
-    return _apply_mask(flat, _strip_mask(h // 16, start_y, end_y,
-                                         legacy_range), 8 * w)
+        return L_reorder.pair_as_written_masked(flat, mask, 8 * w)
+    return _apply_mask(flat, mask, 8 * w)
 
 
 def encode_quantize32(img, lut, start_y=0, end_y=1 << 30, rounding="rne"):

@@ -1164,12 +1164,25 @@ def encode_quantize(img, lut, start_y=0, end_y=1 << 30, rounding="rne",
     h, w = img.shape
     h2 = h // 2
     wp = max(_ceil_to(w, CHUNK), 4 * CHUNK)
+    s = np.arange(h2 // 8)
+    mask = ((s * 8 if legacy_range else s * 16) >= start_y) \
+        & ((s * 8 if legacy_range else s * 16) <= end_y)
+    # partial-range as-written needs the intended pair stream so the
+    # cross-strip spill bytes can be composed (reference cursor
+    # semantics, see layout.reorder.pair_as_written_masked); the
+    # full-range case keeps the cheaper in-kernel zeroed stores.
+    aw_partial = layout == "pair_as_written" and not mask.all()
     records = _encq_pair_panels(
         _pad_view(img[:h2, :], h2, wp), quant_scales(lut),
-        rounding=rounding, as_written=(layout == "pair_as_written"),
+        rounding=rounding,
+        as_written=(layout == "pair_as_written" and not aw_partial),
         scalar_pi=(layout == "scalar"), interpret=interpret,
         precision=precision)
     records = _slice_records(records, h2 // 8, w, 16, h2 // 8, wp)
+    if aw_partial:
+        from ..layout import reorder as _reorder
+        return _reorder.pair_as_written_masked(records.reshape(-1), mask,
+                                               8 * w)
     return _mask_strips(records, start_y, end_y, legacy_range).reshape(-1)
 
 

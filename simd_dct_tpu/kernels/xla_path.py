@@ -89,9 +89,9 @@ def encode_quantize(img: jnp.ndarray, lut: jnp.ndarray,
         data = quantize_to_u8(bufs, scales, rounding)
         flat = (L_reorder.block_contiguous(data) if layout == "scalar"
                 else L_reorder.pair_cells(data))
-    if layout == "pair_as_written":
-        flat = L_reorder.pair_as_written(flat)
     mask = _strip_mask(h // 16, start_y, end_y, legacy_range)
+    if layout == "pair_as_written":
+        return L_reorder.pair_as_written_masked(flat, mask, 8 * w)
     return _apply_mask(flat, mask, 8 * w)
 
 

@@ -102,6 +102,34 @@ def pair_as_written(flat_pair: jnp.ndarray) -> jnp.ndarray:
     return (cells * keep).reshape(-1)
 
 
+def pair_as_written_masked(flat_pair: jnp.ndarray, mask,
+                           bytes_per_strip: int) -> jnp.ndarray:
+    """As-written surviving bytes under a partial strip range (reference
+    cursor semantics).  Beyond pair_as_written's zeroed second halves,
+    an INCLUDED strip's last cell stores its 64 second-half bytes at
+    +128 — the first-cell region of the FOLLOWING strip — and those
+    bytes survive when that strip is excluded (the next strip's first
+    cell would otherwise clobber them): src/simd_dct.cpp:1662-1670
+    overlap + the per-strip cursor advance.  Matches the golden's
+    emulate_overlap_bug and the C++ oracle for any [start_y, end_y]."""
+    out = pair_as_written(flat_pair)
+    mask = np.asarray(mask, bool)
+    if mask.all():
+        return out
+    m = jnp.repeat(jnp.asarray(mask), bytes_per_strip)
+    out = jnp.where(m, out, jnp.uint8(0))
+    spill_into = np.zeros_like(mask)
+    spill_into[1:] = mask[:-1] & ~mask[1:]
+    if spill_into.any():
+        rows = np.nonzero(spill_into)[0]
+        strips = flat_pair.reshape(mask.size, bytes_per_strip)
+        out = out.reshape(mask.size, bytes_per_strip)
+        out = out.at[jnp.asarray(rows), :64].set(
+            strips[jnp.asarray(rows - 1), -64:])
+        out = out.reshape(-1)
+    return out
+
+
 def pair_cells_inverse(flat: jnp.ndarray, bw: int) -> jnp.ndarray:
     cells = flat.reshape(-1, bw // 2, 128)
     perm = pair_cell_permutation(False).reshape(-1)  # (blk*64+p) -> byte

@@ -197,9 +197,15 @@ class TestColorApi:
 
     def test_api_degenerate_dims_rejected(self, luts):
         import simd_dct_tpu as sd
-        from simd_dct_tpu.api import InvalidParameterError
+        from simd_dct_tpu.api import (InvalidParameterError,
+                                      NotSupportedError)
         luma, chroma = luts
-        for sx, sy in ((0, 64), (128, 0), (128, 8)):
+        for sx, sy in ((0, 64), (128, 0)):
             with pytest.raises(InvalidParameterError):
+                sd.api.decode_quantize32_ycbcr(
+                    np.zeros(10, np.uint8), luma, chroma, sx, sy)
+        # geometry contract violations mirror the gray decode entries
+        for sx, sy in ((128, 8), (100, 64)):
+            with pytest.raises(NotSupportedError):
                 sd.api.decode_quantize32_ycbcr(
                     np.zeros(10, np.uint8), luma, chroma, sx, sy)

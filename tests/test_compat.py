@@ -115,13 +115,42 @@ def test_api_compat_strip_range(img, lut):
     assert int((got != want).sum()) == 0
 
 
+def test_pair_as_written_partial_range_spill(img, lut):
+    """An included strip's last as-written cell spills 64 bytes into the
+    following EXCLUDED strip (src/simd_dct.cpp:1662-1670 overlap + cursor
+    advance); every tier must reproduce the oracle's surviving bytes."""
+    import jax.numpy as jnp
+    h, w = img.shape
+    start_y, end_y = 0, 15          # strip 0 included, strips 1+ excluded
+    want = native.encode_quantize(img, lut, start_y, end_y,
+                                  layout="pair_as_written")
+    spill = want[8 * w: 8 * w + 64]
+    assert spill.any(), "test needs a nonzero spill to be meaningful"
+    g = G.encode_quantize_golden(img, lut, start_y, end_y,
+                                 layout="pair_as_written", compat=True,
+                                 legacy_range=False)
+    assert int((g != want).sum()) == 0
+    got_c = np.asarray(sd.encode_quantize(img, lut, start_y, end_y,
+                                          layout="pair_as_written",
+                                          backend="xla", compat=True))
+    assert int((got_c != want).sum()) == 0
+    # non-compat tiers: same bytes up to the usual +-1 rounding contract
+    for kw in (dict(backend="xla"),
+               dict(backend="pallas", pallas_interpret=True)):
+        got = np.asarray(sd.encode_quantize(img, lut, start_y, end_y,
+                                            layout="pair_as_written", **kw))
+        diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+        assert diff.max(initial=0) <= 1, kw
+        assert got[8 * w: 8 * w + 64].any(), f"spill missing: {kw}"
+
+
 def test_exact_roundf_edge():
     """floor(v+0.5) != roundf when v+0.5 rounds up across an integer; the
     compat quantizer must implement true roundf."""
     # v = largest f32 strictly below 0.5: roundf -> 0, floor(v+0.5) -> 1.0
     v = np.float32(np.nextafter(np.float32(0.5), np.float32(0.0)))
     assert np.floor(v + np.float32(0.5)) == 1.0  # the naive shortcut fails
-    got = B._roundf_nonneg(np.array([v], np.float32), np)
+    got = B._roundf_nonneg(np.array([v], np.float32))
     assert got[0] == 0.0
 
 
