@@ -50,7 +50,8 @@ class NotSupportedError(SimdDctError):
 _END_Y_SENTINEL = 1 << 30
 
 
-def _validate(image: Any, lut: Any, *, multiple_of_64: bool = False):
+def _validate(image: Any, lut: Any, *, multiple_of_64: bool = False,
+              allow_spill: bool = False):
     if image is None or lut is None:
         raise InvalidParameterError("image and lut must not be None")
     img = jnp.asarray(image)
@@ -61,14 +62,16 @@ def _validate(image: Any, lut: Any, *, multiple_of_64: bool = False):
     if (w % 8) or (h % 8):
         raise NotSupportedError(
             f"image dims must be multiples of 8, got {(w, h)}")
-    if h % 16:
+    if h % 16 and not allow_spill:
         # The reference accepts any H % 8 == 0 but its dual-view strip loop
         # (y < H/2 step 8, src/simd_dct.cpp:268) then reads the last strip
         # past the first view into the second and writes past H/2*W output
-        # bytes — spill semantics we deliberately reject rather than
-        # reproduce (SURVEY.md §7 "odd geometry rules").
+        # bytes — spill semantics rejected by default; pass spill=True on
+        # the encode entry points to opt into exact reference behavior
+        # (SURVEY.md §7 "odd geometry rules": do both, default native).
         raise NotSupportedError(
-            f"dual-view geometry requires H % 16 == 0, got H={h}")
+            f"dual-view geometry requires H % 16 == 0, got H={h} "
+            "(pass spill=True for reference spill semantics)")
     if multiple_of_64 and (w % 64):
         raise NotSupportedError(
             f"enc-quant32 requires W % 64 == 0 (src/simd_dct.cpp:118), got {w}")
@@ -94,6 +97,19 @@ def _resolve_end_y(end_y, h):
     return _END_Y_SENTINEL if end_y is None else int(end_y)
 
 
+def _spill_view_image(img, w: int):
+    """(…, H, W) u8 with H % 16 == 8 -> (…, 2*R, W) synthetic dual-view
+    image whose TOP view is rows [0, R), R = ceil((H/2)/8)*8 — exactly
+    the rows the reference's spill strip reads (4 rows into the second
+    view, src/simd_dct.cpp:268); the zero bottom view is never read by
+    the non-stereo encode modes."""
+    h = img.shape[-2]
+    rows = -(-(h // 2) // 8) * 8
+    top = img[..., :rows, :]
+    pad = jnp.zeros(img.shape[:-2] + (rows, w), jnp.uint8)
+    return jnp.concatenate([top, pad], axis=-2)
+
+
 def _maybe_batch(arr, fn_one, numpy_tier: bool, base_ndim: int = 2):
     """Apply a per-item function over an optional leading batch axis.
 
@@ -117,15 +133,23 @@ def encode_quantize(image, lut, start_y: int = 0, end_y: int | None = None, *,
                     rounding: str = "rne", layout: str = "scalar",
                     backend: str | None = None,
                     legacy_range: bool = False, compat: bool = False,
+                    spill: bool = False,
                     pallas_interpret: bool = False):
     """≙ simdDCT_EncodeQuantizeBuffer: block-contiguous (or SIMD pair-cell)
     encode of the TOP view.  Returns a flat u8 array of H/2*W bytes.
 
     compat=True selects the strict-IEEE butterfly engine: output is
     byte-identical to the C++ oracle (native/golden_dct.cpp) on every
-    tier (SURVEY.md §7 "Bit-exactness"; slower — conformance, not speed)."""
-    img, lut_arr, h, w = _validate(image, lut)
+    tier (SURVEY.md §7 "Bit-exactness"; slower — conformance, not speed).
+
+    spill=True additionally accepts H % 16 == 8 with exact reference
+    spill semantics: the last strip reads 4 rows into the second view
+    and the output grows to ceil((H/2)/8)*8*W bytes
+    (src/simd_dct.cpp:268; rejected by default)."""
+    img, lut_arr, h, w = _validate(image, lut, allow_spill=spill)
     _check_rounding(rounding)
+    if spill and h % 16:
+        img = _spill_view_image(img, w)
     if layout not in ("scalar", "pair", "pair_as_written"):
         raise InvalidParameterError(
             "layout must be 'scalar', 'pair' or 'pair_as_written', "
@@ -162,12 +186,17 @@ def encode_quantize(image, lut, start_y: int = 0, end_y: int | None = None, *,
 
 def encode_quantize32(image, lut, start_y: int = 0, end_y: int | None = None, *,
                       rounding: str = "rne", backend: str | None = None,
-                      compat: bool = False,
+                      compat: bool = False, spill: bool = False,
                       pallas_interpret: bool = False):
     """≙ simdDCT_EncodeQuantize32ReorderBuffer: 8-block coefficient-major
-    encode of the TOP view in the raw 0..255 domain.  Flat u8, H/2*W bytes."""
-    img, lut_arr, h, w = _validate(image, lut, multiple_of_64=True)
+    encode of the TOP view in the raw 0..255 domain.  Flat u8, H/2*W bytes.
+    ``spill=True``: reference H % 16 == 8 spill semantics (see
+    encode_quantize)."""
+    img, lut_arr, h, w = _validate(image, lut, multiple_of_64=True,
+                                   allow_spill=spill)
     _check_rounding(rounding)
+    if spill and h % 16:
+        img = _spill_view_image(img, w)
     tier = select_backend(backend, pallas_interpret=pallas_interpret)
     ey = _resolve_end_y(end_y, h)
     if tier == "numpy":

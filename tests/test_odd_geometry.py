@@ -48,6 +48,30 @@ def test_spill_mode32(img):
     assert int((out != cpp).sum()) == 0
 
 
+def test_api_spill_opt_in(img):
+    """api spill=True reproduces the oracle's spill bytes on every tier
+    (round 2: SURVEY §7 'do both, defaulting to native' — the api half)."""
+    lut = default_quant_lut(50)
+    want = native.encode_quantize(img, lut)
+    got_c = np.asarray(sd.encode_quantize(img, lut, backend="xla",
+                                          compat=True, spill=True))
+    assert got_c.size == 24 * 64
+    assert int((got_c != want).sum()) == 0
+    for kw in (dict(backend="numpy"), dict(backend="xla"),
+               dict(backend="pallas", pallas_interpret=True)):
+        got = np.asarray(sd.encode_quantize(img, lut, spill=True, **kw))
+        diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+        assert got.size == want.size and diff.max(initial=0) <= 1, kw
+    want32 = native.encode_quantize32(img, lut * 255.0)
+    got32 = np.asarray(sd.encode_quantize32(img, lut * 255.0, spill=True,
+                                            backend="xla", compat=True))
+    assert int((got32 != want32).sum()) == 0
+    # default stays native: rejected without the opt-in
+    import pytest as _pytest
+    with _pytest.raises(sd.NotSupportedError):
+        sd.encode_quantize(img, lut)
+
+
 def test_stereo_odd_height_rejected_everywhere(img):
     """Stereo with H % 16 == 8 would read past the input buffer in the
     reference (src/simd_dct.cpp:292) — UB, rejected by golden and oracle."""
