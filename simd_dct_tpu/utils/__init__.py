@@ -5,7 +5,8 @@ from .profiling import (
     device_timer, trace, measure,
 )
 from .debug import interpret_kernels, check_deterministic, compare_backends
-from .feed import FrameFeeder, stream_roundtrip32
+from .feed import (FrameFeeder, stream_roundtrip32,
+                   stream_encode32_compressed)
 from .metrics import psnr, mse
 
 __all__ = [

@@ -78,3 +78,39 @@ def stream_roundtrip32(frames: Iterable[Any], lut, *, depth: int = 2,
     feeder = FrameFeeder(lambda fr: api.roundtrip_quantize32(fr, lut_d),
                          depth=depth, device=device)
     return feeder.map(frames)
+
+
+def stream_encode32_compressed(frames: Iterable[Any], lut, *,
+                               depth: int = 2, device=None,
+                               shared_table: bool = True) -> Iterator[Any]:
+    """Pipelined full codec: fused mode32 encode + on-device histogram
+    per frame, overlapped with the HOST Huffman pack of the previous
+    frame (the device crunches frame k+1 while the host packs frame k).
+
+    ``shared_table=True`` builds the code table from the first frame's
+    histogram and reuses it (typical video: stationary statistics); a
+    frame containing a symbol absent from the shared table transparently
+    rebuilds from its own histogram."""
+    import numpy as np
+    import jax.numpy as jnp
+    from .. import api, entropy
+
+    lut_d = jnp.asarray(lut)
+
+    def dev(fr):
+        rec = api.encode_quantize32(fr, lut_d)
+        return rec, entropy._hist_jit()(rec)
+
+    feeder = FrameFeeder(dev, depth=depth, device=device)
+    lengths = None
+    for rec, hist in feeder.map(frames):
+        if lengths is None or not shared_table:
+            lengths = entropy.build_lengths(
+                np.asarray(hist).astype(np.uint64))
+        rec_h = np.asarray(rec)
+        try:
+            yield entropy.compress(rec_h, lengths)
+        except entropy.EntropyError:
+            lengths = entropy.build_lengths(
+                np.asarray(hist).astype(np.uint64))
+            yield entropy.compress(rec_h, lengths)

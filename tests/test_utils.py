@@ -106,6 +106,37 @@ class TestFrameFeeder:
         assert len(outs) == 3
         assert outs[0].shape == (16, 64)
 
+    def test_stream_encode32_compressed(self):
+        """Pipelined encode + entropy pack: each blob decompresses to the
+        same bytes as a direct encode, with the shared table reused."""
+        import simd_dct_tpu as sd
+        from simd_dct_tpu import entropy as E
+        from simd_dct_tpu.utils.feed import stream_encode32_compressed
+        from simd_dct_tpu.core import default_quant_lut
+        yy, xx = np.mgrid[0:32, 0:64]
+        frames = [np.clip(128 + 50 * np.sin((xx + p) / 7), 0,
+                          255).astype(np.uint8) for p in range(3)]
+        lut = default_quant_lut(100) * 255.0
+        blobs = list(stream_encode32_compressed(iter(frames), lut, depth=2))
+        assert len(blobs) == 3
+        for fr, blob in zip(frames, blobs):
+            want = np.asarray(sd.encode_quantize32(fr, lut))
+            np.testing.assert_array_equal(E.decompress(blob), want)
+
+    def test_stream_compressed_table_rebuild(self):
+        """A frame with symbols absent from the shared table rebuilds
+        transparently instead of failing."""
+        from simd_dct_tpu import entropy as E
+        from simd_dct_tpu.utils.feed import stream_encode32_compressed
+        from simd_dct_tpu.core import default_quant_lut
+        flat = np.full((32, 64), 127, np.uint8)        # near-empty spectrum
+        noisy = np.random.default_rng(1).integers(
+            0, 256, (32, 64), np.uint8)                 # rich spectrum
+        lut = default_quant_lut(100) * 255.0
+        blobs = list(stream_encode32_compressed(iter([flat, noisy]), lut))
+        assert len(blobs) == 2
+        assert E.decompress(blobs[1]).size == 16 * 64
+
     def test_bad_depth(self):
         from simd_dct_tpu.utils.feed import FrameFeeder
         with pytest.raises(ValueError):
