@@ -22,6 +22,8 @@
 #include <cstddef>
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -304,6 +306,31 @@ size_t entropy_encode4_bound(size_t n) {
   return (n * 15) / 8 + kHeader4 + 64;
 }
 
+// single-chunk bit packer; returns payload bytes or <0 on error
+static long long pack_chunk(const uint8_t* in, size_t lo, size_t hi,
+                            const uint8_t* lengths, const uint16_t* codes,
+                            uint8_t* dst, size_t cap) {
+  uint64_t acc = 0;
+  int nb = 0;
+  size_t pos = 0;
+  for (size_t i = lo; i < hi; i++) {
+    int l = lengths[in[i]];
+    if (!l) return -4;
+    acc = (acc << l) | codes[in[i]];
+    nb += l;
+    while (nb >= 8) {
+      nb -= 8;
+      if (pos >= cap) return -3;
+      dst[pos++] = (uint8_t)(acc >> nb);
+    }
+  }
+  if (nb) {
+    if (pos >= cap) return -3;
+    dst[pos++] = (uint8_t)(acc << (8 - nb));
+  }
+  return (long long)pos;
+}
+
 long long entropy_encode4(const uint8_t* in, size_t n,
                           const uint8_t* lengths, uint8_t* out,
                           size_t out_cap) {
@@ -311,29 +338,40 @@ long long entropy_encode4(const uint8_t* in, size_t n,
   if (canonical_codes(lengths, codes, nullptr)) return -2;
   if (out_cap < kHeader4) return -3;
   size_t chunk = (n + 3) / 4;
+  size_t bound = (chunk * 15) / 8 + 16;
   uint64_t comp[4] = {0, 0, 0, 0};
   size_t pos = kHeader4;
-  for (int s = 0; s < 4; s++) {
-    size_t lo = std::min(n, s * chunk), hi = std::min(n, (s + 1) * chunk);
-    uint64_t acc = 0;
-    int nb = 0;
-    size_t start = pos;
-    for (size_t i = lo; i < hi; i++) {
-      int l = lengths[in[i]];
-      if (!l) return -4;
-      acc = (acc << l) | codes[in[i]];
-      nb += l;
-      while (nb >= 8) {
-        nb -= 8;
-        if (pos >= out_cap) return -3;
-        out[pos++] = (uint8_t)(acc >> nb);
-      }
+  bool threaded = n >= (1u << 20)
+      && std::thread::hardware_concurrency() >= 2;
+  if (threaded) {
+    // pack the 4 chunks concurrently into a scratch, then compact
+    long long rc[4];
+    std::vector<uint8_t> scratch(4 * bound);
+    std::vector<std::thread> ts;
+    for (int s = 0; s < 4; s++)
+      ts.emplace_back([&, s] {
+        size_t lo = std::min(n, s * chunk);
+        size_t hi = std::min(n, (s + 1) * chunk);
+        rc[s] = pack_chunk(in, lo, hi, lengths, codes,
+                           scratch.data() + s * bound, bound);
+      });
+    for (auto& t : ts) t.join();
+    for (int s = 0; s < 4; s++) {
+      if (rc[s] < 0) return rc[s];
+      if (pos + (size_t)rc[s] > out_cap) return -3;
+      std::memcpy(out + pos, scratch.data() + s * bound, (size_t)rc[s]);
+      comp[s] = (uint64_t)rc[s];
+      pos += (size_t)rc[s];
     }
-    if (nb) {
-      if (pos >= out_cap) return -3;
-      out[pos++] = (uint8_t)(acc << (8 - nb));
+  } else {
+    for (int s = 0; s < 4; s++) {
+      size_t lo = std::min(n, s * chunk), hi = std::min(n, (s + 1) * chunk);
+      long long r = pack_chunk(in, lo, hi, lengths, codes, out + pos,
+                               out_cap - pos);
+      if (r < 0) return r;
+      comp[s] = (uint64_t)r;
+      pos += (size_t)r;
     }
-    comp[s] = pos - start;
   }
   std::memcpy(out, &kMagic4, 4);
   uint64_t n64 = n;
@@ -341,6 +379,52 @@ long long entropy_encode4(const uint8_t* in, size_t n,
   std::memcpy(out + 12, comp, 32);
   std::memcpy(out + 44, lengths, 256);
   return (long long)pos;
+}
+
+// one stream, one dependency chain, two symbols per 32-bit refill —
+// the per-thread worker of the threaded decode path
+static long long decode_stream(const uint8_t* p, size_t avail,
+                               const uint16_t* lut, uint8_t* op,
+                               size_t ns) {
+  const uint32_t mask = (1u << kMaxLen) - 1;
+  uint64_t acc = 0;
+  int nb = 0;
+  size_t ip = 0;
+  int bad = 0;
+  auto refill = [&](int want) {
+    if (nb < want) {
+      if (ip + 4 <= avail) {
+        uint32_t w;
+        std::memcpy(&w, p + ip, 4);
+        ip += 4;
+        acc = (acc << 32) | __builtin_bswap32(w);
+        nb += 32;
+      } else {
+        while (nb < want) {
+          acc = (acc << 8) | (ip < avail ? p[ip++] : 0);
+          nb += 8;
+        }
+      }
+    }
+  };
+  auto lookup = [&]() {
+    uint16_t v = lut[(acc >> (nb - kMaxLen)) & mask];
+    int l = v >> 8;
+    bad |= (l == 0);
+    nb -= l ? l : 1;
+    return (uint8_t)v;
+  };
+  size_t i = 0;
+  for (; i + 2 <= ns; i += 2) {
+    refill(2 * kMaxLen);
+    op[i] = lookup();
+    op[i + 1] = lookup();
+  }
+  for (; i < ns; i++) {
+    refill(kMaxLen);
+    op[i] = lookup();
+  }
+  return bad ? -3 : (long long)ns;
 }
 
 long long entropy_decode4(const uint8_t* in, size_t n_comp, uint8_t* out,
@@ -365,8 +449,8 @@ long long entropy_decode4(const uint8_t* in, size_t n_comp, uint8_t* out,
 
   uint16_t codes[256];
   if (canonical_codes(lengths, codes, nullptr)) return -1;
-  static thread_local uint16_t lut[1 << kMaxLen];
-  std::memset(lut, 0, sizeof(lut));
+  std::vector<uint16_t> lut_v(1 << kMaxLen, 0);
+  uint16_t* lut = lut_v.data();
   for (int i = 0; i < 256; i++) {
     int l = lengths[i];
     if (!l) continue;
@@ -378,7 +462,7 @@ long long entropy_decode4(const uint8_t* in, size_t n_comp, uint8_t* out,
 
   size_t chunk = (n + 3) / 4;
   const uint8_t* p[4];
-  size_t avail[4], ip[4] = {0, 0, 0, 0};
+  size_t avail[4];
   uint8_t* op[4];
   size_t ns[4];
   {
@@ -393,8 +477,24 @@ long long entropy_decode4(const uint8_t* in, size_t n_comp, uint8_t* out,
       ns[s] = hi - lo;
     }
   }
+  // 4 independent streams: one per core when the input is big enough,
+  // else 4 interleaved dependency chains on one core
+  if (n >= (1u << 20) && std::thread::hardware_concurrency() >= 2) {
+    long long rc[4];
+    std::vector<std::thread> ts;
+    for (int s = 0; s < 4; s++)
+      ts.emplace_back([&, s] {
+        rc[s] = decode_stream(p[s], avail[s], lut, op[s], ns[s]);
+      });
+    for (auto& t : ts) t.join();
+    for (int s = 0; s < 4; s++)
+      if (rc[s] < 0) return rc[s];
+    return (long long)n;
+  }
+
   uint64_t acc[4] = {0, 0, 0, 0};
   int nb[4] = {0, 0, 0, 0};
+  size_t ip[4] = {0, 0, 0, 0};
   size_t n_min = std::min(std::min(ns[0], ns[1]), std::min(ns[2], ns[3]));
   const uint32_t mask = (1u << kMaxLen) - 1;
   int bad = 0;

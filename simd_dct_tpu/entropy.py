@@ -51,7 +51,8 @@ def _build() -> str:
         # portable ISA baseline: the cached .so may be reused across
         # hosts (shared checkouts), so no -march=native
         subprocess.run(["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
-                        _SRC, "-o", _SO], check=True, capture_output=True)
+                        "-pthread", _SRC, "-o", _SO],
+                       check=True, capture_output=True)
     return _SO
 
 
