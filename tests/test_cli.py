@@ -136,3 +136,42 @@ def test_ycbcr_mode_rgb_file(tmp_path, capsys):
                    "--mode", "enc-quant32-ycbcr"])
     assert rc == 0
     assert "enc-quant32-ycbcr" in capsys.readouterr().out
+
+
+def test_compress_flag(raw_image, capsys, tmp_path):
+    """--compress entropy-codes the records, reports the ratio, and
+    writes a decodable stream with --to."""
+    from simd_dct_tpu import entropy as E
+    import simd_dct_tpu as sd
+    path, img = raw_image
+    out = tmp_path / "out.sde"
+    rc = cli.main([str(path), "128", "64", "--runs", "1", "--quality",
+                   "50", "--mode", "enc-quant32", "--compress",
+                   "--to", str(out)])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "entropy" in text and "x ratio" in text
+    blob = np.fromfile(out, np.uint8)
+    lut = sd.default_quant_lut(50) * 255.0
+    want = np.asarray(sd.encode_quantize32(img, lut))
+    np.testing.assert_array_equal(E.decompress(blob), want)
+
+
+def test_ycbcr_default_quality_convention(raw_image, capsys, tmp_path):
+    """Without --quality, chroma follows the same unscaled convention as
+    luma (regression: chroma was scaled 100x while luma was not).  The
+    dumped records must equal the api called with BOTH tables unscaled."""
+    import simd_dct_tpu as sd
+    from simd_dct_tpu.layout import BASE_CHROMA_QUANT_TABLE
+    path, img = raw_image
+    out = tmp_path / "ycc.raw"
+    rc = cli.main([str(path), "128", "64", "--runs", "1",
+                   "--mode", "enc-quant32-ycbcr", "--to", str(out)])
+    assert rc == 0
+    got = np.fromfile(out, np.uint8)
+    planes = np.broadcast_to(img, (3, 64, 128))
+    luma = sd.default_quant_lut(None) * 255.0
+    chroma = BASE_CHROMA_QUANT_TABLE * 1.0 * 255.0
+    want = np.asarray(sd.api.encode_quantize32_ycbcr(
+        np.ascontiguousarray(planes), luma, chroma)).reshape(-1)
+    np.testing.assert_array_equal(got, want)
