@@ -83,6 +83,31 @@ class TestRoundtrip:
         with pytest.raises(E.EntropyError):
             E.decompress(blob)
 
+    def test_fuzz_corrupted_streams_never_crash(self):
+        """decompress on corrupted/garbage input must either raise
+        EntropyError or return bytes — never crash or read OOB (the
+        native decoder parses untrusted headers and payloads)."""
+        rng = np.random.default_rng(0xF422)
+        base = E.compress(rng.integers(0, 256, 4096, np.uint8))
+        for trial in range(200):
+            blob = base.copy()
+            kind = trial % 4
+            if kind == 0:      # flip random bytes (header + payload)
+                idx = rng.integers(0, blob.size, 8)
+                blob[idx] ^= rng.integers(1, 256, 8).astype(np.uint8)
+            elif kind == 1:    # truncate
+                blob = blob[: int(rng.integers(12, blob.size))].copy()
+            elif kind == 2:    # pure garbage with a valid magic
+                blob = rng.integers(0, 256, 400, dtype=np.uint8)
+                blob[:4] = np.frombuffer(b"SDE4", np.uint8)
+            else:              # scramble the chunk-size table
+                blob[12:44] = rng.integers(0, 256, 32, dtype=np.uint8)
+            try:
+                out = E.decompress(blob)
+                assert out.dtype == np.uint8   # decoded garbage is fine
+            except E.EntropyError:
+                pass
+
     def test_compress_returns_owned_buffer(self):
         """compress must not return a view pinning the bound-sized
         scratch (~1.9x raw) alive."""
