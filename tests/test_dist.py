@@ -178,3 +178,19 @@ def test_ycbcr_sharded_matches(img, mesh):
     single_dec = np.asarray(C32.decode_ycbcr_xla(
         jnp.asarray(single), jnp.asarray(luma), jnp.asarray(chroma)))
     np.testing.assert_array_equal(np.asarray(dec), single_dec)
+
+
+def test_enc32_sharded_unaligned_local_strips():
+    """Round 2: local shard geometries that are not panel-aligned (here
+    17 strips per shard over 4 devices) divide evenly and encode
+    correctly — the gate only needs H % 16 == 0 and chunk-aligned W."""
+    mesh4 = dist.make_mesh(4)
+    rng = np.random.default_rng(77)
+    img = rng.integers(0, 256, (1088, 128), dtype=np.uint8)  # h2=544
+    lut = default_quant_lut(50) * 255.0
+    sharded = dist.encode_quantize32_sharded(jnp.asarray(img), lut, mesh4)
+    single = np.asarray(X.encode_quantize32(jnp.asarray(img),
+                                            jnp.asarray(lut)))
+    np.testing.assert_array_equal(np.asarray(sharded).reshape(-1), single)
+    dec = dist.decode_quantize32_sharded(sharded, lut, 128, 1088, mesh4)
+    assert np.asarray(dec).shape == (544, 128)
