@@ -563,4 +563,369 @@ long long entropy_decode4(const uint8_t* in, size_t n_comp, uint8_t* out,
   return (long long)n;
 }
 
+// ---------------------------------------------------------------------------
+// RLE variant: runs of the dominant byte (the +127-biased zero DCT
+// coefficient covers 70-90% of quantized records) become run symbols
+// 256..509 (length 2..255) in a 510-symbol alphabet, then canonical
+// Huffman as before.  Self-contained: the table is built from the
+// transformed stream's own histogram.  4 chunks (runs never cross a
+// chunk boundary), threaded like the plain format.
+//
+// Stream format (little-endian):
+//   u32 magic "SDER" | u64 n_bytes | u8 run_byte | u8 pad[3] |
+//   u64 comp_bytes[4] | u8 lengths[510] | payload0..3
+// ---------------------------------------------------------------------------
+
+static const uint32_t kMagicR = 0x52454453u;  // "SDER"
+static const int kNSym = 510;                 // 256 literals + 254 runs
+static const size_t kHeaderR = 4 + 8 + 4 + 4 * 8 + kNSym;
+
+// Huffman over kNSym symbols (generalization of entropy_build_lengths).
+static int build_lengths_n(const uint64_t* hist, uint8_t* lengths, int nsym) {
+  std::memset(lengths, 0, nsym);
+  int nz = 0, last = -1;
+  for (int i = 0; i < nsym; i++)
+    if (hist[i]) { nz++; last = i; }
+  if (nz == 0) return 1;
+  if (nz == 1) { lengths[last] = 1; return 0; }
+  struct Node { uint64_t f; int l, r; };
+  std::vector<Node> nodes(2 * nsym);
+  std::vector<int> heap(2 * nsym);
+  int hs = 0, cnt = 0;
+  auto less = [&](int a, int b) { return nodes[a].f < nodes[b].f; };
+  auto push = [&](int x) {
+    heap[hs++] = x;
+    for (int i = hs - 1; i > 0;) {
+      int p = (i - 1) / 2;
+      if (!less(heap[i], heap[p])) break;
+      std::swap(heap[i], heap[p]);
+      i = p;
+    }
+  };
+  auto pop = [&]() {
+    int top = heap[0];
+    heap[0] = heap[--hs];
+    for (int i = 0;;) {
+      int a = 2 * i + 1, b = 2 * i + 2, m = i;
+      if (a < hs && less(heap[a], heap[m])) m = a;
+      if (b < hs && less(heap[b], heap[m])) m = b;
+      if (m == i) break;
+      std::swap(heap[i], heap[m]);
+      i = m;
+    }
+    return top;
+  };
+  std::vector<int> leaf_of(nsym, -1);
+  for (int i = 0; i < nsym; i++)
+    if (hist[i]) {
+      nodes[cnt] = {hist[i], -1, -1};
+      leaf_of[i] = cnt;
+      push(cnt++);
+    }
+  while (hs > 1) {
+    int a = pop(), b = pop();
+    nodes[cnt] = {nodes[a].f + nodes[b].f, a, b};
+    push(cnt++);
+  }
+  std::vector<int> depth(2 * nsym, 0), stack(2 * nsym);
+  int sp = 0;
+  stack[sp++] = heap[0];
+  while (sp) {
+    int x = stack[--sp];
+    if (nodes[x].l >= 0) {
+      depth[nodes[x].l] = depth[x] + 1;
+      stack[sp++] = nodes[x].l;
+    }
+    if (nodes[x].r >= 0) {
+      depth[nodes[x].r] = depth[x] + 1;
+      stack[sp++] = nodes[x].r;
+    }
+  }
+  int bl[1024] = {0};
+  int maxd = 0;
+  for (int i = 0; i < nsym; i++)
+    if (leaf_of[i] >= 0) {
+      int d = depth[leaf_of[i]];
+      bl[d]++;
+      maxd = std::max(maxd, d);
+    }
+  for (int l = maxd; l > kMaxLen; l--) {
+    while (bl[l] > 0) {
+      int j = l - 2;
+      while (bl[j] == 0) j--;
+      bl[l] -= 2;
+      bl[l - 1] += 1;
+      bl[j + 1] += 2;
+      bl[j] -= 1;
+    }
+  }
+  if (maxd > kMaxLen) maxd = kMaxLen;
+  std::vector<int> order;
+  for (int i = 0; i < nsym; i++)
+    if (hist[i]) order.push_back(i);
+  std::sort(order.begin(), order.end(), [&](int a, int b) {
+    if (hist[a] != hist[b]) return hist[a] > hist[b];
+    return a < b;
+  });
+  size_t k = 0;
+  for (int l = 1; l <= maxd; l++)
+    for (int c = 0; c < bl[l]; c++) lengths[order[k++]] = (uint8_t)l;
+  return 0;
+}
+
+static int canonical_codes_n(const uint8_t* lengths, uint16_t* codes,
+                             int nsym) {
+  int bl[17] = {0};
+  for (int i = 0; i < nsym; i++) {
+    if (lengths[i] > kMaxLen) return -1;
+    bl[lengths[i]]++;
+  }
+  bl[0] = 0;
+  uint64_t kraft = 0;
+  for (int i = 0; i < nsym; i++)
+    if (lengths[i]) kraft += 1ull << (kMaxLen - lengths[i]);
+  if (kraft > (1ull << kMaxLen)) return -1;
+  uint32_t code = 0;
+  uint32_t next[17];
+  for (int l = 1; l <= 16; l++) {
+    code = (code + bl[l - 1]) << 1;
+    next[l] = code;
+  }
+  for (int i = 0; i < nsym; i++)
+    if (lengths[i]) codes[i] = (uint16_t)next[lengths[i]]++;
+  return 0;
+}
+
+}  // extern "C" (template below needs C++ linkage)
+
+// scan a raw chunk, calling sink(symbol) per RLE symbol
+template <typename F>
+static void rle_scan(const uint8_t* in, size_t lo, size_t hi,
+                     uint8_t run_byte, F&& sink) {
+  size_t i = lo;
+  while (i < hi) {
+    uint8_t b = in[i];
+    if (b == run_byte) {
+      size_t r = i + 1;
+      while (r < hi && r - i < 255 && in[r] == run_byte) r++;
+      size_t len = r - i;
+      if (len >= 2)
+        sink(256 + (int)len - 2);
+      else
+        sink(b);
+      i = r;
+    } else {
+      sink(b);
+      i++;
+    }
+  }
+}
+
+extern "C" {
+
+size_t entropy_encode_rle_bound(size_t n) {
+  return (n * 15) / 8 + kHeaderR + 64;
+}
+
+long long entropy_encode_rle(const uint8_t* in, size_t n, uint8_t* out,
+                             size_t out_cap) {
+  if (n == 0) return -4;
+  if (out_cap < kHeaderR) return -3;
+  // pass 0: dominant byte (threaded-enough via the 4-way histogram)
+  uint64_t h8[256];
+  entropy_histogram(in, n, h8);
+  uint8_t run_byte = 0;
+  for (int i = 1; i < 256; i++)
+    if (h8[i] > h8[run_byte]) run_byte = (uint8_t)i;
+  size_t chunk = (n + 3) / 4;
+  bool threaded = n >= (1u << 20)
+      && std::thread::hardware_concurrency() >= 2;
+  // pass 1: symbol histogram over the 4 chunks
+  uint64_t hist[4][kNSym];
+  std::memset(hist, 0, sizeof(hist));
+  auto hist_chunk = [&](int s) {
+    size_t lo = std::min(n, s * chunk), hi = std::min(n, (s + 1) * chunk);
+    rle_scan(in, lo, hi, run_byte,
+             [&](int sym) { hist[s][sym]++; });
+  };
+  if (threaded) {
+    std::vector<std::thread> ts;
+    for (int s = 0; s < 4; s++) ts.emplace_back(hist_chunk, s);
+    for (auto& t : ts) t.join();
+  } else {
+    for (int s = 0; s < 4; s++) hist_chunk(s);
+  }
+  uint64_t merged[kNSym];
+  for (int i = 0; i < kNSym; i++)
+    merged[i] = hist[0][i] + hist[1][i] + hist[2][i] + hist[3][i];
+  uint8_t lengths[kNSym];
+  if (build_lengths_n(merged, lengths, kNSym)) return -4;
+  uint16_t codes[kNSym];
+  if (canonical_codes_n(lengths, codes, kNSym)) return -2;
+  // pass 2: pack each chunk's symbol stream
+  size_t bound = (chunk * 15) / 8 + 16;
+  uint64_t comp[4] = {0, 0, 0, 0};
+  long long rc[4] = {0, 0, 0, 0};
+  auto pack = [&](int s, uint8_t* dst, size_t cap) -> long long {
+    size_t lo = std::min(n, s * chunk), hi = std::min(n, (s + 1) * chunk);
+    uint64_t acc = 0;
+    int nb = 0;
+    size_t pos = 0;
+    bool overflow = false;
+    rle_scan(in, lo, hi, run_byte, [&](int sym) {
+      int l = lengths[sym];
+      acc = (acc << l) | codes[sym];
+      nb += l;
+      while (nb >= 8) {
+        nb -= 8;
+        if (pos >= cap) { overflow = true; return; }
+        dst[pos++] = (uint8_t)(acc >> nb);
+      }
+    });
+    if (overflow) return -3;
+    if (nb) {
+      if (pos >= cap) return -3;
+      dst[pos++] = (uint8_t)(acc << (8 - nb));
+    }
+    return (long long)pos;
+  };
+  size_t pos = kHeaderR;
+  if (threaded) {
+    std::vector<uint8_t> scratch(4 * bound);
+    std::vector<std::thread> ts;
+    for (int s = 0; s < 4; s++)
+      ts.emplace_back([&, s] {
+        rc[s] = pack(s, scratch.data() + s * bound, bound);
+      });
+    for (auto& t : ts) t.join();
+    for (int s = 0; s < 4; s++) {
+      if (rc[s] < 0) return rc[s];
+      if (pos + (size_t)rc[s] > out_cap) return -3;
+      std::memcpy(out + pos, scratch.data() + s * bound, (size_t)rc[s]);
+      comp[s] = (uint64_t)rc[s];
+      pos += (size_t)rc[s];
+    }
+  } else {
+    for (int s = 0; s < 4; s++) {
+      long long r = pack(s, out + pos, out_cap - pos);
+      if (r < 0) return r;
+      comp[s] = (uint64_t)r;
+      pos += (size_t)r;
+    }
+  }
+  std::memcpy(out, &kMagicR, 4);
+  uint64_t n64 = n;
+  std::memcpy(out + 4, &n64, 8);
+  out[12] = run_byte;
+  out[13] = out[14] = out[15] = 0;
+  std::memcpy(out + 16, comp, 32);
+  std::memcpy(out + 48, lengths, kNSym);
+  return (long long)pos;
+}
+
+// decode one RLE stream chunk into out[lo, hi)
+static long long decode_rle_stream(const uint8_t* p, size_t avail,
+                                   const uint16_t* lut, uint8_t run_byte,
+                                   uint8_t* op, size_t n_bytes) {
+  const uint32_t mask = (1u << kMaxLen) - 1;
+  uint64_t acc = 0;
+  int nb = 0;
+  size_t ip = 0, o = 0;
+  while (o < n_bytes) {
+    if (nb < kMaxLen) {
+      if (ip + 4 <= avail) {
+        uint32_t w;
+        std::memcpy(&w, p + ip, 4);
+        ip += 4;
+        acc = (acc << 32) | __builtin_bswap32(w);
+        nb += 32;
+      } else {
+        while (nb < kMaxLen) {
+          acc = (acc << 8) | (ip < avail ? p[ip++] : 0);
+          nb += 8;
+        }
+      }
+    }
+    uint16_t v = lut[(acc >> (nb - kMaxLen)) & mask];
+    int l = v >> 9;
+    if (!l) return -3;
+    nb -= l;
+    int sym = v & 0x1FF;
+    if (sym < 256) {
+      op[o++] = (uint8_t)sym;
+    } else {
+      size_t len = (size_t)(sym - 256) + 2;
+      if (o + len > n_bytes) return -3;   // corrupt run past chunk end
+      std::memset(op + o, run_byte, len);
+      o += len;
+    }
+  }
+  return (long long)o;
+}
+
+long long entropy_decode_rle(const uint8_t* in, size_t n_comp, uint8_t* out,
+                             size_t out_cap) {
+  if (n_comp < kHeaderR) return -1;
+  uint32_t magic;
+  std::memcpy(&magic, in, 4);
+  if (magic != kMagicR) return -1;
+  uint64_t n, comp[4];
+  std::memcpy(&n, in + 4, 8);
+  uint8_t run_byte = in[12];
+  std::memcpy(comp, in + 16, 32);
+  const uint8_t* lengths = in + 48;
+  if (n > out_cap) return -2;
+  if (n == 0) return 0;
+  uint64_t budget = n_comp - kHeaderR;
+  for (int s = 0; s < 4; s++) {
+    if (comp[s] > budget) return -1;
+    budget -= comp[s];
+  }
+  uint16_t codes[kNSym];
+  if (canonical_codes_n(lengths, codes, kNSym)) return -1;
+  std::vector<uint16_t> lut_v(1 << kMaxLen, 0);
+  uint16_t* lut = lut_v.data();
+  for (int i = 0; i < kNSym; i++) {
+    int l = lengths[i];
+    if (!l) continue;
+    uint32_t lo = (uint32_t)codes[i] << (kMaxLen - l);
+    uint32_t hi = lo + (1u << (kMaxLen - l));
+    uint16_t v = (uint16_t)((l << 9) | i);
+    for (uint32_t k = lo; k < hi; k++) lut[k] = v;
+  }
+  size_t chunk = (n + 3) / 4;
+  const uint8_t* p[4];
+  size_t avail[4], ns[4];
+  uint8_t* op[4];
+  const uint8_t* base = in + kHeaderR;
+  for (int s = 0; s < 4; s++) {
+    p[s] = base;
+    base += comp[s];
+    avail[s] = comp[s];
+    size_t lo = std::min((size_t)n, s * chunk);
+    size_t hi = std::min((size_t)n, (s + 1) * chunk);
+    op[s] = out + lo;
+    ns[s] = hi - lo;
+  }
+  if (n >= (1u << 20) && std::thread::hardware_concurrency() >= 2) {
+    long long rc[4];
+    std::vector<std::thread> ts;
+    for (int s = 0; s < 4; s++)
+      ts.emplace_back([&, s] {
+        rc[s] = decode_rle_stream(p[s], avail[s], lut, run_byte,
+                                  op[s], ns[s]);
+      });
+    for (auto& t : ts) t.join();
+    for (int s = 0; s < 4; s++)
+      if (rc[s] < 0) return rc[s];
+    return (long long)n;
+  }
+  for (int s = 0; s < 4; s++) {
+    long long r = decode_rle_stream(p[s], avail[s], lut, run_byte,
+                                    op[s], ns[s]);
+    if (r < 0) return r;
+  }
+  return (long long)n;
+}
+
 }  // extern "C"

@@ -80,6 +80,12 @@ def _load() -> ctypes.CDLL:
             lib.entropy_encode4.argtypes = [u8p, st, u8p, u8p, st]
             lib.entropy_decode4.restype = ctypes.c_longlong
             lib.entropy_decode4.argtypes = [u8p, st, u8p, st]
+            lib.entropy_encode_rle_bound.restype = st
+            lib.entropy_encode_rle_bound.argtypes = [st]
+            lib.entropy_encode_rle.restype = ctypes.c_longlong
+            lib.entropy_encode_rle.argtypes = [u8p, st, u8p, st]
+            lib.entropy_decode_rle.restype = ctypes.c_longlong
+            lib.entropy_decode_rle.argtypes = [u8p, st, u8p, st]
             _lib = lib
     return _lib
 
@@ -140,19 +146,34 @@ def build_lengths(hist) -> np.ndarray:
 # compress / decompress
 # ---------------------------------------------------------------------------
 
-def compress(records, lengths=None, *, streams: int = 4) -> np.ndarray:
+def compress(records, lengths=None, *, streams: int = 4,
+             rle: bool = False) -> np.ndarray:
     """u8 records -> self-contained compressed stream (u8 array: header
     + payload).  ``lengths`` (from build_lengths) may be reused across
     frames with matching statistics; by default a table is built from
     this array's own histogram.  ``streams=4`` (default) splits the
     input into 4 independent bitstreams so the decoder runs 4
     dependency chains in parallel (zstd-style); ``streams=1`` emits the
-    minimal single-stream format."""
+    minimal single-stream format.
+
+    ``rle=True`` additionally run-length-codes the dominant byte (the
+    +127-biased zero coefficient) before the Huffman pack — roughly
+    doubles the ratio on typical quantized records; the table is always
+    built from the transformed stream itself (``lengths`` ignored)."""
     data = np.ascontiguousarray(np.asarray(records), np.uint8).reshape(-1)
+    lib = _load()
+    if rle:
+        if data.size == 0:
+            raise EntropyError("empty input has no code")
+        out = np.zeros(lib.entropy_encode_rle_bound(data.size), np.uint8)
+        n = lib.entropy_encode_rle(_u8p(data), data.size, _u8p(out),
+                                   out.size)
+        if n < 0:
+            raise EntropyError(f"encode failed (code {n})")
+        return out[:n].copy()
     if lengths is None:
         lengths = build_lengths(histogram(data, device=False))
     lengths = np.ascontiguousarray(lengths, np.uint8)
-    lib = _load()
     if streams == 4:
         out = np.zeros(lib.entropy_encode4_bound(data.size), np.uint8)
         n = lib.entropy_encode4(_u8p(data), data.size, _u8p(lengths),
@@ -172,26 +193,30 @@ def compress(records, lengths=None, *, streams: int = 4) -> np.ndarray:
 
 _MAGIC1 = 0x31454453   # "SDE1"
 _MAGIC4 = 0x34454453   # "SDE4"
+_MAGICR = 0x52454453   # "SDER"
 
 
 def decompress(blob) -> np.ndarray:
     """Compressed stream -> u8 records (exact inverse of compress);
-    dispatches on the stream magic (single- or 4-stream format)."""
+    dispatches on the stream magic (single-, 4-stream or RLE format)."""
     data = np.ascontiguousarray(np.asarray(blob), np.uint8).reshape(-1)
     if data.size < 12:
         raise EntropyError("stream too short")
     magic = int(np.frombuffer(data[:4].tobytes(), np.uint32)[0])
-    if magic not in (_MAGIC1, _MAGIC4):
+    if magic not in (_MAGIC1, _MAGIC4, _MAGICR):
         raise EntropyError("bad stream magic")
     n_out = int(np.frombuffer(data[4:12].tobytes(), np.uint64)[0])
-    # untrusted header: Huffman emits >= 1 bit/symbol, so a valid stream
-    # can't decode to more than 8x its own size — reject before the
-    # allocation, not after
-    if n_out > 8 * data.size:
+    # untrusted header: plain Huffman emits >= 1 bit/symbol and an RLE
+    # run symbol covers <= 255 bytes in >= 1 bit, so a valid stream
+    # can't decode to more than 8x (2040x with RLE) its own size —
+    # reject before the allocation, not after
+    limit = 2040 if magic == _MAGICR else 8
+    if n_out > limit * data.size:
         raise EntropyError("corrupt stream: implausible symbol count")
     out = np.zeros(max(n_out, 1), np.uint8)
-    fn = (_load().entropy_decode4 if magic == _MAGIC4
-          else _load().entropy_decode)
+    fn = {_MAGIC4: _load().entropy_decode4,
+          _MAGICR: _load().entropy_decode_rle,
+          _MAGIC1: _load().entropy_decode}[magic]
     n = fn(_u8p(data), data.size, _u8p(out), out.size)
     if n < 0:
         raise EntropyError(f"decode failed (code {n})")
@@ -202,11 +227,15 @@ def decompress(blob) -> np.ndarray:
 # end-to-end convenience: encode+compress / decompress+decode
 # ---------------------------------------------------------------------------
 
-def encode_quantize32_compressed(image, lut, **kw) -> np.ndarray:
+def encode_quantize32_compressed(image, lut, *, rle: bool = False,
+                                 **kw) -> np.ndarray:
     """Full pipeline: TPU fused mode32 encode -> on-device histogram ->
-    host Huffman pack.  Returns the compressed stream."""
+    host Huffman pack (``rle=True``: run-length + Huffman, better ratio
+    on typical records).  Returns the compressed stream."""
     from . import api
     rec = api.encode_quantize32(image, lut, **kw)
+    if rle:
+        return compress(np.asarray(rec), rle=True)
     lengths = build_lengths(histogram(rec))
     return compress(np.asarray(rec), lengths)
 

@@ -83,6 +83,62 @@ class TestRoundtrip:
         with pytest.raises(E.EntropyError):
             E.decompress(blob)
 
+    @pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 255, 256, 257, 1000,
+                                   100_003])
+    def test_rle_format_exact(self, n):
+        """RLE format roundtrips exactly at awkward lengths, including
+        run boundaries (255-byte max run, chunk splits)."""
+        rng = np.random.default_rng(n)
+        data = rng.choice(np.arange(256, dtype=np.uint8), n,
+                          p=np.r_[np.full(255, 0.2 / 255), 0.8])
+        blob = E.compress(data, rle=True)
+        assert blob[:4].tobytes() == b"SDER"
+        np.testing.assert_array_equal(E.decompress(blob), data)
+
+    def test_rle_long_runs_and_all_equal(self):
+        for data in (np.full(100_000, 127, np.uint8),
+                     np.full(3, 0, np.uint8),
+                     np.r_[np.full(300, 9, np.uint8),
+                           np.arange(256, dtype=np.uint8)]):
+            blob = E.compress(data, rle=True)
+            np.testing.assert_array_equal(E.decompress(blob), data)
+
+    def test_rle_beats_plain_on_records(self):
+        """On quantized DCT records (zero coefficient dominates in runs)
+        the RLE format compresses markedly better than plain order-0."""
+        import simd_dct_tpu as sd
+        h, w = 128, 256
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.clip(128 + 60 * np.sin(xx / 17) * np.cos(yy / 13),
+                      0, 255).astype(np.uint8)
+        lut = sd.default_quant_lut(50) * 255.0
+        rec = np.asarray(sd.encode_quantize32(img, lut))
+        plain = E.compress(rec)
+        rle = E.compress(rec, rle=True)
+        np.testing.assert_array_equal(E.decompress(rle), rec)
+        assert rle.size < plain.size * 0.75, (rle.size, plain.size)
+
+    def test_rle_fuzz_never_crashes(self):
+        rng = np.random.default_rng(0xA11)
+        base = E.compress(rng.choice(
+            np.arange(256, dtype=np.uint8), 4096,
+            p=np.r_[np.full(255, 0.2 / 255), 0.8]), rle=True)
+        for trial in range(150):
+            blob = base.copy()
+            kind = trial % 3
+            if kind == 0:
+                idx = rng.integers(0, blob.size, 8)
+                blob[idx] ^= rng.integers(1, 256, 8).astype(np.uint8)
+            elif kind == 1:
+                blob = blob[: int(rng.integers(12, blob.size))].copy()
+            else:
+                blob[16:48] = rng.integers(0, 256, 32, dtype=np.uint8)
+            try:
+                out = E.decompress(blob)
+                assert out.dtype == np.uint8
+            except E.EntropyError:
+                pass
+
     def test_fuzz_corrupted_streams_never_crash(self):
         """decompress on corrupted/garbage input must either raise
         EntropyError or return bytes — never crash or read OOB (the
