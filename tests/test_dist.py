@@ -194,3 +194,24 @@ def test_enc32_sharded_unaligned_local_strips():
     np.testing.assert_array_equal(np.asarray(sharded).reshape(-1), single)
     dec = dist.decode_quantize32_sharded(sharded, lut, 128, 1088, mesh4)
     assert np.asarray(dec).shape == (544, 128)
+
+
+def test_color_sharded_unaligned_strips():
+    """Sharded YCbCr encode at a non-panel-aligned local geometry
+    (17 strips per shard) matches the single-device XLA color tier."""
+    from simd_dct_tpu.kernels import color32 as C32
+    from simd_dct_tpu.layout import BASE_CHROMA_QUANT_TABLE
+    mesh4 = dist.make_mesh(4)
+    rng = np.random.default_rng(31)
+    planes = rng.integers(0, 256, (3, 1088, 128), dtype=np.uint8)
+    luma = default_quant_lut(100) * 255.0
+    chroma = BASE_CHROMA_QUANT_TABLE * 100.0 * 255.0
+    sharded = dist.encode_quantize32_ycbcr_sharded(
+        jnp.asarray(planes), luma, chroma, mesh4)
+    single = np.asarray(C32.encode_ycbcr_xla(
+        jnp.asarray(planes[:, :544]), jnp.asarray(luma),
+        jnp.asarray(chroma)))
+    np.testing.assert_array_equal(np.asarray(sharded), single)
+    dec = dist.decode_quantize32_ycbcr_sharded(sharded, luma, chroma,
+                                               128, 1088, mesh4)
+    assert np.asarray(dec).shape == (3, 544, 128)
