@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "histogram + native 4-stream Huffman) and report "
                         "the ratio; with --to, the compressed stream is "
                         "written instead of raw records")
+    p.add_argument("--rle", action="store_true",
+                   help="with --compress: run-length-code the dominant "
+                        "byte before the Huffman pack (better ratio on "
+                        "typical records)")
     p.add_argument("--start-y", type=int, default=0)
     p.add_argument("--end-y", type=int, default=None)
     p.add_argument("--sharded", type=int, default=None, metavar="N",
@@ -199,9 +203,13 @@ def main(argv=None) -> int:
         if args.compress:
             import time as _t
             from simd_dct_tpu import entropy as E
-            lengths = E.build_lengths(E.histogram(out))   # on-device pass
-            t0 = _t.perf_counter()
-            blob = E.compress(last_output.reshape(-1), lengths)
+            if args.rle:
+                t0 = _t.perf_counter()
+                blob = E.compress(last_output.reshape(-1), rle=True)
+            else:
+                lengths = E.build_lengths(E.histogram(out))  # on-device
+                t0 = _t.perf_counter()
+                blob = E.compress(last_output.reshape(-1), lengths)
             dt = _t.perf_counter() - t0
             print(f"{name + ' entropy':<28} | "
                   f"{last_output.size / blob.size:6.2f}x ratio | "

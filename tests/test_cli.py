@@ -175,3 +175,19 @@ def test_ycbcr_default_quality_convention(raw_image, capsys, tmp_path):
     want = np.asarray(sd.api.encode_quantize32_ycbcr(
         np.ascontiguousarray(planes), luma, chroma)).reshape(-1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_compress_rle_flag(raw_image, capsys, tmp_path):
+    from simd_dct_tpu import entropy as E
+    import simd_dct_tpu as sd
+    path, img = raw_image
+    out = tmp_path / "out.sder"
+    rc = cli.main([str(path), "128", "64", "--runs", "1", "--quality",
+                   "50", "--mode", "enc-quant32", "--compress", "--rle",
+                   "--to", str(out)])
+    assert rc == 0
+    blob = np.fromfile(out, np.uint8)
+    assert blob[:4].tobytes() == b"SDER"
+    lut = sd.default_quant_lut(50) * 255.0
+    want = np.asarray(sd.encode_quantize32(img, lut))
+    np.testing.assert_array_equal(E.decompress(blob), want)
