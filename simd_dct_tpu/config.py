@@ -149,11 +149,15 @@ class Encoder:
 
     # -- entropy-coded bitstream (north-star extension) -----------------
 
-    def encode_quantize32_compressed(self, image) -> np.ndarray:
+    def encode_quantize32_compressed(self, image,
+                                     rle: bool = False) -> np.ndarray:
         """Fused mode32 encode + on-device histogram + native 4-stream
-        Huffman pack -> self-contained compressed stream."""
+        Huffman pack -> self-contained compressed stream (``rle=True``:
+        run-length + Huffman, better ratio on typical records)."""
         from . import entropy
         rec = self.encode_quantize32(image)
+        if rle:
+            return entropy.compress(np.asarray(rec), rle=True)
         lengths = entropy.build_lengths(entropy.histogram(rec))
         return entropy.compress(np.asarray(rec), lengths)
 
