@@ -150,6 +150,7 @@ def encode_quantize(image, lut, start_y: int = 0, end_y: int | None = None, *,
     _check_rounding(rounding)
     if spill and h % 16:
         img = _spill_view_image(img, w)
+        h = img.shape[-2]   # tier gates must see the spilled geometry
     if layout not in ("scalar", "pair", "pair_as_written"):
         raise InvalidParameterError(
             "layout must be 'scalar', 'pair' or 'pair_as_written', "
@@ -197,6 +198,7 @@ def encode_quantize32(image, lut, start_y: int = 0, end_y: int | None = None, *,
     _check_rounding(rounding)
     if spill and h % 16:
         img = _spill_view_image(img, w)
+        h = img.shape[-2]   # tier gates must see the spilled geometry
     tier = select_backend(backend, pallas_interpret=pallas_interpret)
     ey = _resolve_end_y(end_y, h)
     if tier == "numpy":

@@ -203,13 +203,8 @@ def main(argv=None) -> int:
         if args.compress:
             import time as _t
             from simd_dct_tpu import entropy as E
-            if args.rle:
-                t0 = _t.perf_counter()
-                blob = E.compress(last_output.reshape(-1), rle=True)
-            else:
-                lengths = E.build_lengths(E.histogram(out))  # on-device
-                t0 = _t.perf_counter()
-                blob = E.compress(last_output.reshape(-1), lengths)
+            t0 = _t.perf_counter()
+            blob = E.compress_records(out, rle=args.rle)
             dt = _t.perf_counter() - t0
             print(f"{name + ' entropy':<28} | "
                   f"{last_output.size / blob.size:6.2f}x ratio | "

@@ -155,11 +155,8 @@ class Encoder:
         Huffman pack -> self-contained compressed stream (``rle=True``:
         run-length + Huffman, better ratio on typical records)."""
         from . import entropy
-        rec = self.encode_quantize32(image)
-        if rle:
-            return entropy.compress(np.asarray(rec), rle=True)
-        lengths = entropy.build_lengths(entropy.histogram(rec))
-        return entropy.compress(np.asarray(rec), lengths)
+        return entropy.compress_records(self.encode_quantize32(image),
+                                        rle=rle)
 
     def decode_quantize32_compressed(self, blob, size_x: int, size_y: int):
         """Inverse: native Huffman unpack + fused mode32 decode."""

@@ -206,12 +206,32 @@ def decompress(blob) -> np.ndarray:
     if magic not in (_MAGIC1, _MAGIC4, _MAGICR):
         raise EntropyError("bad stream magic")
     n_out = int(np.frombuffer(data[4:12].tobytes(), np.uint64)[0])
-    # untrusted header: plain Huffman emits >= 1 bit/symbol and an RLE
-    # run symbol covers <= 255 bytes in >= 1 bit, so a valid stream
-    # can't decode to more than 8x (2040x with RLE) its own size —
-    # reject before the allocation, not after
-    limit = 2040 if magic == _MAGICR else 8
-    if n_out > limit * data.size:
+    # untrusted header: validate internal consistency BEFORE allocating
+    # n_out bytes (a corrupt header must fail with EntropyError, not a
+    # multi-GB MemoryError).  Plain Huffman emits >= 1 bit/symbol; an
+    # RLE run symbol covers <= 255 bytes in >= 1 bit, so a valid stream
+    # can't decode to more than 8x (2040x with RLE) its PAYLOAD size,
+    # and the chunk-size table must fit inside the blob.
+    if magic == _MAGICR:
+        hdr = 4 + 8 + 4 + 32 + 510
+        if data.size < hdr:
+            raise EntropyError("stream too short")
+        comp = sum(int(x) for x in
+                   np.frombuffer(data[16:48].tobytes(), np.uint64))
+        if hdr + comp > data.size:
+            raise EntropyError("corrupt stream: chunk sizes exceed blob")
+        limit = 2040 * max(comp, 1)
+    elif magic == _MAGIC4:
+        if data.size < HEADER_BYTES4:
+            raise EntropyError("stream too short")
+        comp = sum(int(x) for x in
+                   np.frombuffer(data[12:44].tobytes(), np.uint64))
+        if HEADER_BYTES4 + comp > data.size:
+            raise EntropyError("corrupt stream: chunk sizes exceed blob")
+        limit = 8 * max(comp, 1)
+    else:
+        limit = 8 * data.size
+    if n_out > limit:
         raise EntropyError("corrupt stream: implausible symbol count")
     out = np.zeros(max(n_out, 1), np.uint8)
     fn = {_MAGIC4: _load().entropy_decode4,
@@ -227,17 +247,26 @@ def decompress(blob) -> np.ndarray:
 # end-to-end convenience: encode+compress / decompress+decode
 # ---------------------------------------------------------------------------
 
+def compress_records(records, *, rle: bool = False) -> np.ndarray:
+    """Device (or host) records -> compressed stream.  The plain format
+    builds its table from the ON-DEVICE histogram (1 KB crosses the
+    wire before the host copy); the RLE format is self-contained.  The
+    single table-policy implementation behind the api/facade/CLI
+    compressed pipelines."""
+    if rle:
+        return compress(np.asarray(records), rle=True)
+    lengths = build_lengths(histogram(records))
+    return compress(np.asarray(records), lengths)
+
+
 def encode_quantize32_compressed(image, lut, *, rle: bool = False,
                                  **kw) -> np.ndarray:
     """Full pipeline: TPU fused mode32 encode -> on-device histogram ->
     host Huffman pack (``rle=True``: run-length + Huffman, better ratio
     on typical records).  Returns the compressed stream."""
     from . import api
-    rec = api.encode_quantize32(image, lut, **kw)
-    if rle:
-        return compress(np.asarray(rec), rle=True)
-    lengths = build_lengths(histogram(rec))
-    return compress(np.asarray(rec), lengths)
+    return compress_records(api.encode_quantize32(image, lut, **kw),
+                            rle=rle)
 
 
 def decode_quantize32_compressed(blob, lut, size_x: int, size_y: int,

@@ -1164,9 +1164,8 @@ def encode_quantize(img, lut, start_y=0, end_y=1 << 30, rounding="rne",
     h, w = img.shape
     h2 = h // 2
     wp = max(_ceil_to(w, CHUNK), 4 * CHUNK)
-    s = np.arange(h2 // 8)
-    mask = ((s * 8 if legacy_range else s * 16) >= start_y) \
-        & ((s * 8 if legacy_range else s * 16) <= end_y)
+    from .xla_path import _strip_mask   # one impl of the y-vs-y*2 quirk
+    mask = _strip_mask(h2 // 8, start_y, end_y, legacy_range)
     # partial-range as-written needs the intended pair stream so the
     # cross-strip spill bytes can be composed (reference cursor
     # semantics, see layout.reorder.pair_as_written_masked); the
