@@ -128,6 +128,16 @@ def main(argv=None) -> int:
         rgb_planes = np.broadcast_to(img, (3, h, w))
 
     import jax
+    # Honor an explicit JAX_PLATFORMS env request (e.g. =cpu).  A session
+    # sitecustomize may programmatically pin jax.config.jax_platforms to a
+    # remote-tunnel plugin, which silently outranks the env var — and a
+    # dead tunnel then hangs backend init.  Restore env-var semantics
+    # while backends are still uninitialized.
+    _env_platforms = os.environ.get("JAX_PLATFORMS")
+    if _env_platforms:
+        from jax._src import xla_bridge
+        if not xla_bridge.backends_are_initialized():
+            jax.config.update("jax_platforms", _env_platforms)
     import simd_dct_tpu as sd
     from simd_dct_tpu.bench.stats import (time_fn, HEADER, DEFAULT_RUN_COUNT,
                                           MAX_RUN_COUNT)
