@@ -80,6 +80,13 @@ def _load() -> ctypes.CDLL:
             lib.entropy_encode4.argtypes = [u8p, st, u8p, u8p, st]
             lib.entropy_decode4.restype = ctypes.c_longlong
             lib.entropy_decode4.argtypes = [u8p, st, u8p, st]
+            lib.entropy_encode_g_bound.restype = st
+            lib.entropy_encode_g_bound.argtypes = [st, ctypes.c_int]
+            lib.entropy_encode_g.restype = ctypes.c_longlong
+            lib.entropy_encode_g.argtypes = [u8p, st, u8p, ctypes.c_int,
+                                             u8p, st]
+            lib.entropy_decode_g.restype = ctypes.c_longlong
+            lib.entropy_decode_g.argtypes = [u8p, st, u8p, st]
             lib.entropy_encode_rle_bound.restype = st
             lib.entropy_encode_rle_bound.argtypes = [st]
             lib.entropy_encode_rle.restype = ctypes.c_longlong
@@ -154,7 +161,9 @@ def compress(records, lengths=None, *, streams: int = 4,
     this array's own histogram.  ``streams=4`` (default) splits the
     input into 4 independent bitstreams so the decoder runs 4
     dependency chains in parallel (zstd-style); ``streams=1`` emits the
-    minimal single-stream format.
+    minimal single-stream format; other values in [2, 128] emit the
+    generalized K-chunk format whose decoder runs 4-chain ILP *inside
+    each* of up to K/4 threads (pick 4x the host cores).
 
     ``rle=True`` additionally run-length-codes the dominant byte (the
     +127-biased zero coefficient) before the Huffman pack — roughly
@@ -182,8 +191,13 @@ def compress(records, lengths=None, *, streams: int = 4,
         out = np.zeros(lib.entropy_encode_bound(data.size), np.uint8)
         n = lib.entropy_encode(_u8p(data), data.size, _u8p(lengths),
                                _u8p(out), out.size)
+    elif 1 < streams <= 128:
+        out = np.zeros(lib.entropy_encode_g_bound(data.size, streams),
+                       np.uint8)
+        n = lib.entropy_encode_g(_u8p(data), data.size, _u8p(lengths),
+                                 streams, _u8p(out), out.size)
     else:
-        raise EntropyError("streams must be 1 or 4")
+        raise EntropyError("streams must be in [1, 128]")
     if n < 0:
         raise EntropyError(f"encode failed (code {n})")
     # .copy(): out[:n] alone would pin the bound-sized (~1.9x raw)
@@ -194,6 +208,7 @@ def compress(records, lengths=None, *, streams: int = 4,
 _MAGIC1 = 0x31454453   # "SDE1"
 _MAGIC4 = 0x34454453   # "SDE4"
 _MAGICR = 0x52454453   # "SDER"
+_MAGICG = 0x47454453   # "SDEG" (generalized K-chunk)
 
 
 def decompress(blob) -> np.ndarray:
@@ -203,7 +218,7 @@ def decompress(blob) -> np.ndarray:
     if data.size < 12:
         raise EntropyError("stream too short")
     magic = int(np.frombuffer(data[:4].tobytes(), np.uint32)[0])
-    if magic not in (_MAGIC1, _MAGIC4, _MAGICR):
+    if magic not in (_MAGIC1, _MAGIC4, _MAGICR, _MAGICG):
         raise EntropyError("bad stream magic")
     n_out = int(np.frombuffer(data[4:12].tobytes(), np.uint64)[0])
     # untrusted header: validate internal consistency BEFORE allocating
@@ -229,6 +244,18 @@ def decompress(blob) -> np.ndarray:
         if HEADER_BYTES4 + comp > data.size:
             raise EntropyError("corrupt stream: chunk sizes exceed blob")
         limit = 8 * max(comp, 1)
+    elif magic == _MAGICG:
+        if data.size < 16:
+            raise EntropyError("stream too short")
+        k = int(data[12])
+        hdr = 4 + 8 + 4 + 8 * k + 256
+        if not 1 <= k <= 128 or data.size < hdr:
+            raise EntropyError("stream too short")
+        comp = sum(int(x) for x in
+                   np.frombuffer(data[16:16 + 8 * k].tobytes(), np.uint64))
+        if hdr + comp > data.size:
+            raise EntropyError("corrupt stream: chunk sizes exceed blob")
+        limit = 8 * max(comp, 1)
     else:
         limit = 8 * data.size
     if n_out > limit:
@@ -236,6 +263,7 @@ def decompress(blob) -> np.ndarray:
     out = np.zeros(max(n_out, 1), np.uint8)
     fn = {_MAGIC4: _load().entropy_decode4,
           _MAGICR: _load().entropy_decode_rle,
+          _MAGICG: _load().entropy_decode_g,
           _MAGIC1: _load().entropy_decode}[magic]
     n = fn(_u8p(data), data.size, _u8p(out), out.size)
     if n < 0:
@@ -256,7 +284,13 @@ def compress_records(records, *, rle: bool = False) -> np.ndarray:
     if rle:
         return compress(np.asarray(records), rle=True)
     lengths = build_lengths(histogram(records))
-    return compress(np.asarray(records), lengths)
+    arr = np.asarray(records)
+    # large frames: K = 4 chains per thread x one thread per core (both
+    # ILP and threading in the decoder); small ones stay 4-stream
+    if arr.size >= (1 << 20):
+        k = min(128, max(4, 4 * (os.cpu_count() or 1)))
+        return compress(arr, lengths, streams=k)
+    return compress(arr, lengths)
 
 
 def encode_quantize32_compressed(image, lut, *, rle: bool = False,

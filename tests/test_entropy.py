@@ -32,14 +32,24 @@ class TestRoundtrip:
         np.testing.assert_array_equal(back, data)
 
     @pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 7, 1000, 100_003])
-    def test_both_formats_exact(self, n):
-        """Single- and 4-stream formats roundtrip exactly at awkward
-        lengths (chunk boundaries, sub-chunk inputs)."""
+    def test_all_formats_exact(self, n):
+        """Single-, 4-stream, and generalized K-chunk formats roundtrip
+        exactly at awkward lengths (chunk boundaries, sub-chunk inputs,
+        K > n leaving empty chunks, K not a multiple of 4)."""
         rng = np.random.default_rng(n)
         data = rng.integers(0, 256, n, dtype=np.uint8)
-        for streams in (1, 4):
+        for streams in (1, 4, 3, 16, 31, 128):
             blob = E.compress(data, streams=streams)
             np.testing.assert_array_equal(E.decompress(blob), data)
+
+    def test_g_format_magic_and_threaded_size(self):
+        """>=1 MB inputs exercise the threaded quartet decode path."""
+        rng = np.random.default_rng(5)
+        data = rng.integers(0, 256, (1 << 20) + 17, dtype=np.uint8)
+        blob = E.compress(data, streams=16)
+        assert blob[:4].tobytes() == b"SDEG"
+        assert int(blob[12]) == 16
+        np.testing.assert_array_equal(E.decompress(blob), data)
 
     def test_four_stream_is_default_and_decodes(self):
         rng = np.random.default_rng(0)
@@ -161,6 +171,34 @@ class TestRoundtrip:
             try:
                 out = E.decompress(blob)
                 assert out.dtype == np.uint8   # decoded garbage is fine
+            except E.EntropyError:
+                pass
+
+    def test_g_fuzz_corrupted_streams_never_crash(self):
+        """The K-chunk decoder parses an untrusted chunk count and size
+        table; corruption must raise EntropyError, never crash."""
+        rng = np.random.default_rng(0xF423)
+        base = E.compress(rng.integers(0, 256, 4096, np.uint8), streams=16)
+        assert base[:4].tobytes() == b"SDEG"
+        for trial in range(200):
+            blob = base.copy()
+            kind = trial % 5
+            if kind == 0:      # flip random bytes
+                idx = rng.integers(0, blob.size, 8)
+                blob[idx] ^= rng.integers(1, 256, 8).astype(np.uint8)
+            elif kind == 1:    # truncate
+                blob = blob[: int(rng.integers(12, blob.size))].copy()
+            elif kind == 2:    # garbage with a valid magic
+                blob = rng.integers(0, 256, 400, dtype=np.uint8)
+                blob[:4] = np.frombuffer(b"SDEG", np.uint8)
+            elif kind == 3:    # scramble the chunk-size table
+                blob[16:16 + 8 * 16] = rng.integers(
+                    0, 256, 8 * 16, dtype=np.uint8)
+            else:              # corrupt the chunk count
+                blob[12] = rng.integers(0, 256)
+            try:
+                out = E.decompress(blob)
+                assert out.dtype == np.uint8
             except E.EntropyError:
                 pass
 
