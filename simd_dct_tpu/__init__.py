@@ -14,6 +14,8 @@ sharding.  Layer map (SURVEY.md §7):
 * ``bench``    — statistics-grade benchmark harness (≙ main.cpp harness)
 * ``entropy``  — Huffman bitstream stage (beyond the reference): on-device
   histogram + native C++ canonical coder (native/entropy.cpp)
+* ``container`` — self-describing .sdt frame container (mode, geometry,
+  LUTs, entropy payload) so streams decode without out-of-band metadata
 """
 
 __version__ = "0.1.0"
@@ -23,6 +25,7 @@ from . import layout
 from . import dispatch
 from . import api
 from . import entropy
+from . import container
 from .api import (
     SimdDctResult, SimdDctError, InvalidParameterError, NotSupportedError,
     encode_quantize, encode_quantize32, encode_quantize_stereo,
@@ -33,7 +36,8 @@ from .core.quantize import default_quant_lut
 from .config import EncoderConfig, Encoder
 
 __all__ = [
-    "core", "layout", "dispatch", "api", "entropy", "__version__",
+    "core", "layout", "dispatch", "api", "entropy", "container",
+    "__version__",
     "SimdDctResult", "SimdDctError", "InvalidParameterError",
     "NotSupportedError",
     "encode_quantize", "encode_quantize32", "encode_quantize_stereo",

@@ -52,7 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("resolution_x", type=int)
     p.add_argument("resolution_y", type=int)
     p.add_argument("--to", dest="out_file", default=None,
-                   help="store the last output in the specified file")
+                   help="store the last output in the specified file "
+                        "(a .sdt extension writes the self-describing "
+                        "container: mode + geometry + LUTs + records, "
+                        "decodable via `python -m simd_dct_tpu.container "
+                        "decode`)")
     p.add_argument("--quality", type=float, default=None,
                    help="quantization quality level (scales the LUT)")
     p.add_argument("--runs", type=int, default=None,
@@ -127,17 +131,9 @@ def main(argv=None) -> int:
     else:
         rgb_planes = np.broadcast_to(img, (3, h, w))
 
+    from simd_dct_tpu.dispatch.capability import honor_cpu_platform_env
+    honor_cpu_platform_env()
     import jax
-    # Honor an explicit JAX_PLATFORMS env request (e.g. =cpu).  A session
-    # sitecustomize may programmatically pin jax.config.jax_platforms to a
-    # remote-tunnel plugin, which silently outranks the env var — and a
-    # dead tunnel then hangs backend init.  Restore env-var semantics
-    # while backends are still uninitialized.
-    _env_platforms = os.environ.get("JAX_PLATFORMS")
-    if _env_platforms:
-        from jax._src import xla_bridge
-        if not xla_bridge.backends_are_initialized():
-            jax.config.update("jax_platforms", _env_platforms)
     import simd_dct_tpu as sd
     from simd_dct_tpu.bench.stats import (time_fn, HEADER, DEFAULT_RUN_COUNT,
                                           MAX_RUN_COUNT)
@@ -314,7 +310,18 @@ def main(argv=None) -> int:
                 nbytes=3 * img.size)   # 3 planes per frame
 
     if args.out_file and last_output is not None:
-        last_output.tofile(args.out_file)
+        if args.out_file.endswith(".sdt"):
+            # self-describing container for the LAST mode benchmarked
+            # ("store the last output", ≙ src/main.cpp:594-606)
+            from simd_dct_tpu import container as C
+            last = [m for m in MODES if m in modes][-1]
+            src = rgb_planes if last == "enc-quant32-ycbcr" else img
+            C.encode(np.ascontiguousarray(src), last,
+                     quality=args.quality, compress=args.compress,
+                     rle=args.rle, start_y=args.start_y,
+                     end_y=args.end_y).tofile(args.out_file)
+        else:
+            last_output.tofile(args.out_file)
     return 0
 
 

@@ -1,0 +1,246 @@
+"""Self-describing container for encoded frames (.sdt).
+
+North-star extension: the reference emits bare record buffers whose
+geometry, mode, and quant table must travel out of band (its CLI dumps
+``sizeX*sizeY`` raw bytes, src/main.cpp:594-606, and decoding them is
+impossible anyway — the reference has no decoder).  A complete codec
+needs a self-contained stream: this module frames the quantized records
+(raw or entropy-packed) with everything ``decode`` needs — mode,
+geometry, rounding, strip range, and the exact f32 quant table(s).
+
+Layout (little-endian), version 1::
+
+    u32  magic "SDTC" | u16 version | u8 mode | u8 rounding
+    u32  size_x | u32 size_y | u32 start_y | u32 end_y
+    u8   flags (bit0 entropy-packed, bit1 has chroma LUT) | u8 pad[3]
+    f32  luma_lut[64]
+    f32  chroma_lut[64]          -- only when flags bit1
+    u64  payload_bytes | payload
+
+The payload is the mode's record buffer, optionally wrapped by
+``entropy.compress_records`` (any of its stream formats; the entropy
+header is itself self-describing).  LUTs are stored in the DOMAIN THE
+MODE USES (mode32/ycbcr: the raw 0..255-domain table, i.e. 255x the
+normalized one — reference quirk, src/simd_dct.cpp:2033-2036), so
+decode applies them verbatim.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+import sys
+
+import numpy as np
+
+MAGIC = b"SDTC"
+VERSION = 1
+
+MODES = ("enc-quant", "enc-quant-pair", "enc-quant32", "enc-quant-stereo",
+         "enc-quant32-ycbcr")
+_ROUNDINGS = ("rne", "scalar", "clamp_first")
+
+_FLAG_PACKED = 1
+_FLAG_CHROMA = 2
+
+_FIXED = struct.Struct("<4sHBBIIIIB3x")
+
+
+class ContainerError(ValueError):
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class FrameMeta:
+    """Everything needed to decode the payload."""
+    mode: str
+    size_x: int
+    size_y: int
+    luma_lut: np.ndarray                  # f32[64], mode's native domain
+    chroma_lut: np.ndarray | None = None  # f32[64] for ycbcr
+    rounding: str = "rne"
+    start_y: int = 0
+    end_y: int | None = None
+    packed: bool = False                  # payload is an entropy stream
+
+
+def pack(payload, meta: FrameMeta) -> np.ndarray:
+    """Frame a record buffer (or entropy blob) into a .sdt container."""
+    if meta.mode not in MODES:
+        raise ContainerError(f"mode must be one of {MODES}")
+    if meta.rounding not in _ROUNDINGS:
+        raise ContainerError(f"rounding must be one of {_ROUNDINGS}")
+    luma = np.ascontiguousarray(meta.luma_lut, np.float32).reshape(-1)
+    if luma.size != 64:
+        raise ContainerError("luma_lut must have 64 entries")
+    flags = (_FLAG_PACKED if meta.packed else 0)
+    chroma = b""
+    if meta.chroma_lut is not None:
+        c = np.ascontiguousarray(meta.chroma_lut, np.float32).reshape(-1)
+        if c.size != 64:
+            raise ContainerError("chroma_lut must have 64 entries")
+        flags |= _FLAG_CHROMA
+        chroma = c.tobytes()
+    data = np.ascontiguousarray(np.asarray(payload), np.uint8).reshape(-1)
+    end_y = meta.size_y if meta.end_y is None else meta.end_y
+    head = _FIXED.pack(MAGIC, VERSION, MODES.index(meta.mode),
+                       _ROUNDINGS.index(meta.rounding),
+                       meta.size_x, meta.size_y, meta.start_y, end_y,
+                       flags)
+    blob = head + luma.tobytes() + chroma + struct.pack("<Q", data.size)
+    return np.concatenate([np.frombuffer(blob, np.uint8), data])
+
+
+def unpack(blob) -> tuple[np.ndarray, FrameMeta]:
+    """Container -> (payload bytes, FrameMeta).  Untrusted input: every
+    header field is validated before use."""
+    data = np.ascontiguousarray(np.asarray(blob), np.uint8).reshape(-1)
+    if data.size < _FIXED.size:
+        raise ContainerError("container too short")
+    (magic, ver, mode_i, rounding_i, size_x, size_y, start_y, end_y,
+     flags) = _FIXED.unpack_from(data.tobytes()[:_FIXED.size])
+    if magic != MAGIC:
+        raise ContainerError("bad container magic")
+    if ver != VERSION:
+        raise ContainerError(f"unsupported container version {ver}")
+    if mode_i >= len(MODES) or rounding_i >= len(_ROUNDINGS):
+        raise ContainerError("corrupt container header")
+    pos = _FIXED.size
+    if data.size < pos + 4 * 64:
+        raise ContainerError("container too short")
+    luma = np.frombuffer(data[pos:pos + 256].tobytes(), np.float32).copy()
+    pos += 256
+    chroma = None
+    if flags & _FLAG_CHROMA:
+        if data.size < pos + 256:
+            raise ContainerError("container too short")
+        chroma = np.frombuffer(data[pos:pos + 256].tobytes(),
+                               np.float32).copy()
+        pos += 256
+    if data.size < pos + 8:
+        raise ContainerError("container too short")
+    (n,) = struct.unpack("<Q", data[pos:pos + 8].tobytes())
+    pos += 8
+    if n != data.size - pos:
+        raise ContainerError("corrupt container: payload size mismatch")
+    meta = FrameMeta(mode=MODES[mode_i], size_x=size_x, size_y=size_y,
+                     luma_lut=luma, chroma_lut=chroma,
+                     rounding=_ROUNDINGS[rounding_i],
+                     start_y=start_y, end_y=end_y,
+                     packed=bool(flags & _FLAG_PACKED))
+    return data[pos:], meta
+
+
+# ---------------------------------------------------------------------------
+# high-level: image <-> container
+# ---------------------------------------------------------------------------
+
+def encode(image, mode: str = "enc-quant32", *, quality: float | None = None,
+           rounding: str = "rne", compress: bool = True, rle: bool = False,
+           start_y: int = 0, end_y: int | None = None,
+           backend: str | None = None) -> np.ndarray:
+    """u8 image (or (3,H,W) planes for ycbcr) -> self-contained .sdt
+    container.  ``compress`` wraps the records in the entropy coder."""
+    from . import api, entropy
+    from .core.quantize import default_quant_lut
+    from .layout.color import BASE_CHROMA_QUANT_TABLE
+
+    lut = default_quant_lut(quality)
+    h = int(np.asarray(image).shape[-2])
+    w = int(np.asarray(image).shape[-1])
+    kw = dict(rounding=rounding, backend=backend)
+    chroma = None
+    if mode == "enc-quant":
+        rec = api.encode_quantize(image, lut, start_y, end_y,
+                                  layout="scalar", **kw)
+        luma = lut
+    elif mode == "enc-quant-pair":
+        rec = api.encode_quantize(image, lut, start_y, end_y,
+                                  layout="pair", **kw)
+        luma = lut
+    elif mode == "enc-quant32":
+        luma = lut * np.float32(255.0)
+        rec = api.encode_quantize32(image, luma, start_y, end_y, **kw)
+    elif mode == "enc-quant-stereo":
+        rec = api.encode_quantize_stereo(image, lut, start_y, end_y, **kw)
+        luma = lut
+    elif mode == "enc-quant32-ycbcr":
+        luma = lut * np.float32(255.0)
+        q = 1.0 if quality is None else quality
+        chroma = (BASE_CHROMA_QUANT_TABLE * q * 255.0).astype(np.float32)
+        rec = api.encode_quantize32_ycbcr(image, luma, chroma,
+                                          rounding=rounding, backend=backend)
+    else:
+        raise ContainerError(f"mode must be one of {MODES}")
+    payload = entropy.compress_records(rec, rle=rle) if compress \
+        else np.asarray(rec)
+    meta = FrameMeta(mode=mode, size_x=w, size_y=h, luma_lut=luma,
+                     chroma_lut=chroma, rounding=rounding,
+                     start_y=start_y, end_y=end_y, packed=compress)
+    return pack(payload, meta)
+
+
+def decode(blob, *, backend: str | None = None, compat: bool = False):
+    """.sdt container -> decoded u8 image (top view; stereo returns the
+    full dual view, ycbcr returns (3, H/2, W) RGB planes)."""
+    from . import api, entropy
+
+    payload, m = unpack(blob)
+    rec = entropy.decompress(payload) if m.packed else payload
+    kw = dict(backend=backend, compat=compat)
+    if m.mode == "enc-quant":
+        return api.decode_quantize(rec, m.luma_lut, m.size_x, m.size_y,
+                                   layout="scalar", **kw)
+    if m.mode == "enc-quant-pair":
+        return api.decode_quantize(rec, m.luma_lut, m.size_x, m.size_y,
+                                   layout="pair", **kw)
+    if m.mode == "enc-quant32":
+        return api.decode_quantize32(rec, m.luma_lut, m.size_x, m.size_y,
+                                     **kw)
+    if m.mode == "enc-quant-stereo":
+        return api.decode_quantize_stereo(rec, m.luma_lut, m.size_x,
+                                          m.size_y, **kw)
+    if m.mode == "enc-quant32-ycbcr":
+        return api.decode_quantize32_ycbcr(rec, m.luma_lut, m.chroma_lut,
+                                           m.size_x, m.size_y,
+                                           backend=backend)
+    raise ContainerError(f"unknown mode {m.mode}")   # pragma: no cover
+
+
+def info(blob) -> FrameMeta:
+    """Header-only parse (payload untouched)."""
+    return unpack(blob)[1]
+
+
+def _main(argv=None) -> int:
+    """``python -m simd_dct_tpu.container {info,decode} file.sdt [out]``"""
+    import argparse
+
+    from .dispatch.capability import honor_cpu_platform_env
+    honor_cpu_platform_env()
+
+    p = argparse.ArgumentParser(prog="simd_dct_tpu.container")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    pi = sub.add_parser("info", help="print container metadata")
+    pi.add_argument("file")
+    pd = sub.add_parser("decode", help="decode a container to raw u8")
+    pd.add_argument("file")
+    pd.add_argument("out")
+    args = p.parse_args(argv)
+
+    blob = np.fromfile(args.file, np.uint8)
+    if args.cmd == "info":
+        m = info(blob)
+        print(f"mode={m.mode} size={m.size_x}x{m.size_y} "
+              f"rounding={m.rounding} strips=[{m.start_y},{m.end_y}) "
+              f"packed={m.packed} "
+              f"chroma={'yes' if m.chroma_lut is not None else 'no'}")
+        return 0
+    out = np.asarray(decode(blob))
+    out.tofile(args.out)
+    print(f"decoded {out.shape} -> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":   # pragma: no cover
+    sys.exit(_main())

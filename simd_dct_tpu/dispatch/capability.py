@@ -80,6 +80,25 @@ def probe() -> DeviceInfo:
                       supports_pallas=is_tpu and _pallas_functional())
 
 
+def honor_cpu_platform_env() -> None:
+    """Honor a ``JAX_PLATFORMS=cpu`` env request in CLI entry points.
+
+    A session sitecustomize may programmatically pin
+    ``jax.config.jax_platforms`` to a remote-tunnel plugin, which
+    silently outranks the env var — and a dead tunnel then hangs
+    backend init, making offline runs impossible.  Only the all-cpu
+    request is restored (never a remote platform: the ambient session
+    env may carry the tunnel name into unrelated runs), and only while
+    backends are still uninitialized."""
+    import os
+
+    env = os.environ.get("JAX_PLATFORMS", "")
+    if env and set(env.split(",")) == {"cpu"}:
+        from jax._src import xla_bridge
+        if not xla_bridge.backends_are_initialized():
+            jax.config.update("jax_platforms", "cpu")
+
+
 def set_max_backend(tier: str) -> None:
     """Cap dispatch at a tier (≙ --max-simd).  'numpy' forces the golden."""
     global _max_backend

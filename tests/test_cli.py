@@ -191,3 +191,26 @@ def test_compress_rle_flag(raw_image, capsys, tmp_path):
     lut = sd.default_quant_lut(50) * 255.0
     want = np.asarray(sd.encode_quantize32(img, lut))
     np.testing.assert_array_equal(E.decompress(blob), want)
+
+
+def test_to_sdt_container(raw_image, capsys, tmp_path):
+    """--to file.sdt writes the self-describing container for the last
+    mode run; the container module decodes it without any out-of-band
+    metadata."""
+    path, img = raw_image
+    out = tmp_path / "frame.sdt"
+    rc = cli.main([str(path), "128", "64", "--runs", "2",
+                   "--mode", "enc-quant32", "--quality", "50",
+                   "--compress", "--to", str(out)])
+    assert rc == 0
+    from simd_dct_tpu import container as C
+    import simd_dct_tpu as sd
+    blob = np.fromfile(out, np.uint8)
+    m = C.info(blob)
+    assert (m.mode, m.size_x, m.size_y, m.packed) == (
+        "enc-quant32", 128, 64, True)
+    lut = sd.default_quant_lut(50) * 255.0
+    ref = sd.decode_quantize32(
+        np.asarray(sd.encode_quantize32(img, lut)), lut, 128, 64)
+    np.testing.assert_array_equal(np.asarray(C.decode(blob)),
+                                  np.asarray(ref))

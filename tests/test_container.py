@@ -1,0 +1,143 @@
+"""Self-describing .sdt container: header parse, per-mode roundtrips,
+corrupt-input rejection, module CLI."""
+
+import numpy as np
+import pytest
+
+import simd_dct_tpu as sd
+from simd_dct_tpu import api, container as C
+
+
+def _img(h=64, w=128, seed=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.clip(128 + 60 * np.sin((xx + seed) / 11) * np.cos(yy / 7),
+                   0, 255).astype(np.uint8)
+
+
+class TestRoundtrip:
+    @pytest.mark.parametrize("mode", C.MODES)
+    @pytest.mark.parametrize("compress", [False, True])
+    def test_mode_roundtrip_matches_direct_decode(self, mode, compress):
+        """decode(encode(img)) must equal the direct api decode of the
+        direct api encode — the container adds framing, not semantics."""
+        h, w = 64, 128
+        src = _img(h, w)
+        planes = np.stack([_img(h, w, s) for s in range(3)])
+        image = planes if mode == "enc-quant32-ycbcr" else src
+        blob = C.encode(image, mode, quality=50.0, compress=compress)
+        got = np.asarray(C.decode(blob))
+
+        lut = sd.default_quant_lut(50.0)
+        if mode == "enc-quant":
+            rec = api.encode_quantize(src, lut)
+            ref = api.decode_quantize(rec, lut, w, h)
+        elif mode == "enc-quant-pair":
+            rec = api.encode_quantize(src, lut, layout="pair")
+            ref = api.decode_quantize(rec, lut, w, h, layout="pair")
+        elif mode == "enc-quant32":
+            rec = api.encode_quantize32(src, lut * 255.0)
+            ref = api.decode_quantize32(rec, lut * 255.0, w, h)
+        elif mode == "enc-quant-stereo":
+            rec = api.encode_quantize_stereo(src, lut)
+            ref = api.decode_quantize_stereo(rec, lut, w, h)
+        else:
+            from simd_dct_tpu.layout.color import BASE_CHROMA_QUANT_TABLE
+            chroma = (BASE_CHROMA_QUANT_TABLE * 50.0 * 255.0)
+            rec = api.encode_quantize32_ycbcr(planes, lut * 255.0, chroma)
+            ref = api.decode_quantize32_ycbcr(rec, lut * 255.0, chroma,
+                                              w, h)
+        np.testing.assert_array_equal(got, np.asarray(ref))
+
+    def test_rle_payload(self):
+        blob = C.encode(_img(), "enc-quant32", quality=50.0, rle=True)
+        m = C.info(blob)
+        assert m.packed
+        payload, _ = C.unpack(blob)
+        assert payload[:4].tobytes() == b"SDER"
+        assert np.asarray(C.decode(blob)).shape == (32, 128)
+
+    def test_luts_travel_exactly(self):
+        """The decoder uses the stored f32 LUT verbatim — an uncommon
+        quality must roundtrip through the header bit-exactly."""
+        blob = C.encode(_img(), "enc-quant32", quality=37.5)
+        m = C.info(blob)
+        np.testing.assert_array_equal(
+            m.luma_lut,
+            (sd.default_quant_lut(37.5) * np.float32(255.0))
+            .astype(np.float32))
+
+    def test_strip_range_recorded(self):
+        blob = C.encode(_img(), "enc-quant32", quality=50.0,
+                        start_y=8, end_y=24)
+        m = C.info(blob)
+        assert (m.start_y, m.end_y) == (8, 24)
+
+
+class TestValidation:
+    def test_bad_magic(self):
+        blob = C.encode(_img(), "enc-quant32", quality=50.0).copy()
+        blob[0] ^= 0xFF
+        with pytest.raises(C.ContainerError):
+            C.unpack(blob)
+
+    def test_bad_version(self):
+        blob = C.encode(_img(), "enc-quant32", quality=50.0).copy()
+        blob[4] = 99
+        with pytest.raises(C.ContainerError):
+            C.unpack(blob)
+
+    def test_truncated(self):
+        blob = C.encode(_img(), "enc-quant32", quality=50.0)
+        for cut in (3, 10, 40, blob.size - 5):
+            with pytest.raises(C.ContainerError):
+                C.unpack(blob[:cut])
+
+    def test_payload_size_mismatch(self):
+        blob = C.encode(_img(), "enc-quant32", quality=50.0).copy()
+        # grow the declared payload size past the blob
+        pos = C._FIXED.size + 256
+        blob[pos:pos + 8] = np.frombuffer(
+            np.uint64(2**40).tobytes(), np.uint8)
+        with pytest.raises(C.ContainerError):
+            C.unpack(blob)
+
+    def test_header_fuzz_never_crashes(self):
+        rng = np.random.default_rng(0xC0DE)
+        base = C.encode(_img(), "enc-quant32-ycbcr" if False else
+                        "enc-quant32", quality=50.0)
+        for trial in range(200):
+            blob = base.copy()
+            if trial % 2:
+                idx = rng.integers(0, min(blob.size, 600), 6)
+                blob[idx] ^= rng.integers(1, 256, 6).astype(np.uint8)
+            else:
+                blob = blob[: int(rng.integers(0, blob.size))].copy()
+            try:
+                C.decode(blob)
+            except Exception as e:
+                # typed errors only — never segfaults/unbounded allocs
+                from simd_dct_tpu.entropy import EntropyError
+                from simd_dct_tpu.api import SimdDctError
+                assert isinstance(
+                    e, (C.ContainerError, EntropyError, SimdDctError,
+                        ValueError, TypeError)), type(e)
+
+    def test_unknown_mode_rejected_on_encode(self):
+        with pytest.raises(C.ContainerError):
+            C.encode(_img(), "enc-quant64")
+
+
+class TestCli:
+    def test_info_and_decode(self, tmp_path, capsys):
+        f = tmp_path / "frame.sdt"
+        C.encode(_img(), "enc-quant32", quality=50.0).tofile(str(f))
+        assert C._main(["info", str(f)]) == 0
+        out = capsys.readouterr().out
+        assert "mode=enc-quant32" in out and "size=128x64" in out
+        g = tmp_path / "out.raw"
+        assert C._main(["decode", str(f), str(g)]) == 0
+        got = np.fromfile(str(g), np.uint8).reshape(32, 128)
+        lut = sd.default_quant_lut(50.0) * 255.0
+        ref = api.decode_quantize32(
+            api.encode_quantize32(_img(), lut), lut, 128, 64)
+        np.testing.assert_array_equal(got, np.asarray(ref))
