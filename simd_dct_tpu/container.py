@@ -28,6 +28,7 @@ decode applies them verbatim.
 from __future__ import annotations
 
 import dataclasses
+import os
 import struct
 import sys
 
@@ -212,6 +213,204 @@ def info(blob) -> FrameMeta:
     return unpack(blob)[1]
 
 
+# ---------------------------------------------------------------------------
+# video container: N frames, per-frame payloads (random access), shared
+# Huffman statistics
+# ---------------------------------------------------------------------------
+
+MAGIC_V = b"SDTV"
+
+_FIXED_V = struct.Struct("<4sHBBIIIB3x")
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoMeta:
+    mode: str
+    size_x: int
+    size_y: int
+    n_frames: int
+    luma_lut: np.ndarray
+    chroma_lut: np.ndarray | None = None
+    rounding: str = "rne"
+    packed: bool = False
+
+
+def encode_video(frames, mode: str = "enc-quant32", *,
+                 quality: float | None = None, rounding: str = "rne",
+                 compress: bool = True, rle: bool = False,
+                 backend: str | None = None) -> np.ndarray:
+    """u8 frame batch (B,H,W) — or (B,3,H,W) planes for ycbcr — ->
+    self-contained .sdtv container.  Frames are encoded through the
+    batched api forms (one device dispatch), then each frame's records
+    are entropy-packed separately (per-frame payload table => frame
+    random access) with ONE Huffman table built from the whole batch's
+    statistics (``rle=True`` streams stay per-frame self-contained)."""
+    from . import api, entropy
+    from .core.quantize import default_quant_lut
+    from .layout.color import BASE_CHROMA_QUANT_TABLE
+
+    arr = np.asarray(frames)
+    is_color = mode == "enc-quant32-ycbcr"
+    want = 4 if is_color else 3
+    if arr.ndim != want:
+        raise ContainerError(
+            f"{mode} expects a {want}-D frame batch, got shape {arr.shape}")
+    b = arr.shape[0]
+    h, w = int(arr.shape[-2]), int(arr.shape[-1])
+    lut = default_quant_lut(quality)
+    kw = dict(rounding=rounding, backend=backend)
+    chroma = None
+    if mode == "enc-quant":
+        rec = api.encode_quantize(arr, lut, layout="scalar", **kw)
+        luma = lut
+    elif mode == "enc-quant-pair":
+        rec = api.encode_quantize(arr, lut, layout="pair", **kw)
+        luma = lut
+    elif mode == "enc-quant32":
+        luma = lut * np.float32(255.0)
+        rec = api.encode_quantize32(arr, luma, **kw)
+    elif mode == "enc-quant-stereo":
+        rec = api.encode_quantize_stereo(arr, lut, **kw)
+        luma = lut
+    elif mode == "enc-quant32-ycbcr":
+        luma = lut * np.float32(255.0)
+        q = 1.0 if quality is None else quality
+        chroma = (BASE_CHROMA_QUANT_TABLE * q * 255.0).astype(np.float32)
+        rec = api.encode_quantize32_ycbcr(arr, luma, chroma,
+                                          rounding=rounding, backend=backend)
+    else:
+        raise ContainerError(f"mode must be one of {MODES}")
+    rec = np.asarray(rec).reshape(b, -1)
+
+    if compress:
+        if rle:
+            payloads = [entropy.compress(rec[i], rle=True) for i in range(b)]
+        else:
+            # one table from the whole batch's statistics (device-side
+            # histogram of all frames in one pass)
+            lengths = entropy.build_lengths(entropy.histogram(rec))
+            k = min(128, max(4, 4 * (os.cpu_count() or 1)))
+            payloads = [entropy.compress(rec[i], lengths, streams=k)
+                        for i in range(b)]
+    else:
+        payloads = [rec[i] for i in range(b)]
+
+    flags = (_FLAG_PACKED if compress else 0)
+    parts = [_FIXED_V.pack(MAGIC_V, VERSION, MODES.index(mode),
+                           _ROUNDINGS.index(rounding), w, h, b, flags
+                           | (_FLAG_CHROMA if chroma is not None else 0)),
+             np.ascontiguousarray(luma, np.float32).tobytes()]
+    if chroma is not None:
+        parts.append(np.ascontiguousarray(chroma, np.float32).tobytes())
+    parts.append(np.asarray([p.size for p in payloads],
+                            np.uint64).tobytes())
+    head = np.frombuffer(b"".join(parts), np.uint8)
+    return np.concatenate([head] + payloads)
+
+
+def _parse_video(blob):
+    data = np.ascontiguousarray(np.asarray(blob), np.uint8).reshape(-1)
+    if data.size < _FIXED_V.size:
+        raise ContainerError("container too short")
+    (magic, ver, mode_i, rounding_i, size_x, size_y, n_frames,
+     flags) = _FIXED_V.unpack_from(data.tobytes()[:_FIXED_V.size])
+    if magic != MAGIC_V:
+        raise ContainerError("bad container magic")
+    if ver != VERSION:
+        raise ContainerError(f"unsupported container version {ver}")
+    if mode_i >= len(MODES) or rounding_i >= len(_ROUNDINGS):
+        raise ContainerError("corrupt container header")
+    if n_frames > (1 << 24):
+        raise ContainerError("corrupt container: implausible frame count")
+    pos = _FIXED_V.size
+    if data.size < pos + 256:
+        raise ContainerError("container too short")
+    luma = np.frombuffer(data[pos:pos + 256].tobytes(), np.float32).copy()
+    pos += 256
+    chroma = None
+    if flags & _FLAG_CHROMA:
+        if data.size < pos + 256:
+            raise ContainerError("container too short")
+        chroma = np.frombuffer(data[pos:pos + 256].tobytes(),
+                               np.float32).copy()
+        pos += 256
+    if data.size < pos + 8 * n_frames:
+        raise ContainerError("container too short")
+    sizes = np.frombuffer(data[pos:pos + 8 * n_frames].tobytes(),
+                          np.uint64)
+    pos += 8 * n_frames
+    # untrusted u64 sizes: bound each term BEFORE summing
+    budget = data.size - pos
+    offs = [pos]
+    for s in sizes:
+        if int(s) > budget:
+            raise ContainerError("corrupt container: payload sizes "
+                                 "exceed blob")
+        budget -= int(s)
+        offs.append(offs[-1] + int(s))
+    if offs[-1] != data.size:
+        raise ContainerError("corrupt container: payload size mismatch")
+    meta = VideoMeta(mode=MODES[mode_i], size_x=size_x, size_y=size_y,
+                     n_frames=n_frames, luma_lut=luma, chroma_lut=chroma,
+                     rounding=_ROUNDINGS[rounding_i],
+                     packed=bool(flags & _FLAG_PACKED))
+    return data, offs, meta
+
+
+def video_info(blob) -> VideoMeta:
+    return _parse_video(blob)[2]
+
+
+def _decode_records(rec, m, backend, compat):
+    from . import api
+
+    kw = dict(backend=backend, compat=compat)
+    if m.mode == "enc-quant":
+        return api.decode_quantize(rec, m.luma_lut, m.size_x, m.size_y,
+                                   layout="scalar", **kw)
+    if m.mode == "enc-quant-pair":
+        return api.decode_quantize(rec, m.luma_lut, m.size_x, m.size_y,
+                                   layout="pair", **kw)
+    if m.mode == "enc-quant32":
+        return api.decode_quantize32(rec, m.luma_lut, m.size_x, m.size_y,
+                                     **kw)
+    if m.mode == "enc-quant-stereo":
+        return api.decode_quantize_stereo(rec, m.luma_lut, m.size_x,
+                                          m.size_y, **kw)
+    return api.decode_quantize32_ycbcr(rec, m.luma_lut, m.chroma_lut,
+                                       m.size_x, m.size_y, backend=backend)
+
+
+def decode_video_frame(blob, index: int, *, backend: str | None = None,
+                       compat: bool = False):
+    """Random-access decode of one frame (per-frame payload table: only
+    that frame's payload is unpacked and dispatched)."""
+    from . import entropy
+
+    data, offs, m = _parse_video(blob)
+    if not 0 <= index < m.n_frames:
+        raise ContainerError(f"frame index {index} out of range "
+                             f"[0, {m.n_frames})")
+    payload = data[offs[index]:offs[index + 1]]
+    rec = entropy.decompress(payload) if m.packed else payload
+    return _decode_records(rec, m, backend, compat)
+
+
+def decode_video(blob, *, backend: str | None = None,
+                 compat: bool = False):
+    """.sdtv container -> decoded u8 frame batch (one batched device
+    dispatch after the host unpack)."""
+    from . import entropy
+
+    data, offs, m = _parse_video(blob)
+    recs = []
+    for i in range(m.n_frames):
+        payload = data[offs[i]:offs[i + 1]]
+        recs.append(entropy.decompress(payload) if m.packed else payload)
+    batch = np.stack(recs)
+    return _decode_records(batch, m, backend, compat)
+
+
 def _main(argv=None) -> int:
     """``python -m simd_dct_tpu.container {info,decode} file.sdt [out]``"""
     import argparse
@@ -229,14 +428,22 @@ def _main(argv=None) -> int:
     args = p.parse_args(argv)
 
     blob = np.fromfile(args.file, np.uint8)
+    is_video = blob.size >= 4 and blob[:4].tobytes() == MAGIC_V
     if args.cmd == "info":
-        m = info(blob)
-        print(f"mode={m.mode} size={m.size_x}x{m.size_y} "
-              f"rounding={m.rounding} strips=[{m.start_y},{m.end_y}) "
-              f"packed={m.packed} "
-              f"chroma={'yes' if m.chroma_lut is not None else 'no'}")
+        if is_video:
+            m = video_info(blob)
+            print(f"video mode={m.mode} size={m.size_x}x{m.size_y} "
+                  f"frames={m.n_frames} rounding={m.rounding} "
+                  f"packed={m.packed} "
+                  f"chroma={'yes' if m.chroma_lut is not None else 'no'}")
+        else:
+            m = info(blob)
+            print(f"mode={m.mode} size={m.size_x}x{m.size_y} "
+                  f"rounding={m.rounding} strips=[{m.start_y},{m.end_y}) "
+                  f"packed={m.packed} "
+                  f"chroma={'yes' if m.chroma_lut is not None else 'no'}")
         return 0
-    out = np.asarray(decode(blob))
+    out = np.asarray(decode_video(blob) if is_video else decode(blob))
     out.tofile(args.out)
     print(f"decoded {out.shape} -> {args.out}")
     return 0

@@ -103,8 +103,7 @@ class TestValidation:
 
     def test_header_fuzz_never_crashes(self):
         rng = np.random.default_rng(0xC0DE)
-        base = C.encode(_img(), "enc-quant32-ycbcr" if False else
-                        "enc-quant32", quality=50.0)
+        base = C.encode(_img(), "enc-quant32", quality=50.0)
         for trial in range(200):
             blob = base.copy()
             if trial % 2:
@@ -141,3 +140,96 @@ class TestCli:
         ref = api.decode_quantize32(
             api.encode_quantize32(_img(), lut), lut, 128, 64)
         np.testing.assert_array_equal(got, np.asarray(ref))
+
+
+class TestVideo:
+    @pytest.mark.parametrize("mode", C.MODES)
+    @pytest.mark.parametrize("compress", [False, True])
+    def test_video_roundtrip_matches_per_frame(self, mode, compress):
+        """decode_video(encode_video(frames)) equals per-frame container
+        decode — batching adds no semantics."""
+        h, w = 64, 128
+        b = 3
+        if mode == "enc-quant32-ycbcr":
+            frames = np.stack([np.stack([_img(h, w, 3 * i + c)
+                                         for c in range(3)])
+                               for i in range(b)])
+        else:
+            frames = np.stack([_img(h, w, i) for i in range(b)])
+        blob = C.encode_video(frames, mode, quality=50.0,
+                              compress=compress)
+        got = np.asarray(C.decode_video(blob))
+        assert got.shape[0] == b
+        for i in range(b):
+            single = C.encode(frames[i], mode, quality=50.0,
+                              compress=False)
+            ref = np.asarray(C.decode(single))
+            np.testing.assert_array_equal(got[i], ref)
+            one = np.asarray(C.decode_video_frame(blob, i))
+            np.testing.assert_array_equal(one, ref)
+
+    def test_video_info_and_bounds(self):
+        frames = np.stack([_img(64, 128, i) for i in range(4)])
+        blob = C.encode_video(frames, "enc-quant32", quality=50.0)
+        m = C.video_info(blob)
+        assert (m.mode, m.size_x, m.size_y, m.n_frames, m.packed) == (
+            "enc-quant32", 128, 64, 4, True)
+        with pytest.raises(C.ContainerError):
+            C.decode_video_frame(blob, 4)
+        with pytest.raises(C.ContainerError):
+            C.decode_video_frame(blob, -1)
+
+    def test_video_rle_payloads(self):
+        frames = np.stack([_img(64, 128, i) for i in range(2)])
+        blob = C.encode_video(frames, "enc-quant32", quality=50.0,
+                              rle=True)
+        got = np.asarray(C.decode_video(blob))
+        ref = np.asarray(C.decode_video(
+            C.encode_video(frames, "enc-quant32", quality=50.0,
+                           compress=False)))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_video_shared_table_beats_or_matches_sizes(self):
+        """Compressed video payloads stay decodable and the shared table
+        is built once (smoke: ratio sane on smooth frames)."""
+        frames = np.stack([_img(64, 128, i) for i in range(8)])
+        blob = C.encode_video(frames, "enc-quant32", quality=50.0)
+        raw = C.encode_video(frames, "enc-quant32", quality=50.0,
+                             compress=False)
+        assert blob.size < raw.size
+
+    def test_video_header_fuzz_never_crashes(self):
+        rng = np.random.default_rng(0xBEEF)
+        frames = np.stack([_img(64, 128, i) for i in range(2)])
+        base = C.encode_video(frames, "enc-quant32", quality=50.0)
+        from simd_dct_tpu.entropy import EntropyError
+        from simd_dct_tpu.api import SimdDctError
+        for trial in range(150):
+            blob = base.copy()
+            if trial % 2:
+                idx = rng.integers(0, min(blob.size, 600), 6)
+                blob[idx] ^= rng.integers(1, 256, 6).astype(np.uint8)
+            else:
+                blob = blob[: int(rng.integers(0, blob.size))].copy()
+            try:
+                C.decode_video(blob)
+            except (C.ContainerError, EntropyError, SimdDctError,
+                    ValueError, TypeError):
+                pass
+
+    def test_video_wrong_ndim_rejected(self):
+        with pytest.raises(C.ContainerError):
+            C.encode_video(_img(), "enc-quant32")
+
+    def test_video_cli_info_decode(self, tmp_path, capsys):
+        frames = np.stack([_img(64, 128, i) for i in range(2)])
+        f = tmp_path / "clip.sdtv"
+        C.encode_video(frames, "enc-quant32", quality=50.0).tofile(str(f))
+        assert C._main(["info", str(f)]) == 0
+        assert "frames=2" in capsys.readouterr().out
+        g = tmp_path / "clip.raw"
+        assert C._main(["decode", str(f), str(g)]) == 0
+        got = np.fromfile(str(g), np.uint8).reshape(2, 32, 128)
+        ref = np.asarray(C.decode_video(C.encode_video(
+            frames, "enc-quant32", quality=50.0, compress=False)))
+        np.testing.assert_array_equal(got, ref)
