@@ -1064,6 +1064,62 @@ static long long decode_rle_stream(const uint8_t* p, size_t avail,
   return (long long)o;
 }
 
+// interleaved 4-chain RLE decode: the quartet worker of the K-chunk RLE
+// format.  Chains emit variable-length output (literal or memset run),
+// so each keeps its own cursor and drops out when its chunk completes.
+static long long decode_rle_quad(const uint8_t* const* p,
+                                 const size_t* avail, const uint16_t* lut,
+                                 uint8_t run_byte, uint8_t* const* op,
+                                 const size_t* nbytes) {
+  const uint32_t mask = (1u << kMaxLen) - 1;
+  uint64_t acc[4] = {0, 0, 0, 0};
+  int nb[4] = {0, 0, 0, 0};
+  size_t ip[4] = {0, 0, 0, 0}, o[4] = {0, 0, 0, 0};
+  int bad = 0;
+  for (;;) {
+    bool any = false;
+#define STEP(s)                                                         \
+    if (o[s] < nbytes[s]) {                                             \
+      any = true;                                                       \
+      if (nb[s] < kMaxLen) {                                            \
+        if (ip[s] + 4 <= avail[s]) {                                    \
+          uint32_t w;                                                   \
+          std::memcpy(&w, p[s] + ip[s], 4);                             \
+          ip[s] += 4;                                                   \
+          acc[s] = (acc[s] << 32) | __builtin_bswap32(w);               \
+          nb[s] += 32;                                                  \
+        } else {                                                        \
+          while (nb[s] < kMaxLen) {                                     \
+            acc[s] = (acc[s] << 8)                                      \
+                     | (ip[s] < avail[s] ? p[s][ip[s]++] : 0);          \
+            nb[s] += 8;                                                 \
+          }                                                             \
+        }                                                               \
+      }                                                                 \
+      uint16_t v = lut[(acc[s] >> (nb[s] - kMaxLen)) & mask];           \
+      int l = v >> 9;                                                   \
+      bad |= (l == 0);                                                  \
+      nb[s] -= l ? l : 1;                                               \
+      int sym = v & 0x1FF;                                              \
+      if (sym < 256) {                                                  \
+        op[s][o[s]++] = (uint8_t)sym;                                   \
+      } else {                                                          \
+        size_t len = (size_t)(sym - 256) + 2;                           \
+        if (o[s] + len > nbytes[s]) {                                   \
+          bad = 1;                                                      \
+          len = nbytes[s] - o[s];                                       \
+        }                                                               \
+        std::memset(op[s] + o[s], run_byte, len);                       \
+        o[s] += len;                                                    \
+      }                                                                 \
+    }
+    STEP(0) STEP(1) STEP(2) STEP(3)
+#undef STEP
+    if (!any || bad) break;
+  }
+  return bad ? -3 : 0;
+}
+
 long long entropy_decode_rle(const uint8_t* in, size_t n_comp, uint8_t* out,
                              size_t out_cap) {
   if (n_comp < kHeaderR) return -1;
@@ -1126,6 +1182,228 @@ long long entropy_decode_rle(const uint8_t* in, size_t n_comp, uint8_t* out,
                                     op[s], ns[s]);
     if (r < 0) return r;
   }
+  return (long long)n;
+}
+
+// ---------------------------------------------------------------------------
+// K-chunk RLE variant ("SDGR"): the RLE analog of the SDEG format —
+// K = 4*threads chunks so the decoder gets threading AND in-thread
+// 4-chain ILP (decode_rle_quad).  Runs never cross a chunk boundary.
+//
+// Stream format (little-endian):
+//   u32 magic "SDGR" | u64 n_bytes | u8 run_byte | u8 n_chunks |
+//   u8 pad[2] | u64 comp_bytes[K] | u8 lengths[510] | payload0..K-1
+// ---------------------------------------------------------------------------
+
+static const uint32_t kMagicGR = 0x52474453u;  // "SDGR"
+
+static size_t header_gr(int k) {
+  return 4 + 8 + 4 + 8 * (size_t)k + kNSym;
+}
+
+size_t entropy_encode_rle_g_bound(size_t n, int n_chunks) {
+  return (n * 15) / 8 + header_gr(n_chunks) + 16 * (size_t)n_chunks;
+}
+
+long long entropy_encode_rle_g(const uint8_t* in, size_t n, int n_chunks,
+                               uint8_t* out, size_t out_cap) {
+  if (n == 0) return -4;
+  if (n_chunks < 1 || n_chunks > kMaxChunks) return -5;
+  const int K = n_chunks;
+  const size_t hdr = header_gr(K);
+  if (out_cap < hdr) return -3;
+  uint64_t h8[256];
+  entropy_histogram(in, n, h8);
+  uint8_t run_byte = 0;
+  for (int i = 1; i < 256; i++)
+    if (h8[i] > h8[run_byte]) run_byte = (uint8_t)i;
+  size_t chunk = (n + K - 1) / K;
+  unsigned hw = std::thread::hardware_concurrency();
+  int T = (n >= (1u << 20) && hw >= 2)
+      ? (int)std::min<unsigned>(hw, (unsigned)K) : 1;
+  // pass 1: per-chunk symbol histograms (merged)
+  std::vector<uint64_t> hist((size_t)K * kNSym, 0);
+  auto hist_range = [&](int s_lo, int s_hi) {
+    for (int s = s_lo; s < s_hi; s++) {
+      uint64_t* h = hist.data() + (size_t)s * kNSym;
+      size_t lo = std::min(n, s * chunk), hi = std::min(n, (s + 1) * chunk);
+      rle_scan(in, lo, hi, run_byte, [&](int sym) { h[sym]++; });
+    }
+  };
+  if (T > 1) {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < T; t++)
+      ts.emplace_back(hist_range, t * K / T, (t + 1) * K / T);
+    for (auto& th : ts) th.join();
+  } else {
+    hist_range(0, K);
+  }
+  std::vector<uint64_t> merged(kNSym, 0);
+  for (int s = 0; s < K; s++)
+    for (int i = 0; i < kNSym; i++)
+      merged[i] += hist[(size_t)s * kNSym + i];
+  uint8_t lengths[kNSym];
+  if (build_lengths_n(merged.data(), lengths, kNSym)) return -4;
+  uint16_t codes[kNSym];
+  if (canonical_codes_n(lengths, codes, kNSym)) return -2;
+  // pass 2: pack each chunk's symbol stream (32-bit batched emit)
+  size_t bound = (chunk * 15) / 8 + 16;
+  std::vector<uint64_t> comp(K, 0);
+  std::vector<long long> rc(K, 0);
+  auto pack = [&](int s, uint8_t* dst, size_t cap) -> long long {
+    size_t lo = std::min(n, s * chunk), hi = std::min(n, (s + 1) * chunk);
+    uint64_t acc = 0;
+    int nb = 0;
+    size_t pos = 0;
+    bool overflow = false;
+    rle_scan(in, lo, hi, run_byte, [&](int sym) {
+      int l = lengths[sym];
+      acc = (acc << l) | codes[sym];
+      nb += l;
+      if (nb >= 32) {
+        nb -= 32;
+        if (pos + 4 > cap) { overflow = true; return; }
+        uint32_t w = __builtin_bswap32((uint32_t)(acc >> nb));
+        std::memcpy(dst + pos, &w, 4);
+        pos += 4;
+      }
+    });
+    if (overflow) return -3;
+    while (nb >= 8) {
+      nb -= 8;
+      if (pos >= cap) return -3;
+      dst[pos++] = (uint8_t)(acc >> nb);
+    }
+    if (nb) {
+      if (pos >= cap) return -3;
+      dst[pos++] = (uint8_t)(acc << (8 - nb));
+    }
+    return (long long)pos;
+  };
+  size_t pos = hdr;
+  if (T > 1) {
+    std::vector<uint8_t> scratch((size_t)K * bound);
+    std::vector<std::thread> ts;
+    for (int t = 0; t < T; t++)
+      ts.emplace_back([&, t] {
+        for (int s = t * K / T; s < (t + 1) * K / T; s++)
+          rc[s] = pack(s, scratch.data() + (size_t)s * bound, bound);
+      });
+    for (auto& th : ts) th.join();
+    for (int s = 0; s < K; s++) {
+      if (rc[s] < 0) return rc[s];
+      if (pos + (size_t)rc[s] > out_cap) return -3;
+      std::memcpy(out + pos, scratch.data() + (size_t)s * bound,
+                  (size_t)rc[s]);
+      comp[s] = (uint64_t)rc[s];
+      pos += (size_t)rc[s];
+    }
+  } else {
+    for (int s = 0; s < K; s++) {
+      long long r = pack(s, out + pos, out_cap - pos);
+      if (r < 0) return r;
+      comp[s] = (uint64_t)r;
+      pos += (size_t)r;
+    }
+  }
+  std::memcpy(out, &kMagicGR, 4);
+  uint64_t n64 = n;
+  std::memcpy(out + 4, &n64, 8);
+  out[12] = run_byte;
+  out[13] = (uint8_t)K;
+  out[14] = out[15] = 0;
+  std::memcpy(out + 16, comp.data(), 8 * (size_t)K);
+  std::memcpy(out + 16 + 8 * (size_t)K, lengths, kNSym);
+  return (long long)pos;
+}
+
+long long entropy_decode_rle_g(const uint8_t* in, size_t n_comp,
+                               uint8_t* out, size_t out_cap) {
+  if (n_comp < 16) return -1;
+  uint32_t magic;
+  std::memcpy(&magic, in, 4);
+  if (magic != kMagicGR) return -1;
+  uint64_t n;
+  std::memcpy(&n, in + 4, 8);
+  uint8_t run_byte = in[12];
+  int K = in[13];
+  if (K < 1 || K > kMaxChunks) return -1;
+  const size_t hdr = header_gr(K);
+  if (n_comp < hdr) return -1;
+  std::vector<uint64_t> comp(K);
+  std::memcpy(comp.data(), in + 16, 8 * (size_t)K);
+  const uint8_t* lengths = in + 16 + 8 * (size_t)K;
+  if (n > out_cap) return -2;
+  if (n == 0) return 0;
+  uint64_t budget = n_comp - hdr;
+  for (int s = 0; s < K; s++) {
+    if (comp[s] > budget) return -1;
+    budget -= comp[s];
+  }
+  uint16_t codes[kNSym];
+  if (canonical_codes_n(lengths, codes, kNSym)) return -1;
+  std::vector<uint16_t> lut_v(1 << kMaxLen, 0);
+  uint16_t* lut = lut_v.data();
+  for (int i = 0; i < kNSym; i++) {
+    int l = lengths[i];
+    if (!l) continue;
+    uint32_t lo = (uint32_t)codes[i] << (kMaxLen - l);
+    uint32_t hi = lo + (1u << (kMaxLen - l));
+    uint16_t v = (uint16_t)((l << 9) | i);
+    for (uint32_t k = lo; k < hi; k++) lut[k] = v;
+  }
+  size_t chunk = (n + K - 1) / K;
+  std::vector<const uint8_t*> p(K);
+  std::vector<size_t> avail(K), ns(K);
+  std::vector<uint8_t*> op(K);
+  const uint8_t* base = in + hdr;
+  for (int s = 0; s < K; s++) {
+    p[s] = base;
+    base += comp[s];
+    avail[s] = comp[s];
+    size_t lo = std::min((size_t)n, s * chunk);
+    size_t hi = std::min((size_t)n, (s + 1) * chunk);
+    op[s] = out + lo;
+    ns[s] = hi - lo;
+  }
+  int quads = K / 4;
+  unsigned hw = std::thread::hardware_concurrency();
+  int T = (n >= (1u << 20) && hw >= 2 && quads > 0)
+      ? (int)std::min<unsigned>(hw, (unsigned)quads) : 1;
+  auto run_quads = [&](int q_lo, int q_hi) -> long long {
+    long long bad = 0;
+    for (int q = q_lo; q < q_hi; q++) {
+      long long r = decode_rle_quad(&p[4 * q], &avail[4 * q], lut,
+                                    run_byte, &op[4 * q], &ns[4 * q]);
+      if (r < 0) bad = r;
+    }
+    return bad;
+  };
+  auto run_tail = [&]() -> long long {
+    long long bad = 0;
+    for (int s = 4 * quads; s < K; s++) {
+      long long r = decode_rle_stream(p[s], avail[s], lut, run_byte,
+                                      op[s], ns[s]);
+      if (r < 0) bad = r;
+    }
+    return bad;
+  };
+  if (T > 1) {
+    std::vector<long long> rc(T, 0);
+    std::vector<std::thread> ts;
+    for (int t = 0; t < T; t++)
+      ts.emplace_back([&, t] {
+        rc[t] = run_quads(t * quads / T, (t + 1) * quads / T);
+      });
+    long long tail_rc = run_tail();
+    for (auto& th : ts) th.join();
+    for (int t = 0; t < T; t++)
+      if (rc[t] < 0) return rc[t];
+    if (tail_rc < 0) return tail_rc;
+    return (long long)n;
+  }
+  if (run_quads(0, quads) < 0) return -3;
+  if (run_tail() < 0) return -3;
   return (long long)n;
 }
 

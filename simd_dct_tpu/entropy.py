@@ -87,6 +87,13 @@ def _load() -> ctypes.CDLL:
                                              u8p, st]
             lib.entropy_decode_g.restype = ctypes.c_longlong
             lib.entropy_decode_g.argtypes = [u8p, st, u8p, st]
+            lib.entropy_encode_rle_g_bound.restype = st
+            lib.entropy_encode_rle_g_bound.argtypes = [st, ctypes.c_int]
+            lib.entropy_encode_rle_g.restype = ctypes.c_longlong
+            lib.entropy_encode_rle_g.argtypes = [u8p, st, ctypes.c_int,
+                                                 u8p, st]
+            lib.entropy_decode_rle_g.restype = ctypes.c_longlong
+            lib.entropy_decode_rle_g.argtypes = [u8p, st, u8p, st]
             lib.entropy_encode_rle_bound.restype = st
             lib.entropy_encode_rle_bound.argtypes = [st]
             lib.entropy_encode_rle.restype = ctypes.c_longlong
@@ -174,9 +181,18 @@ def compress(records, lengths=None, *, streams: int = 4,
     if rle:
         if data.size == 0:
             raise EntropyError("empty input has no code")
-        out = np.zeros(lib.entropy_encode_rle_bound(data.size), np.uint8)
-        n = lib.entropy_encode_rle(_u8p(data), data.size, _u8p(out),
-                                   out.size)
+        if data.size >= (1 << 20):
+            # K-chunk RLE: the decoder gets threads x 4-chain ILP
+            k = min(128, max(4, 4 * (os.cpu_count() or 1)))
+            out = np.zeros(lib.entropy_encode_rle_g_bound(data.size, k),
+                           np.uint8)
+            n = lib.entropy_encode_rle_g(_u8p(data), data.size, k,
+                                         _u8p(out), out.size)
+        else:
+            out = np.zeros(lib.entropy_encode_rle_bound(data.size),
+                           np.uint8)
+            n = lib.entropy_encode_rle(_u8p(data), data.size, _u8p(out),
+                                       out.size)
         if n < 0:
             raise EntropyError(f"encode failed (code {n})")
         return out[:n].copy()
@@ -209,6 +225,7 @@ _MAGIC1 = 0x31454453   # "SDE1"
 _MAGIC4 = 0x34454453   # "SDE4"
 _MAGICR = 0x52454453   # "SDER"
 _MAGICG = 0x47454453   # "SDEG" (generalized K-chunk)
+_MAGICGR = 0x52474453  # "SDGR" (generalized K-chunk RLE)
 
 
 def decompress(blob) -> np.ndarray:
@@ -218,7 +235,7 @@ def decompress(blob) -> np.ndarray:
     if data.size < 12:
         raise EntropyError("stream too short")
     magic = int(np.frombuffer(data[:4].tobytes(), np.uint32)[0])
-    if magic not in (_MAGIC1, _MAGIC4, _MAGICR, _MAGICG):
+    if magic not in (_MAGIC1, _MAGIC4, _MAGICR, _MAGICG, _MAGICGR):
         raise EntropyError("bad stream magic")
     n_out = int(np.frombuffer(data[4:12].tobytes(), np.uint64)[0])
     # untrusted header: validate internal consistency BEFORE allocating
@@ -244,18 +261,19 @@ def decompress(blob) -> np.ndarray:
         if HEADER_BYTES4 + comp > data.size:
             raise EntropyError("corrupt stream: chunk sizes exceed blob")
         limit = 8 * max(comp, 1)
-    elif magic == _MAGICG:
+    elif magic in (_MAGICG, _MAGICGR):
         if data.size < 16:
             raise EntropyError("stream too short")
-        k = int(data[12])
-        hdr = 4 + 8 + 4 + 8 * k + 256
+        # SDEG: n_chunks at byte 12; SDGR: run_byte at 12, n_chunks at 13
+        k = int(data[12] if magic == _MAGICG else data[13])
+        hdr = 4 + 8 + 4 + 8 * k + (256 if magic == _MAGICG else 510)
         if not 1 <= k <= 128 or data.size < hdr:
             raise EntropyError("stream too short")
         comp = sum(int(x) for x in
                    np.frombuffer(data[16:16 + 8 * k].tobytes(), np.uint64))
         if hdr + comp > data.size:
             raise EntropyError("corrupt stream: chunk sizes exceed blob")
-        limit = 8 * max(comp, 1)
+        limit = (8 if magic == _MAGICG else 2040) * max(comp, 1)
     else:
         limit = 8 * data.size
     if n_out > limit:
@@ -264,6 +282,7 @@ def decompress(blob) -> np.ndarray:
     fn = {_MAGIC4: _load().entropy_decode4,
           _MAGICR: _load().entropy_decode_rle,
           _MAGICG: _load().entropy_decode_g,
+          _MAGICGR: _load().entropy_decode_rle_g,
           _MAGIC1: _load().entropy_decode}[magic]
     n = fn(_u8p(data), data.size, _u8p(out), out.size)
     if n < 0:

@@ -296,3 +296,52 @@ class TestPipeline:
         for rec in recs:
             np.testing.assert_array_equal(
                 E.decompress(E.compress(rec, lengths)), rec)
+
+
+class TestGeneralizedRle:
+    def test_rle_g_magic_and_threaded_roundtrip(self):
+        """>=1 MB rle inputs take the K-chunk SDGR format (threads x
+        4-chain ILP decode); exact recovery across run/literal mixes."""
+        rng = np.random.default_rng(11)
+        data = np.full((1 << 20) + 7, 127, np.uint8)
+        idx = rng.integers(0, data.size, data.size // 8)
+        data[idx] = rng.integers(0, 256, idx.size).astype(np.uint8)
+        blob = E.compress(data, rle=True)
+        assert blob[:4].tobytes() == b"SDGR"
+        np.testing.assert_array_equal(E.decompress(blob), data)
+
+    def test_rle_g_all_runs_and_all_literals(self):
+        for data in (np.full((1 << 20) + 3, 9, np.uint8),
+                     np.tile(np.arange(256, dtype=np.uint8), 4097)):
+            blob = E.compress(data, rle=True)
+            assert blob[:4].tobytes() == b"SDGR"
+            np.testing.assert_array_equal(E.decompress(blob), data)
+
+    def test_rle_g_fuzz_never_crashes(self):
+        rng = np.random.default_rng(0xF424)
+        data = np.full(1 << 20, 127, np.uint8)
+        data[rng.integers(0, data.size, 1000)] = 3
+        base = E.compress(data, rle=True)
+        assert base[:4].tobytes() == b"SDGR"
+        for trial in range(120):
+            blob = base.copy()
+            kind = trial % 5
+            if kind == 0:
+                idx = rng.integers(0, blob.size, 8)
+                blob[idx] ^= rng.integers(1, 256, 8).astype(np.uint8)
+            elif kind == 1:
+                blob = blob[: int(rng.integers(12, min(blob.size, 5000)))
+                            ].copy()
+            elif kind == 2:
+                blob = rng.integers(0, 256, 800, dtype=np.uint8)
+                blob[:4] = np.frombuffer(b"SDGR", np.uint8)
+            elif kind == 3:
+                blob[16:16 + 8 * 16] = rng.integers(
+                    0, 256, 8 * 16, dtype=np.uint8)
+            else:
+                blob[13] = rng.integers(0, 256)   # chunk count
+            try:
+                out = E.decompress(blob)
+                assert out.dtype == np.uint8
+            except E.EntropyError:
+                pass
