@@ -163,3 +163,39 @@ class Encoder:
         from . import entropy
         return self.decode_quantize32(entropy.decompress(blob),
                                       size_x, size_y)
+
+    # -- self-describing containers (north-star extension) ---------------
+
+    def encode_container(self, image, mode: str = "enc-quant32", *,
+                         compress: bool = True, rle: bool = False):
+        """Image -> .sdt container under this config (mode + geometry +
+        the exact LUTs travel in the header; see simd_dct_tpu.container)."""
+        from . import container
+        c = self.config
+        return container.encode(image, mode, quality=c.quality,
+                                rounding=c.rounding, compress=compress,
+                                rle=rle, start_y=c.start_y, end_y=c.end_y,
+                                backend=c.backend)
+
+    def decode_container(self, blob):
+        """.sdt container -> decoded image (self-describing: the header's
+        mode/LUTs are used, not this config's)."""
+        from . import container
+        return container.decode(blob, backend=self.config.backend,
+                                compat=self.config.compat)
+
+    def encode_video_container(self, frames, mode: str = "enc-quant32", *,
+                               compress: bool = True, rle: bool = False):
+        """Frame batch -> .sdtv container (one batched device dispatch,
+        per-frame payloads, shared Huffman table)."""
+        from . import container
+        c = self.config
+        return container.encode_video(frames, mode, quality=c.quality,
+                                      rounding=c.rounding,
+                                      compress=compress, rle=rle,
+                                      backend=c.backend)
+
+    def decode_video_container(self, blob):
+        from . import container
+        return container.decode_video(blob, backend=self.config.backend,
+                                      compat=self.config.compat)

@@ -86,3 +86,39 @@ def test_encoder_compressed_pipeline():
                                 128, 64)
     np.testing.assert_array_equal(np.asarray(dec), np.asarray(ref))
     assert blob.size < 64 * 128 // 2  # smooth content compresses >2x
+
+
+def test_encoder_container_roundtrip():
+    """Encoder facade container methods: config quality/rounding travel
+    in the header and decode without the config."""
+    import numpy as np
+    import simd_dct_tpu as sd
+
+    yy, xx = np.mgrid[0:64, 0:128]
+    img = np.clip(128 + 50 * np.sin(xx / 9), 0, 255).astype(np.uint8)
+    enc = sd.Encoder(sd.EncoderConfig(quality=50.0))
+    blob = enc.encode_container(img)
+    ref = np.asarray(enc.decode_quantize32(
+        np.asarray(enc.encode_quantize32(img)), 128, 64))
+    np.testing.assert_array_equal(np.asarray(enc.decode_container(blob)),
+                                  ref)
+    # a DIFFERENT config still decodes it identically (self-describing)
+    other = sd.Encoder(sd.EncoderConfig(quality=2.0))
+    np.testing.assert_array_equal(np.asarray(other.decode_container(blob)),
+                                  ref)
+
+
+def test_encoder_video_container_roundtrip():
+    import numpy as np
+    import simd_dct_tpu as sd
+
+    rngimg = [np.clip(128 + 50 * np.sin((np.mgrid[0:64, 0:128][1] + p) / 9),
+                      0, 255).astype(np.uint8) for p in (0, 5)]
+    frames = np.stack(rngimg)
+    enc = sd.Encoder(sd.EncoderConfig(quality=50.0))
+    blob = enc.encode_video_container(frames)
+    got = np.asarray(enc.decode_video_container(blob))
+    for i in range(2):
+        ref = np.asarray(enc.decode_quantize32(
+            np.asarray(enc.encode_quantize32(frames[i])), 128, 64))
+        np.testing.assert_array_equal(got[i], ref)
