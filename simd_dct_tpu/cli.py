@@ -157,6 +157,7 @@ def main(argv=None) -> int:
     end_y = args.end_y if args.end_y is not None else h
     imgj = jax.numpy.asarray(img)
     last_output = None
+    last_mode = None
     print(HEADER)
 
     def _slope_row(name, enc_one, base, nbytes):
@@ -190,7 +191,8 @@ def main(argv=None) -> int:
 
     def run_mode(name, enc, dec, ref_for_psnr, enc_one=None,
                  enc_base=None, nbytes=None):
-        nonlocal last_output
+        nonlocal last_output, last_mode
+        last_mode = name
         nbytes = img.size if nbytes is None else nbytes
         out = enc()
         jax.block_until_ready(out)
@@ -310,11 +312,12 @@ def main(argv=None) -> int:
                 nbytes=3 * img.size)   # 3 planes per frame
 
     if args.out_file and last_output is not None:
-        if args.out_file.endswith(".sdt"):
-            # self-describing container for the LAST mode benchmarked
-            # ("store the last output", ≙ src/main.cpp:594-606)
+        if args.out_file.endswith(".sdt") and last_mode is not None:
+            # self-describing container for the LAST mode that actually
+            # RAN ("store the last output", ≙ src/main.cpp:594-606;
+            # requested-but-unsupported/skipped modes must not be picked)
             from simd_dct_tpu import container as C
-            last = [m for m in MODES if m in modes][-1]
+            last = last_mode
             src = rgb_planes if last == "enc-quant32-ycbcr" else img
             C.encode(np.ascontiguousarray(src), last,
                      quality=args.quality, compress=args.compress,

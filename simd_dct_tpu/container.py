@@ -99,7 +99,7 @@ def unpack(blob) -> tuple[np.ndarray, FrameMeta]:
     if data.size < _FIXED.size:
         raise ContainerError("container too short")
     (magic, ver, mode_i, rounding_i, size_x, size_y, start_y, end_y,
-     flags) = _FIXED.unpack_from(data.tobytes()[:_FIXED.size])
+     flags) = _FIXED.unpack_from(data[:_FIXED.size].tobytes())
     if magic != MAGIC:
         raise ContainerError("bad container magic")
     if ver != VERSION:
@@ -136,43 +136,58 @@ def unpack(blob) -> tuple[np.ndarray, FrameMeta]:
 # high-level: image <-> container
 # ---------------------------------------------------------------------------
 
+def _encode_records(image, mode: str, quality, rounding: str, backend,
+                    start_y: int = 0, end_y: int | None = None):
+    """Shared mode ladder for encode/encode_video: image (or a batched
+    form) -> (records, luma_lut, chroma_lut) with the per-mode LUT
+    domain conventions applied."""
+    from . import api
+    from .core.quantize import default_quant_lut
+    from .layout.color import BASE_CHROMA_QUANT_TABLE
+
+    lut = default_quant_lut(quality)
+    kw = dict(rounding=rounding, backend=backend)
+    if mode == "enc-quant":
+        return api.encode_quantize(image, lut, start_y, end_y,
+                                   layout="scalar", **kw), lut, None
+    if mode == "enc-quant-pair":
+        return api.encode_quantize(image, lut, start_y, end_y,
+                                   layout="pair", **kw), lut, None
+    if mode == "enc-quant32":
+        luma = lut * np.float32(255.0)
+        return api.encode_quantize32(image, luma, start_y, end_y,
+                                     **kw), luma, None
+    if mode == "enc-quant-stereo":
+        return api.encode_quantize_stereo(image, lut, start_y, end_y,
+                                          **kw), lut, None
+    if mode == "enc-quant32-ycbcr":
+        if start_y != 0 or (end_y is not None
+                            and end_y < np.asarray(image).shape[-2]):
+            # the color pipeline has no strip-range form; a header
+            # recording an unapplied range would lie to consumers
+            raise ContainerError(
+                "enc-quant32-ycbcr does not support a start_y/end_y range")
+        luma = lut * np.float32(255.0)
+        q = 1.0 if quality is None else quality
+        chroma = (BASE_CHROMA_QUANT_TABLE * q * 255.0).astype(np.float32)
+        return api.encode_quantize32_ycbcr(image, luma, chroma,
+                                           rounding=rounding,
+                                           backend=backend), luma, chroma
+    raise ContainerError(f"mode must be one of {MODES}")
+
+
 def encode(image, mode: str = "enc-quant32", *, quality: float | None = None,
            rounding: str = "rne", compress: bool = True, rle: bool = False,
            start_y: int = 0, end_y: int | None = None,
            backend: str | None = None) -> np.ndarray:
     """u8 image (or (3,H,W) planes for ycbcr) -> self-contained .sdt
     container.  ``compress`` wraps the records in the entropy coder."""
-    from . import api, entropy
-    from .core.quantize import default_quant_lut
-    from .layout.color import BASE_CHROMA_QUANT_TABLE
+    from . import entropy
 
-    lut = default_quant_lut(quality)
     h = int(np.asarray(image).shape[-2])
     w = int(np.asarray(image).shape[-1])
-    kw = dict(rounding=rounding, backend=backend)
-    chroma = None
-    if mode == "enc-quant":
-        rec = api.encode_quantize(image, lut, start_y, end_y,
-                                  layout="scalar", **kw)
-        luma = lut
-    elif mode == "enc-quant-pair":
-        rec = api.encode_quantize(image, lut, start_y, end_y,
-                                  layout="pair", **kw)
-        luma = lut
-    elif mode == "enc-quant32":
-        luma = lut * np.float32(255.0)
-        rec = api.encode_quantize32(image, luma, start_y, end_y, **kw)
-    elif mode == "enc-quant-stereo":
-        rec = api.encode_quantize_stereo(image, lut, start_y, end_y, **kw)
-        luma = lut
-    elif mode == "enc-quant32-ycbcr":
-        luma = lut * np.float32(255.0)
-        q = 1.0 if quality is None else quality
-        chroma = (BASE_CHROMA_QUANT_TABLE * q * 255.0).astype(np.float32)
-        rec = api.encode_quantize32_ycbcr(image, luma, chroma,
-                                          rounding=rounding, backend=backend)
-    else:
-        raise ContainerError(f"mode must be one of {MODES}")
+    rec, luma, chroma = _encode_records(image, mode, quality, rounding,
+                                        backend, start_y, end_y)
     payload = entropy.compress_records(rec, rle=rle) if compress \
         else np.asarray(rec)
     meta = FrameMeta(mode=mode, size_x=w, size_y=h, luma_lut=luma,
@@ -184,28 +199,11 @@ def encode(image, mode: str = "enc-quant32", *, quality: float | None = None,
 def decode(blob, *, backend: str | None = None, compat: bool = False):
     """.sdt container -> decoded u8 image (top view; stereo returns the
     full dual view, ycbcr returns (3, H/2, W) RGB planes)."""
-    from . import api, entropy
+    from . import entropy
 
     payload, m = unpack(blob)
     rec = entropy.decompress(payload) if m.packed else payload
-    kw = dict(backend=backend, compat=compat)
-    if m.mode == "enc-quant":
-        return api.decode_quantize(rec, m.luma_lut, m.size_x, m.size_y,
-                                   layout="scalar", **kw)
-    if m.mode == "enc-quant-pair":
-        return api.decode_quantize(rec, m.luma_lut, m.size_x, m.size_y,
-                                   layout="pair", **kw)
-    if m.mode == "enc-quant32":
-        return api.decode_quantize32(rec, m.luma_lut, m.size_x, m.size_y,
-                                     **kw)
-    if m.mode == "enc-quant-stereo":
-        return api.decode_quantize_stereo(rec, m.luma_lut, m.size_x,
-                                          m.size_y, **kw)
-    if m.mode == "enc-quant32-ycbcr":
-        return api.decode_quantize32_ycbcr(rec, m.luma_lut, m.chroma_lut,
-                                           m.size_x, m.size_y,
-                                           backend=backend)
-    raise ContainerError(f"unknown mode {m.mode}")   # pragma: no cover
+    return _decode_records(rec, m, backend, compat)
 
 
 def info(blob) -> FrameMeta:
@@ -245,9 +243,7 @@ def encode_video(frames, mode: str = "enc-quant32", *,
     are entropy-packed separately (per-frame payload table => frame
     random access) with ONE Huffman table built from the whole batch's
     statistics (``rle=True`` streams stay per-frame self-contained)."""
-    from . import api, entropy
-    from .core.quantize import default_quant_lut
-    from .layout.color import BASE_CHROMA_QUANT_TABLE
+    from . import entropy
 
     arr = np.asarray(frames)
     is_color = mode == "enc-quant32-ycbcr"
@@ -256,30 +252,11 @@ def encode_video(frames, mode: str = "enc-quant32", *,
         raise ContainerError(
             f"{mode} expects a {want}-D frame batch, got shape {arr.shape}")
     b = arr.shape[0]
+    if b == 0:
+        raise ContainerError("empty frame batch")
     h, w = int(arr.shape[-2]), int(arr.shape[-1])
-    lut = default_quant_lut(quality)
-    kw = dict(rounding=rounding, backend=backend)
-    chroma = None
-    if mode == "enc-quant":
-        rec = api.encode_quantize(arr, lut, layout="scalar", **kw)
-        luma = lut
-    elif mode == "enc-quant-pair":
-        rec = api.encode_quantize(arr, lut, layout="pair", **kw)
-        luma = lut
-    elif mode == "enc-quant32":
-        luma = lut * np.float32(255.0)
-        rec = api.encode_quantize32(arr, luma, **kw)
-    elif mode == "enc-quant-stereo":
-        rec = api.encode_quantize_stereo(arr, lut, **kw)
-        luma = lut
-    elif mode == "enc-quant32-ycbcr":
-        luma = lut * np.float32(255.0)
-        q = 1.0 if quality is None else quality
-        chroma = (BASE_CHROMA_QUANT_TABLE * q * 255.0).astype(np.float32)
-        rec = api.encode_quantize32_ycbcr(arr, luma, chroma,
-                                          rounding=rounding, backend=backend)
-    else:
-        raise ContainerError(f"mode must be one of {MODES}")
+    rec, luma, chroma = _encode_records(arr, mode, quality, rounding,
+                                        backend)
     rec = np.asarray(rec).reshape(b, -1)
 
     if compress:
@@ -289,7 +266,7 @@ def encode_video(frames, mode: str = "enc-quant32", *,
             # one table from the whole batch's statistics (device-side
             # histogram of all frames in one pass)
             lengths = entropy.build_lengths(entropy.histogram(rec))
-            k = min(128, max(4, 4 * (os.cpu_count() or 1)))
+            k = entropy.default_chunks(rec[0].size)
             payloads = [entropy.compress(rec[i], lengths, streams=k)
                         for i in range(b)]
     else:
@@ -313,14 +290,14 @@ def _parse_video(blob):
     if data.size < _FIXED_V.size:
         raise ContainerError("container too short")
     (magic, ver, mode_i, rounding_i, size_x, size_y, n_frames,
-     flags) = _FIXED_V.unpack_from(data.tobytes()[:_FIXED_V.size])
+     flags) = _FIXED_V.unpack_from(data[:_FIXED_V.size].tobytes())
     if magic != MAGIC_V:
         raise ContainerError("bad container magic")
     if ver != VERSION:
         raise ContainerError(f"unsupported container version {ver}")
     if mode_i >= len(MODES) or rounding_i >= len(_ROUNDINGS):
         raise ContainerError("corrupt container header")
-    if n_frames > (1 << 24):
+    if n_frames == 0 or n_frames > (1 << 24):
         raise ContainerError("corrupt container: implausible frame count")
     pos = _FIXED_V.size
     if data.size < pos + 256:

@@ -160,6 +160,15 @@ def build_lengths(hist) -> np.ndarray:
 # compress / decompress
 # ---------------------------------------------------------------------------
 
+def default_chunks(n_bytes: int) -> int:
+    """Stream count for an n-byte input: 4 chains per host core (both
+    threading and in-thread ILP in the decoder) capped at the formats'
+    128-chunk limit; small inputs stay on the 4-stream format."""
+    if n_bytes < (1 << 20):
+        return 4
+    return min(128, max(4, 4 * (os.cpu_count() or 1)))
+
+
 def compress(records, lengths=None, *, streams: int = 4,
              rle: bool = False) -> np.ndarray:
     """u8 records -> self-contained compressed stream (u8 array: header
@@ -181,9 +190,9 @@ def compress(records, lengths=None, *, streams: int = 4,
     if rle:
         if data.size == 0:
             raise EntropyError("empty input has no code")
-        if data.size >= (1 << 20):
+        k = default_chunks(data.size)
+        if k > 4:
             # K-chunk RLE: the decoder gets threads x 4-chain ILP
-            k = min(128, max(4, 4 * (os.cpu_count() or 1)))
             out = np.zeros(lib.entropy_encode_rle_g_bound(data.size, k),
                            np.uint8)
             n = lib.entropy_encode_rle_g(_u8p(data), data.size, k,
@@ -304,12 +313,7 @@ def compress_records(records, *, rle: bool = False) -> np.ndarray:
         return compress(np.asarray(records), rle=True)
     lengths = build_lengths(histogram(records))
     arr = np.asarray(records)
-    # large frames: K = 4 chains per thread x one thread per core (both
-    # ILP and threading in the decoder); small ones stay 4-stream
-    if arr.size >= (1 << 20):
-        k = min(128, max(4, 4 * (os.cpu_count() or 1)))
-        return compress(arr, lengths, streams=k)
-    return compress(arr, lengths)
+    return compress(arr, lengths, streams=default_chunks(arr.size))
 
 
 def encode_quantize32_compressed(image, lut, *, rle: bool = False,

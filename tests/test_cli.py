@@ -214,3 +214,20 @@ def test_to_sdt_container(raw_image, capsys, tmp_path):
         np.asarray(sd.encode_quantize32(img, lut)), lut, 128, 64)
     np.testing.assert_array_equal(np.asarray(C.decode(blob)),
                                   np.asarray(ref))
+
+
+def test_to_sdt_uses_last_mode_that_ran(tmp_path, capsys):
+    """W not a multiple of 64: enc-quant32/ycbcr are skipped as
+    unsupported; the .sdt must record the last mode that actually RAN
+    (enc-quant-stereo), not the last requested one."""
+    rng = np.random.default_rng(0xC12)
+    img = rng.integers(0, 256, (64, 96), dtype=np.uint8)
+    path = tmp_path / "img96.raw"
+    img.tofile(path)
+    out = tmp_path / "f.sdt"
+    rc = cli.main([str(path), "96", "64", "--runs", "2",
+                   "--quality", "50", "--to", str(out)])
+    assert rc == 0
+    from simd_dct_tpu import container as C
+    m = C.info(np.fromfile(out, np.uint8))
+    assert m.mode == "enc-quant-stereo"

@@ -233,3 +233,20 @@ class TestVideo:
         ref = np.asarray(C.decode_video(C.encode_video(
             frames, "enc-quant32", quality=50.0, compress=False)))
         np.testing.assert_array_equal(got, ref)
+
+    def test_zero_frames_rejected(self):
+        frames = np.stack([_img(64, 128, i) for i in range(2)])
+        blob = C.encode_video(frames, "enc-quant32", quality=50.0).copy()
+        blob[16:20] = np.frombuffer(np.uint32(0).tobytes(), np.uint8)
+        with pytest.raises(C.ContainerError):
+            C.decode_video(blob)
+        with pytest.raises(C.ContainerError):
+            C.encode_video(frames[:0], "enc-quant32", quality=50.0)
+
+    def test_ycbcr_strip_range_rejected(self):
+        """The color pipeline has no strip-range form; a header recording
+        an unapplied range would lie to consumers."""
+        planes = np.stack([_img(64, 128, s) for s in range(3)])
+        with pytest.raises(C.ContainerError):
+            C.encode(planes, "enc-quant32-ycbcr", quality=50.0,
+                     start_y=8, end_y=24)
