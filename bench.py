@@ -18,10 +18,47 @@ accounting (src/main.cpp:72-78).
 """
 
 import json
+import os
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
+
+
+def _emit_unreachable(reason: str) -> None:
+    """The headline line must reach the driver even when the TPU tunnel
+    is dead (observed outages: hours; even jax.devices() hangs).  A
+    recorded failure beats a hung process recording nothing."""
+    print(json.dumps({
+        "metric": "enc_quant32_fused_pallas_4k",
+        "value": 0.0, "unit": "GB/s", "vs_baseline": 0.0,
+        "error": reason,
+    }), flush=True)
+
+
+def _guard_tunnel():
+    """Probe backend init in a SUBPROCESS (a dead tunnel blocks inside C
+    where signal handlers can't fire), then arm a watchdog that converts
+    a mid-run hang into a recorded error line."""
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            check=True, capture_output=True, timeout=240,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        _emit_unreachable(f"tpu_unreachable_{type(e).__name__}")
+        raise SystemExit(0)
+
+    def die():
+        _emit_unreachable("bench_watchdog_timeout")
+        os._exit(0)
+
+    t = threading.Timer(1800, die)
+    t.daemon = True
+    t.start()
+    return t
 
 
 def _slope_ms(make_fn, batches, reps=8):
@@ -46,6 +83,7 @@ def _slope_ms(make_fn, batches, reps=8):
 
 
 def main():
+    watchdog = _guard_tunnel()
     import jax
     import jax.numpy as jnp
     try:
@@ -263,6 +301,7 @@ def main():
         record["mode_us_4k"] = mode_us
     if raw_fraction > 1.02:
         record["measurement_flag"] = "encode_exceeds_copy_roofline"
+    watchdog.cancel()
     print(json.dumps(record))
     return 0
 
