@@ -93,7 +93,9 @@ def _check_rounding(rounding: str):
             f"rounding must be one of {ROUNDING_MODES}, got {rounding!r}")
 
 
-def _resolve_end_y(end_y, h):
+def _resolve_end_y(end_y):
+    """None -> open-ended (NOT clamped to H: the reference compares the
+    raw caller value against y*2 each strip, src/simd_dct.cpp:268)."""
     return _END_Y_SENTINEL if end_y is None else int(end_y)
 
 
@@ -116,7 +118,7 @@ def _maybe_batch(arr, fn_one, numpy_tier: bool, base_ndim: int = 2):
     Encode items are 2-D images; decode items are 1-D byte streams
     (base_ndim inferred from how the caller reshaped).  jax tiers vmap
     (one compile, one dispatch); the numpy golden tier loops host-side."""
-    batched = arr.ndim == base_ndim + 1 if base_ndim == 2 else arr.ndim == 2
+    batched = arr.ndim == base_ndim + 1
     if not batched:
         return fn_one(arr)
     if numpy_tier:
@@ -156,7 +158,7 @@ def encode_quantize(image, lut, start_y: int = 0, end_y: int | None = None, *,
             "layout must be 'scalar', 'pair' or 'pair_as_written', "
             f"got {layout!r}")
     tier = select_backend(backend, pallas_interpret=pallas_interpret)
-    ey = _resolve_end_y(end_y, h)
+    ey = _resolve_end_y(end_y)
     if tier == "numpy":
         return _maybe_batch(
             img, lambda im: _golden.encode_quantize_golden(
@@ -200,7 +202,7 @@ def encode_quantize32(image, lut, start_y: int = 0, end_y: int | None = None, *,
         img = _spill_view_image(img, w)
         h = img.shape[-2]   # tier gates must see the spilled geometry
     tier = select_backend(backend, pallas_interpret=pallas_interpret)
-    ey = _resolve_end_y(end_y, h)
+    ey = _resolve_end_y(end_y)
     if tier == "numpy":
         return _maybe_batch(
             img, lambda im: _golden.encode_quantize32_golden(
@@ -238,7 +240,7 @@ def encode_quantize_stereo(image, lut, start_y: int = 0,
     img, lut_arr, h, w = _validate(image, lut)
     _check_rounding(rounding)
     tier = select_backend(backend, pallas_interpret=pallas_interpret)
-    ey = _resolve_end_y(end_y, h)
+    ey = _resolve_end_y(end_y)
     if tier == "numpy":
         return _maybe_batch(
             img, lambda im: _golden.encode_quantize_stereo_golden(
@@ -279,13 +281,20 @@ def _validate_decode(data, lut, size_x, size_y, expect_bytes):
         raise NotSupportedError(
             f"dual-view geometry requires H % 16 == 0, got H={size_y}")
     d = jnp.asarray(data)
+    if d.dtype != jnp.uint8:
+        raise InvalidParameterError(
+            f"record streams must be uint8, got {d.dtype} "
+            "(encode-side validation is equally strict)")
     # optional leading batch axis: (B, ...) with per-item size expect_bytes
     if d.size % expect_bytes:
         raise InvalidParameterError(
             f"expected a multiple of {expect_bytes} bytes for "
             f"{(size_x, size_y)}, got {d.size}")
     batch = d.size // expect_bytes
-    d = d.reshape(-1) if batch == 1 else d.reshape(batch, expect_bytes)
+    # a batched INPUT shape keeps its batch axis even for B == 1, so
+    # decode stays shape-symmetric with the batched encode
+    batched = batch > 1 or d.ndim >= 2
+    d = d.reshape(batch, expect_bytes) if batched else d.reshape(-1)
     lut_arr = np.asarray(lut, np.float32).reshape(-1)
     if lut_arr.size != 64:
         raise InvalidParameterError("lut must have 64 entries")
@@ -449,6 +458,19 @@ def roundtrip_quantize32(image, lut, *, backend: str | None = None,
 # grayscale-only, src/simd_dct.h:29-31)
 # ---------------------------------------------------------------------------
 
+def _reject_numpy_tier_ycbcr(tier: str):
+    """The color pipeline is a north-star extension with XLA as its
+    portable tier; it has no NumPy golden.  An explicitly requested (or
+    capped-to) numpy tier must fail loudly, not silently run XLA — the
+    same contract as the reference's mode32 dispatch, whose NoSimd
+    variant does not exist (returns NotSupported,
+    src/simd_dct.cpp:127)."""
+    if tier == "numpy":
+        raise NotSupportedError(
+            "the ycbcr pipeline has no numpy tier (xla is its most "
+            "portable implementation)")
+
+
 def _validate_color(planes, luma_lut, chroma_lut):
     p = jnp.asarray(planes)
     if p.ndim not in (3, 4) or p.shape[-3] != 3:
@@ -479,6 +501,7 @@ def encode_quantize32_ycbcr(planes, luma_lut, chroma_lut, *,
     p, lut_l, lut_c, h, w = _validate_color(planes, luma_lut, chroma_lut)
     from .kernels import color32 as _c32
     tier = select_backend(backend, pallas_interpret=pallas_interpret)
+    _reject_numpy_tier_ycbcr(tier)
     top = p[..., : h // 2, :]
     if tier == "pallas":
         from .kernels import pallas_dct as _pl
@@ -498,6 +521,9 @@ def decode_quantize32_ycbcr(data, luma_lut, chroma_lut,
                             pallas_interpret: bool = False):
     """(3, S*8W) u8 YCbCr records -> (3, H/2, W) u8 planar RGB."""
     d = jnp.asarray(data)
+    if d.dtype != jnp.uint8:
+        raise InvalidParameterError(
+            f"record streams must be uint8, got {d.dtype}")
     if size_x <= 0 or size_y <= 0:
         raise InvalidParameterError(
             f"invalid dimensions {(size_x, size_y)}")
@@ -524,6 +550,7 @@ def decode_quantize32_ycbcr(data, luma_lut, chroma_lut,
         raise InvalidParameterError("luts must have 64 entries")
     from .kernels import color32 as _c32
     tier = select_backend(backend, pallas_interpret=pallas_interpret)
+    _reject_numpy_tier_ycbcr(tier)
     if tier == "pallas":
         from .kernels import pallas_dct as _pl
         if _pl.supports_mode("dec_quant32", size_y, size_x):
@@ -543,6 +570,7 @@ def roundtrip_quantize32_ycbcr(planes, luma_lut, chroma_lut, *,
     p, lut_l, lut_c, h, w = _validate_color(planes, luma_lut, chroma_lut)
     from .kernels import color32 as _c32
     tier = select_backend(backend, pallas_interpret=pallas_interpret)
+    _reject_numpy_tier_ycbcr(tier)
     top = p[..., : h // 2, :]
     if tier == "pallas":
         from .kernels import pallas_dct as _pl
@@ -573,10 +601,14 @@ def roundtrip_quantize32_ycbcr(planes, luma_lut, chroma_lut, *,
 
 
 def _strip_byte_mask(mode: str, h: int, w: int, start_y, end_y,
-                     legacy_range: bool = False) -> np.ndarray | None:
+                     legacy_range: bool = False,
+                     spill: bool = False) -> np.ndarray | None:
     """Bool mask over the output bytes actually written for the strip
-    range, or None when every strip is included."""
-    s = np.arange(h // 16)
+    range, or None when every strip is included.  ``spill`` sizes the
+    mask for the H % 16 == 8 spill geometry (one extra strip crossing
+    the dual-view boundary, ≙ the encode entry points' spill=True)."""
+    n_strips = -(-h // 16) if (spill and h % 16) else h // 16
+    s = np.arange(n_strips)
     cmp = s * 8 if legacy_range else s * 16
     ey = _END_Y_SENTINEL if end_y is None else int(end_y)
     strips = (cmp >= int(start_y)) & (cmp <= ey)
@@ -599,7 +631,8 @@ def try_encode_quantize(image, out, lut, size_x, size_y, start_y, end_y,
     except SimdDctError as e:
         return e.result
     mask = _strip_byte_mask("quant", size_y, size_x, start_y, end_y,
-                            kw.get("legacy_range", False))
+                            kw.get("legacy_range", False),
+                            spill=kw.get("spill", False))
     if mask is None:
         np.copyto(out, np.asarray(result))
     else:
@@ -613,7 +646,8 @@ def try_encode_quantize32(image, out, lut, size_x, size_y, start_y, end_y,
         result = encode_quantize32(image, lut, start_y, end_y, **kw)
     except SimdDctError as e:
         return e.result
-    mask = _strip_byte_mask("quant32", size_y, size_x, start_y, end_y)
+    mask = _strip_byte_mask("quant32", size_y, size_x, start_y, end_y,
+                            spill=kw.get("spill", False))
     if mask is None:
         np.copyto(out, np.asarray(result))
     else:

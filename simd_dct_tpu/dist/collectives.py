@@ -24,7 +24,6 @@ All are testable on the fake CPU mesh and must produce identical bytes.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -112,7 +111,8 @@ def gather_planes_remote(segments: jax.Array, mesh: Mesh, *,
     planes, s_total, seg = segments.shape
     chunk = s_total // n
     if interpret is None:
-        interpret = mesh.devices.flat[0].platform != "tpu"
+        # 'axon' is a remote-TPU tunnel platform: real hardware DMAs
+        interpret = mesh.devices.flat[0].platform not in ("tpu", "axon")
     # eager DMA simulation: the default "on_wait" mode loses ring arrivals
     # in this wait-per-hop pattern (verified: slots stay uninitialized).
     # Interpret caveat: the simulator blocks one host thread per waiting

@@ -16,7 +16,6 @@ Frame-axis (video) parallelism shards a leading batch axis; with a
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +31,9 @@ def _use_pallas(mesh: Mesh, h2_local: int, w: int) -> bool:
     local strip count rides the kernels' non-dividing grids) — the
     multi-chip analog of the api tier cascade; otherwise the portable
     XLA tier (e.g. on the virtual CPU test mesh)."""
-    if mesh.devices.flat[0].platform != "tpu":
+    # 'axon' is a remote-TPU tunnel platform (same treatment as
+    # capability.probe, dispatch/capability.py)
+    if mesh.devices.flat[0].platform not in ("tpu", "axon"):
         return False
     from ..dispatch.capability import probe
     from ..kernels import pallas_dct as PK

@@ -151,7 +151,7 @@ def _enc32_kernel(x_ref, b_ref, a_ref, q_ref, out_ref, *, normalize: bool,
                                              "interpret", "precision"))
 def _enc32_panels(view: jax.Array, scales: jax.Array, *, normalize: bool,
                   rounding: str, interpret: bool = False,
-                  precision: str = "f32") -> jax.Array:
+                  precision: str = "bf16") -> jax.Array:
     """(H2, W) u8 view -> (S, 8W) u8 mode32 strip records.
     Requires W % 128 == 0; any H2 % 8 == 0 works — the grid is a ceiling
     division and the final partial panel relies on Mosaic's edge-block

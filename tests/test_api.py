@@ -254,3 +254,74 @@ def test_nonpositive_lut_rejected():
     bad[3] = np.inf
     with pytest.raises(sd.InvalidParameterError):
         sd.encode_quantize(img, bad)
+
+
+class TestReviewRegressions:
+    """Round-2-late review findings (api shape symmetry, tier honesty)."""
+
+    def test_batched_b1_decode_keeps_batch_axis(self):
+        import numpy as np
+        import simd_dct_tpu as sd
+        img = np.random.default_rng(5).integers(
+            0, 256, (1, 32, 64), dtype=np.uint8)
+        lut = sd.default_quant_lut(50)
+        rec = np.asarray(sd.encode_quantize32(img, lut * 255.0))
+        assert rec.shape[0] == 1
+        dec = np.asarray(sd.decode_quantize32(rec, lut * 255.0, 64, 32))
+        assert dec.shape == (1, 16, 64), dec.shape
+        # flat single-frame input still decodes unbatched
+        dec1 = np.asarray(sd.decode_quantize32(rec.reshape(-1),
+                                               lut * 255.0, 64, 32))
+        assert dec1.shape == (16, 64)
+        np.testing.assert_array_equal(dec[0], dec1)
+
+    def test_ycbcr_numpy_tier_rejected(self):
+        import numpy as np
+        import pytest
+        import simd_dct_tpu as sd
+        from simd_dct_tpu import api
+        planes = np.zeros((3, 32, 64), np.uint8)
+        lut = sd.default_quant_lut(50) * 255.0
+        with pytest.raises(api.NotSupportedError):
+            api.encode_quantize32_ycbcr(planes, lut, lut, backend="numpy")
+        with pytest.raises(api.NotSupportedError):
+            api.decode_quantize32_ycbcr(
+                np.zeros(3 * 16 * 64, np.uint8), lut, lut, 64, 32,
+                backend="numpy")
+        with pytest.raises(api.NotSupportedError):
+            api.roundtrip_quantize32_ycbcr(planes, lut, lut,
+                                           backend="numpy")
+
+    def test_decode_rejects_non_u8(self):
+        import numpy as np
+        import pytest
+        import simd_dct_tpu as sd
+        from simd_dct_tpu import api
+        lut = sd.default_quant_lut(50)
+        with pytest.raises(api.InvalidParameterError):
+            sd.decode_quantize32(np.zeros(16 * 64, np.float32),
+                                 lut * 255.0, 64, 32)
+        with pytest.raises(api.InvalidParameterError):
+            api.decode_quantize32_ycbcr(
+                np.zeros(3 * 16 * 64, np.int32), lut * 255.0,
+                lut * 255.0, 64, 32)
+
+    def test_try_encode_spill_partial_range(self):
+        """try_* with spill=True sizes the strip mask for the spill
+        geometry (one extra strip) instead of crashing on broadcast."""
+        import numpy as np
+        import simd_dct_tpu as sd
+        from simd_dct_tpu import api
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, (24, 64), dtype=np.uint8)   # H%16==8
+        lut = sd.default_quant_lut(50)
+        full = np.asarray(sd.encode_quantize(img, lut, spill=True))
+        out = np.full(full.size, 0xEE, np.uint8)
+        rc = api.try_encode_quantize(img, out, lut, 64, 24,
+                                     16, None, spill=True)
+        assert rc == api.SimdDctResult.SUCCESS
+        # strips 0 (cmp 0) excluded -> untouched sentinel; strip 1 (cmp 16)
+        # included -> written
+        assert (out[: full.size // 2] == 0xEE).all()
+        np.testing.assert_array_equal(out[full.size // 2:],
+                                      full[full.size // 2:])
