@@ -302,6 +302,7 @@ int golden_decode_quantize32(const uint8_t* from, uint8_t* to,
                              const float* lut, size_t w, size_t h) {
   if (!from || !to || !lut) return 1;
   if ((w & 63) || (h & 7)) return 2;
+  if (h & 15) return 2;  // decode output is exactly h/2 rows: no spill
   fesetround(FE_TONEAREST);
   float qi[64];
   constexpr float vr = 0.95f;
@@ -330,6 +331,7 @@ int golden_decode_quantize_stereo(const uint8_t* from, uint8_t* to,
                                   const float* lut, size_t w, size_t h) {
   if (!from || !to || !lut) return 1;
   if ((w & 7) || (h & 7)) return 2;
+  if (h & 15) return 2;  // decode output is exactly h/2 rows: no spill
   fesetround(FE_TONEAREST);
   float qi[64];
   constexpr float vr = 0.95f;
@@ -365,6 +367,7 @@ int golden_decode_quantize(const uint8_t* from, uint8_t* to,
                            int layout) {
   if (!from || !to || !lut) return 1;
   if ((w & 7) || (h & 7) || layout == kPairCellAsWritten) return 2;
+  if (h & 15) return 2;  // decode output is exactly h/2 rows: no spill
   fesetround(FE_TONEAREST);
   float qi[64];
   constexpr float vr = 0.95f;

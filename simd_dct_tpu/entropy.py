@@ -36,7 +36,6 @@ _SO = os.path.join(_REPO_ROOT, "native", "build", "libentropy.so")
 _lock = threading.Lock()
 _lib = None
 
-HEADER_BYTES1 = 4 + 8 + 8 + 256        # "SDE1" single-stream header
 HEADER_BYTES4 = 4 + 8 + 4 * 8 + 256    # "SDE4" 4-stream header
 
 
@@ -49,10 +48,14 @@ def _build() -> str:
     if (not os.path.exists(_SO)
             or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
         # portable ISA baseline: the cached .so may be reused across
-        # hosts (shared checkouts), so no -march=native
+        # hosts (shared checkouts), so no -march=native.  Compile to a
+        # temp path + rename: atomic against concurrent builders and
+        # never truncates a .so another process has mmapped.
+        tmp = f"{_SO}.{os.getpid()}.tmp"
         subprocess.run(["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
-                        "-pthread", _SRC, "-o", _SO],
+                        "-pthread", _SRC, "-o", tmp],
                        check=True, capture_output=True)
+        os.replace(tmp, _SO)
     return _SO
 
 
@@ -136,6 +139,18 @@ def histogram(records, *, device: bool = True) -> np.ndarray:
     pass; only 1 KB of counts crosses the wire); ``device=False`` uses
     the native C loop on host bytes."""
     if device:
+        r = records
+        n = int(np.prod(np.asarray(r.shape))) if hasattr(r, "shape") else 0
+        if n >= (1 << 31):
+            # i32 scatter-add counts would wrap (TPU jax has no i64
+            # scatter): histogram <2^31-byte slices, sum u64 on host
+            flat = r.reshape(-1)
+            total = np.zeros(256, np.uint64)
+            step = 1 << 30
+            for lo in range(0, n, step):
+                total += np.asarray(
+                    _hist_jit()(flat[lo:lo + step])).astype(np.uint64)
+            return total
         counts = np.asarray(_hist_jit()(records))
         return counts.astype(np.uint64)
     data = np.ascontiguousarray(records, np.uint8).reshape(-1)
@@ -169,29 +184,36 @@ def default_chunks(n_bytes: int) -> int:
     return min(128, max(4, 4 * (os.cpu_count() or 1)))
 
 
-def compress(records, lengths=None, *, streams: int = 4,
+def compress(records, lengths=None, *, streams: int | None = None,
              rle: bool = False) -> np.ndarray:
     """u8 records -> self-contained compressed stream (u8 array: header
     + payload).  ``lengths`` (from build_lengths) may be reused across
     frames with matching statistics; by default a table is built from
-    this array's own histogram.  ``streams=4`` (default) splits the
-    input into 4 independent bitstreams so the decoder runs 4
-    dependency chains in parallel (zstd-style); ``streams=1`` emits the
+    this array's own histogram.  ``streams`` picks the chunk count:
+    4 splits the input into 4 independent bitstreams so the decoder
+    runs 4 dependency chains in parallel (zstd-style); 1 emits the
     minimal single-stream format; other values in [2, 128] emit the
     generalized K-chunk format whose decoder runs 4-chain ILP *inside
-    each* of up to K/4 threads (pick 4x the host cores).
+    each* of up to K/4 threads (pick 4x the host cores).  The default
+    (``streams=None``) chooses automatically: 4 for small inputs,
+    ``default_chunks`` for >= 1 MB.
 
     ``rle=True`` additionally run-length-codes the dominant byte (the
     +127-biased zero coefficient) before the Huffman pack — roughly
     doubles the ratio on typical quantized records; the table is always
-    built from the transformed stream itself (``lengths`` ignored)."""
+    built from the transformed stream itself (``lengths`` ignored).
+    With rle, an explicit ``streams`` emits the K-chunk SDGR format
+    with exactly that many chunks; the automatic default keeps the
+    legacy 4-chunk SDER format for small inputs."""
     data = np.ascontiguousarray(np.asarray(records), np.uint8).reshape(-1)
     lib = _load()
     if rle:
         if data.size == 0:
             raise EntropyError("empty input has no code")
-        k = default_chunks(data.size)
-        if k > 4:
+        k = default_chunks(data.size) if streams is None else int(streams)
+        if not 1 <= k <= 128:
+            raise EntropyError("streams must be in [1, 128]")
+        if streams is not None or k > 4:
             # K-chunk RLE: the decoder gets threads x 4-chain ILP
             out = np.zeros(lib.entropy_encode_rle_g_bound(data.size, k),
                            np.uint8)
@@ -205,6 +227,8 @@ def compress(records, lengths=None, *, streams: int = 4,
         if n < 0:
             raise EntropyError(f"encode failed (code {n})")
         return out[:n].copy()
+    if streams is None:
+        streams = 4 if data.size < (1 << 20) else default_chunks(data.size)
     if lengths is None:
         lengths = build_lengths(histogram(data, device=False))
     lengths = np.ascontiguousarray(lengths, np.uint8)

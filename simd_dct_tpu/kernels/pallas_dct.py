@@ -50,43 +50,19 @@ PANEL = 128          # rows per grid step = 16 strips
 CHUNK = 128          # columns per inner step = 2 groups of 8 blocks
 
 
-@functools.lru_cache(maxsize=None)
-def _row_basis_np() -> np.ndarray:
-    """B with B[u*16 + m, 8m' + r] = D[u, r] * (m == m'): the column-DCT
-    basis with output rows ordered u-major so that coefficient row u of
-    every strip is a contiguous 16-sublane band."""
-    d = dct_basis_np("float32")
-    b = np.zeros((128, 128), np.float32)
-    for u in range(8):
-        for m in range(16):
-            b[u * 16 + m, m * 8: m * 8 + 8] = d[u]
-    return b
-
-
-@functools.lru_cache(maxsize=None)
-def _col_basis_np() -> np.ndarray:
-    """A with A[8n + c, g*64 + v*8 + b] = D[v, c] * (n == 8g + b): the
-    row-DCT basis with output columns ordered (group, v, block)."""
-    d = dct_basis_np("float32")
-    a = np.zeros((128, 128), np.float32)
-    for g in range(2):
-        for v in range(8):
-            for b in range(8):
-                n = 8 * g + b
-                a[n * 8: n * 8 + 8, g * 64 + v * 8 + b] = d[v]
-    return a
+# The (128,128) permuted basis matrices and the quant tile are the SAME
+# construction the XLA panel tier uses — one shared definition keeps the
+# byte-compatibility contract between tiers by construction.
+from .panel import row_basis_np as _row_basis_np          # noqa: E402
+from .panel import col_basis_np as _col_basis_np          # noqa: E402
 
 
 def _q_big(scales64: jax.Array, orientation: str = "fy") -> jax.Array:
     """(128,128) quant multiplier aligned with Z: [u*16+m, g*64+v*8+b]
     -> scales[p] with p = u*8+v ('fy', the mode32/stereo convention) or
     p = v*8+u ('fx', the enc-quant convention)."""
-    q8 = jnp.asarray(scales64, jnp.float32).reshape(8, 8)
-    if orientation == "fx":
-        q8 = q8.T
-    rows = jnp.repeat(q8, 16, axis=0)            # (128, 8): u-major rows
-    qb = jnp.repeat(rows, 8, axis=1)             # (128, 64): v-major cols
-    return jnp.concatenate([qb, qb], axis=1)     # both groups
+    from .panel import q_tile
+    return q_tile(scales64, orientation)
 
 
 def _quantize_tile(x, rounding):
@@ -1042,14 +1018,10 @@ def _stereo_col_basis_np() -> np.ndarray:
     return a
 
 
-def _stereo_q_tile(scales64, transpose: bool = False) -> jax.Array:
+def _stereo_q_tile(scales64) -> jax.Array:
     """(128,128) quant multiplier for the stereo Z tile: rows (u,m),
-    cols (v,n); fy-major LUT index p = u*8 + v.  With ``transpose`` the
-    tile matches the decode kernel's transposed Z' orientation (rows
-    (v,m), cols (u,n))."""
-    s = jnp.asarray(scales64, jnp.float32).reshape(8, 8)  # s[u? ...] p=u*8+v
-    if transpose:
-        s = s.T
+    cols (v,n); fy-major LUT index p = u*8 + v."""
+    s = jnp.asarray(scales64, jnp.float32).reshape(8, 8)  # p = u*8 + v
     rows = jnp.repeat(s, 16, axis=0)        # (128, 8): u-major rows
     return jnp.repeat(rows, 16, axis=1)     # (128, 128): v-major col groups
 

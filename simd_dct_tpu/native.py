@@ -42,13 +42,18 @@ def _build() -> str:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
     if (not os.path.exists(_SO)
             or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        # compile to a temp path and rename into place: atomic against
+        # concurrent builders (pytest-xdist, shared checkouts) and never
+        # truncates a .so another process has mmapped
+        tmp = f"{_SO}.{os.getpid()}.tmp"
         cmd = [
             "g++", "-O2", "-fPIC", "-shared", "-std=c++17",
             # Explicitly strict FP: the whole point of this oracle.
             "-fno-fast-math", "-ffp-contract=off", "-frounding-math",
-            _SRC, "-o", _SO,
+            _SRC, "-o", tmp,
         ]
         subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _SO)
     return _SO
 
 

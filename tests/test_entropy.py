@@ -345,3 +345,17 @@ class TestGeneralizedRle:
                 assert out.dtype == np.uint8
             except E.EntropyError:
                 pass
+
+    def test_rle_explicit_streams_honored(self):
+        """compress(rle=True, streams=K) emits the K-chunk SDGR format
+        with exactly K chunks (previously the argument was ignored)."""
+        rng = np.random.default_rng(12)
+        data = rng.choice(np.arange(256, dtype=np.uint8), 50_000,
+                          p=np.r_[np.full(255, 0.2 / 255), 0.8])
+        for k in (1, 4, 8, 128):
+            blob = E.compress(data, rle=True, streams=k)
+            assert blob[:4].tobytes() == b"SDGR"
+            assert int(blob[13]) == k
+            np.testing.assert_array_equal(E.decompress(blob), data)
+        with pytest.raises(E.EntropyError):
+            E.compress(data, rle=True, streams=0)

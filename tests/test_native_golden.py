@@ -126,3 +126,23 @@ def test_native_decode_stereo_matches(img):
     py = decode_quantize_stereo_golden(enc, lut, 128, 64)
     n_bad, max_diff = _mismatch_stats(cpp, py)
     assert max_diff <= 1 and n_bad <= cpp.size * 0.001
+
+
+def test_native_decode_rejects_spill_geometry():
+    """The decode oracles' output contract is exactly H/2 rows; H%16==8
+    (whose last strip would spill past the buffer) must be rejected at
+    the guard, not overflow the heap (ASAN-confirmed pre-fix)."""
+    import numpy as np
+    import pytest
+    import simd_dct_tpu as sd
+    from simd_dct_tpu import native
+
+    lut = sd.default_quant_lut(50)
+    rec = np.zeros(16 * 64, np.uint8)   # sized for the h//2 contract
+    for fn, args in (
+            (native.decode_quantize32, (rec, lut * 255.0, 64, 24)),
+            (native.decode_quantize, (rec, lut, 64, 24)),
+            (native.decode_quantize_stereo,
+             (np.zeros(24 * 64, np.uint8), lut, 64, 24))):
+        with pytest.raises(Exception):
+            fn(*args)
