@@ -157,6 +157,12 @@ def encode_quantize(image, lut, start_y: int = 0, end_y: int | None = None, *,
         raise InvalidParameterError(
             "layout must be 'scalar', 'pair' or 'pair_as_written', "
             f"got {layout!r}")
+    if layout != "scalar" and w % 16:
+        # pair cells hold exactly 2 blocks (the SSE4.1 kernel's x += 16
+        # loop, src/simd_dct.cpp:1588) — an odd block count per row has
+        # no defined cell for the last block
+        raise NotSupportedError(
+            f"layout {layout!r} requires W % 16 == 0, got W={w}")
     tier = select_backend(backend, pallas_interpret=pallas_interpret)
     ey = _resolve_end_y(end_y)
     if tier == "numpy":
@@ -310,6 +316,9 @@ def decode_quantize(data, lut, size_x: int, size_y: int, *,
         # (src/simd_dct.cpp:1662-1670 overlap) — not invertible.
         raise InvalidParameterError(
             f"decodable layouts are 'scalar' and 'pair', got {layout!r}")
+    if layout == "pair" and size_x % 16:
+        raise NotSupportedError(
+            f"layout 'pair' requires W % 16 == 0, got W={size_x}")
     d, lut_arr = _validate_decode(data, lut, size_x, size_y,
                                   (size_y // 2) * size_x)
     # tier selection FIRST so an invalid backend raises even with compat
@@ -602,11 +611,16 @@ def roundtrip_quantize32_ycbcr(planes, luma_lut, chroma_lut, *,
 
 def _strip_byte_mask(mode: str, h: int, w: int, start_y, end_y,
                      legacy_range: bool = False,
-                     spill: bool = False) -> np.ndarray | None:
+                     spill: bool = False,
+                     pair_spill: bool = False) -> np.ndarray | None:
     """Bool mask over the output bytes actually written for the strip
     range, or None when every strip is included.  ``spill`` sizes the
     mask for the H % 16 == 8 spill geometry (one extra strip crossing
-    the dual-view boundary, ≙ the encode entry points' spill=True)."""
+    the dual-view boundary, ≙ the encode entry points' spill=True).
+    ``pair_spill``: the as-written layout's last cell per strip stores
+    64 bytes into the FOLLOWING strip's first-cell region
+    (src/simd_dct.cpp:1662-1670 overlap) — an included strip therefore
+    also writes the first 64 bytes of an excluded successor."""
     n_strips = -(-h // 16) if (spill and h % 16) else h // 16
     s = np.arange(n_strips)
     cmp = s * 8 if legacy_range else s * 16
@@ -618,7 +632,13 @@ def _strip_byte_mask(mode: str, h: int, w: int, start_y, end_y,
         # per plane, each strip owns w/4 bytes (left + right interleave,
         # src/simd_dct.cpp:275); 64 planes
         return np.tile(np.repeat(strips, w // 4), 64)
-    return np.repeat(strips, 8 * w)
+    mask = np.repeat(strips, 8 * w)
+    if pair_spill:
+        spill_into = np.zeros_like(strips)
+        spill_into[1:] = strips[:-1] & ~strips[1:]
+        for r in np.nonzero(spill_into)[0]:
+            mask[r * 8 * w: r * 8 * w + 64] = True
+    return mask
 
 
 def try_encode_quantize(image, out, lut, size_x, size_y, start_y, end_y,
@@ -630,9 +650,10 @@ def try_encode_quantize(image, out, lut, size_x, size_y, start_y, end_y,
         result = encode_quantize(image, lut, start_y, end_y, **kw)
     except SimdDctError as e:
         return e.result
-    mask = _strip_byte_mask("quant", size_y, size_x, start_y, end_y,
-                            kw.get("legacy_range", False),
-                            spill=kw.get("spill", False))
+    mask = _strip_byte_mask(
+        "quant", size_y, size_x, start_y, end_y,
+        kw.get("legacy_range", False), spill=kw.get("spill", False),
+        pair_spill=kw.get("layout") == "pair_as_written")
     if mask is None:
         np.copyto(out, np.asarray(result))
     else:

@@ -22,6 +22,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..utils.metrics import psnr as _psnr
+
 
 def _slope_per_item(one_fn, make_batch, sizes=(8, 40), reps=6, tries=3):
     """Per-item seconds via the slope of two single-dispatch batched runs
@@ -64,12 +66,6 @@ def _smooth(rng, h, w):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-def _psnr(a, b):
-    mse = np.mean((np.asarray(a).astype(np.float64)
-                   - np.asarray(b).astype(np.float64)) ** 2)
-    return float("inf") if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
-
-
 def config1_lossless_roundtrip():
     """512x512 fp32 DCT+IDCT: must be BIT-EXACT (BASELINE config 1)."""
     from ..core.dct import dct8x8, idct8x8
@@ -104,8 +100,12 @@ def config2_4k_rgb_roundtrip():
         one = lambda pln: PK._roundtrip_panels(pln, lut, normalize=False)
     else:
         from ..kernels import xla_path as X
+
         def one(pln):
-            rec = X.encode_quantize32(pln, lut, 0, 1 << 30, "rne")
+            # pln IS the bare (h/2, w) view: encode it directly (the
+            # full-image entry point would halve it AGAIN) and size the
+            # decode for the dual-view geometry it came from
+            rec = X.encode32_view(pln, lut, "rne").reshape(-1)
             return X.decode_quantize32(rec, lut, w, h)
 
     planes = np.asarray(rgb_to_planar(jnp.asarray(rgb)))

@@ -140,7 +140,7 @@ def main(argv=None) -> int:
     from simd_dct_tpu.dispatch import probe, set_max_backend
 
     runs = args.runs if args.runs is not None else DEFAULT_RUN_COUNT
-    if runs > MAX_RUN_COUNT:
+    if runs < 1 or runs > MAX_RUN_COUNT:
         print("Invalid Parameter.")
         return 1
 
@@ -196,7 +196,11 @@ def main(argv=None) -> int:
         nbytes = img.size if nbytes is None else nbytes
         out = enc()
         jax.block_until_ready(out)
-        if args.accurate and enc_one is not None:
+        # the accurate (slope) path vmaps the entry point, which the
+        # numpy golden tier cannot trace — fall back to direct walls
+        from simd_dct_tpu.dispatch import select_backend
+        accurate = args.accurate and select_backend() != "numpy"
+        if accurate and enc_one is not None:
             _slope_row(name, enc_one,
                        imgj if enc_base is None else enc_base, nbytes)
         else:
@@ -274,7 +278,8 @@ def main(argv=None) -> int:
                 lambda d: np.asarray(dist.decode_quantize_stereo_sharded(
                     jax.numpy.asarray(d).reshape(64, h // 16, w // 4),
                     lut, w, h, mesh)),
-                img)
+                img,
+                nbytes=2 * img.size)   # both views in + H*W records out
         else:
             run_mode(
                 "enc-quant-stereo",
@@ -283,7 +288,8 @@ def main(argv=None) -> int:
                 lambda d: sd.decode_quantize_stereo(d, lut, w, h),
                 img,
                 enc_one=lambda im: sd.encode_quantize_stereo(
-                    im, lut, args.start_y, end_y))
+                    im, lut, args.start_y, end_y),
+                nbytes=2 * img.size)   # both views in + H*W records out
 
     if "enc-quant32-ycbcr" in modes:
         if w % 64:

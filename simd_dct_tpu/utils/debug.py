@@ -27,10 +27,11 @@ def check_deterministic(fn, args=(), runs: int = 3) -> bool:
     ref = None
     for _ in range(runs):
         out = jax.block_until_ready(fn(*args))
-        arr = np.asarray(jax.tree.leaves(out)[0])
+        leaves = [np.asarray(x) for x in jax.tree.leaves(out)]
         if ref is None:
-            ref = arr
-        elif not np.array_equal(ref, arr):
+            ref = leaves
+        elif len(leaves) != len(ref) or not all(
+                np.array_equal(a, b) for a, b in zip(ref, leaves)):
             return False
     return True
 

@@ -325,3 +325,45 @@ class TestReviewRegressions:
         assert (out[: full.size // 2] == 0xEE).all()
         np.testing.assert_array_equal(out[full.size // 2:],
                                       full[full.size // 2:])
+
+    def test_pair_layout_rejects_odd_block_rows(self):
+        """Pair cells hold exactly 2 blocks (x += 16 loop of the SSE4.1
+        kernel): W % 16 == 8 must raise typed NotSupported, not crash
+        in the golden/XLA internals."""
+        import numpy as np
+        import pytest
+        import simd_dct_tpu as sd
+        from simd_dct_tpu import api
+        img = np.zeros((16, 24), np.uint8)
+        lut = sd.default_quant_lut(50)
+        for layout in ("pair", "pair_as_written"):
+            with pytest.raises(api.NotSupportedError):
+                sd.encode_quantize(img, lut, layout=layout)
+        with pytest.raises(api.NotSupportedError):
+            sd.decode_quantize(np.zeros(8 * 24, np.uint8), lut, 24, 16,
+                               layout="pair")
+
+    def test_try_pair_as_written_spill_bytes_composed(self):
+        """An included strip's as-written overlap writes 64 bytes into
+        the following excluded strip's region; try_* must copy them
+        (matching the oracle's cursor semantics), not mask them away."""
+        import numpy as np
+        import simd_dct_tpu as sd
+        from simd_dct_tpu import api
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 256, (64, 16), dtype=np.uint8)
+        lut = sd.default_quant_lut(50)
+        full = np.asarray(sd.encode_quantize(img, lut,
+                                             layout="pair_as_written",
+                                             end_y=32))
+        out = np.full(full.size, 0xEE, np.uint8)
+        rc = api.try_encode_quantize(img, out, lut, 16, 64, 0, 32,
+                                     layout="pair_as_written")
+        assert rc == api.SimdDctResult.SUCCESS
+        bps = 8 * 16
+        # strips 0-2 included wholesale, plus strip 2's 64 spill bytes at
+        # the start of excluded strip 3
+        np.testing.assert_array_equal(out[: 3 * bps], full[: 3 * bps])
+        np.testing.assert_array_equal(out[3 * bps: 3 * bps + 64],
+                                      full[3 * bps: 3 * bps + 64])
+        assert (out[3 * bps + 64:] == 0xEE).all()
