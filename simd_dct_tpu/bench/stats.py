@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 import math
 import time
-from typing import Callable, Sequence
+from typing import Callable
 
 MAX_RUN_COUNT = 1024          # src/main.cpp:21
 DEFAULT_RUN_COUNT = 128       # src/main.cpp:22

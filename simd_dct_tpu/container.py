@@ -28,7 +28,6 @@ decode applies them verbatim.
 from __future__ import annotations
 
 import dataclasses
-import os
 import struct
 import sys
 

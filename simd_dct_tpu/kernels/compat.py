@@ -30,7 +30,6 @@ for ``compat=True``.
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 import jax

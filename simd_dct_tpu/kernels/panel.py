@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 
 from ..core.dct import dct_basis_np
-from ..core.quantize import quant_scales, dequant_scales
 from ..core.golden import pair_cell_permutation
 
 
