@@ -61,6 +61,15 @@ def _guard_tunnel():
     return t
 
 
+def _best_of(fn, reps):
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def _slope_ms(make_fn, batches, reps=8):
     """Per-frame seconds via the slope of single-dispatch batched runs.
 
@@ -274,6 +283,25 @@ def main():
         except Exception as exc:      # per-mode extras must never kill
             mode_us["error"] = f"{type(exc).__name__}: {exc}"  # the headline
 
+    # -- host entropy stage (native K-chunk Huffman; TPU-independent) ---
+    entropy_stats = {}
+    try:
+        from simd_dct_tpu import entropy as E
+        rng = np.random.default_rng(3)
+        rec = np.clip(np.round(rng.normal(127, 5, 16 << 20)),
+                      0, 255).astype(np.uint8)   # quantized-record-like
+        lengths = E.build_lengths(E.histogram(rec, device=False))
+        blob = E.compress(rec, lengths)
+        tp = min(_best_of(lambda: E.compress(rec, lengths), 3), 1e9)
+        tu = min(_best_of(lambda: E.decompress(blob), 3), 1e9)
+        entropy_stats = {
+            "pack_mbps": round(rec.size / tp / 1e6),
+            "unpack_mbps": round(rec.size / tu / 1e6),
+            "ratio": round(rec.size / blob.size, 2),
+        }
+    except Exception:
+        pass
+
     from simd_dct_tpu.utils.profiling import hbm_peak_gbps
     gbps = logical_bytes / enc_s / 1e9
     copy_gbps = None
@@ -299,6 +327,8 @@ def main():
     }
     if mode_us:
         record["mode_us_4k"] = mode_us
+    if entropy_stats:
+        record["entropy_host"] = entropy_stats
     if raw_fraction > 1.02:
         record["measurement_flag"] = "encode_exceeds_copy_roofline"
     watchdog.cancel()
