@@ -35,21 +35,44 @@ static const size_t kHeader = 4 + 8 + 8 + 256;
 // histogram (host fallback; the TPU path computes this on-device)
 // ---------------------------------------------------------------------------
 
-void entropy_histogram(const uint8_t* in, size_t n, uint64_t* hist) {
-  std::memset(hist, 0, 256 * sizeof(uint64_t));
-  // 4 sub-histograms break the store-to-load dependency chain
+// 4 sub-histograms break the store-to-load dependency chain
+static void hist_range(const uint8_t* in, size_t lo, size_t hi,
+                       uint64_t* out256) {
   uint64_t h[4][256];
   std::memset(h, 0, sizeof(h));
-  size_t i = 0;
-  for (; i + 4 <= n; i += 4) {
+  size_t i = lo;
+  for (; i + 4 <= hi; i += 4) {
     h[0][in[i]]++;
     h[1][in[i + 1]]++;
     h[2][in[i + 2]]++;
     h[3][in[i + 3]]++;
   }
-  for (; i < n; i++) h[0][in[i]]++;
+  for (; i < hi; i++) h[0][in[i]]++;
   for (int s = 0; s < 256; s++)
-    hist[s] = h[0][s] + h[1][s] + h[2][s] + h[3][s];
+    out256[s] = h[0][s] + h[1][s] + h[2][s] + h[3][s];
+}
+
+void entropy_histogram(const uint8_t* in, size_t n, uint64_t* hist) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int T = (n >= (1u << 21) && hw >= 2) ? (int)std::min(hw, 8u) : 1;
+  if (T == 1) {
+    hist_range(in, 0, n, hist);
+    return;
+  }
+  std::vector<uint64_t> parts((size_t)T * 256, 0);
+  std::vector<std::thread> ts;
+  size_t chunk = (n + T - 1) / (size_t)T;
+  for (int t = 0; t < T; t++)
+    ts.emplace_back([&, t] {
+      hist_range(in, std::min(n, t * chunk), std::min(n, (t + 1) * chunk),
+                 parts.data() + (size_t)t * 256);
+    });
+  for (auto& th : ts) th.join();
+  for (int s = 0; s < 256; s++) {
+    uint64_t acc = 0;
+    for (int t = 0; t < T; t++) acc += parts[(size_t)t * 256 + s];
+    hist[s] = acc;
+  }
 }
 
 // ---------------------------------------------------------------------------
