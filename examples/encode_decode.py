@@ -2,6 +2,10 @@
 
     JAX_PLATFORMS=cpu python examples/encode_decode.py
 """
+import sys, pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+from simd_dct_tpu.dispatch import honor_cpu_platform_env
+honor_cpu_platform_env()  # a sitecustomize may pin a remote platform
 import numpy as np
 
 import simd_dct_tpu as sd

@@ -9,6 +9,10 @@ never cross 16-row boundaries, so strip-dp needs zero collectives; the
 stereo planar gather runs GSPMD / all_gather / ppermute-ring /
 remote-DMA variants — see simd_dct_tpu/dist/).
 """
+import sys, pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+from simd_dct_tpu.dispatch import honor_cpu_platform_env
+honor_cpu_platform_env()  # a sitecustomize may pin a remote platform
 import numpy as np
 import jax
 

@@ -3,6 +3,10 @@ random access, streaming overlap (runs anywhere; CPU ok).
 
     JAX_PLATFORMS=cpu python examples/video_pipeline.py
 """
+import sys, pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+from simd_dct_tpu.dispatch import honor_cpu_platform_env
+honor_cpu_platform_env()  # a sitecustomize may pin a remote platform
 import numpy as np
 
 import simd_dct_tpu as sd
