@@ -431,16 +431,55 @@ long long entropy_encode4(const uint8_t* in, size_t n,
   return (long long)pos;
 }
 
-// one stream, one dependency chain, two symbols per 32-bit refill —
-// the per-thread worker of the threaded decode path
+// single-symbol LUT: 15-bit window -> (length << 8) | symbol, 0 invalid
+static void build_lut1(const uint8_t* lengths, const uint16_t* codes,
+                       uint16_t* lut) {
+  for (int i = 0; i < 256; i++) {
+    int l = lengths[i];
+    if (!l) continue;
+    uint32_t lo = (uint32_t)codes[i] << (kMaxLen - l);
+    uint32_t hi = lo + (1u << (kMaxLen - l));
+    uint16_t v = (uint16_t)((l << 8) | i);
+    for (uint32_t k = lo; k < hi; k++) lut[k] = v;
+  }
+}
+
+// pair LUT (huff0-style): one 15-bit window lookup yields up to TWO
+// symbols when their combined length fits the window.  u32 entry:
+//   bits 0-7 sym1 | 8-15 sym2 | 16-20 total bits | 21-22 symbol count |
+//   bit 23 invalid (then total=1, count=1 so the loop still advances).
+// Decoders store both bytes unconditionally (the cursor only advances
+// by the count, so a garbage second byte is overwritten by the next
+// decode) — keeping the hot loop branchless on the data.
+static void build_pair_lut(const uint16_t* lut1, uint32_t* lut2) {
+  const uint32_t mask = (1u << kMaxLen) - 1;
+  const uint32_t invalid = (1u << 16) | (1u << 21) | (1u << 23);
+  for (uint32_t w = 0; w <= mask; w++) {
+    uint16_t v1 = lut1[w];
+    int l1 = v1 >> 8;
+    if (!l1) { lut2[w] = invalid; continue; }
+    uint32_t e = (v1 & 0xffu) | ((uint32_t)l1 << 16) | (1u << 21);
+    if (l1 < kMaxLen) {
+      uint16_t v2 = lut1[(w << l1) & mask];
+      int l2 = v2 >> 8;
+      if (l2 && l1 + l2 <= kMaxLen)
+        e = (v1 & 0xffu) | ((uint32_t)(v2 & 0xffu) << 8)
+            | ((uint32_t)(l1 + l2) << 16) | (2u << 21);
+    }
+    lut2[w] = e;
+  }
+}
+
+// one stream, one dependency chain, two pair-lookups (2-4 symbols) per
+// 32-bit refill — the per-thread worker of the threaded decode path
 static long long decode_stream(const uint8_t* p, size_t avail,
-                               const uint16_t* lut, uint8_t* op,
-                               size_t ns) {
+                               const uint16_t* lut, const uint32_t* lut2,
+                               uint8_t* op, size_t ns) {
   const uint32_t mask = (1u << kMaxLen) - 1;
   uint64_t acc = 0;
   int nb = 0;
   size_t ip = 0;
-  int bad = 0;
+  uint32_t bad = 0;
   auto refill = [&](int want) {
     if (nb < want) {
       if (ip + 4 <= avail) {
@@ -457,41 +496,47 @@ static long long decode_stream(const uint8_t* p, size_t avail,
       }
     }
   };
-  auto lookup = [&]() {
-    uint16_t v = lut[(acc >> (nb - kMaxLen)) & mask];
-    int l = v >> 8;
-    bad |= (l == 0);
-    nb -= l ? l : 1;
-    return (uint8_t)v;
-  };
   size_t i = 0;
-  for (; i + 2 <= ns; i += 2) {
+  while (i + 4 <= ns) {
     refill(2 * kMaxLen);
-    op[i] = lookup();
-    op[i + 1] = lookup();
+    uint32_t e = lut2[(acc >> (nb - kMaxLen)) & mask];
+    bad |= e;
+    nb -= (e >> 16) & 31;
+    op[i] = (uint8_t)e;
+    op[i + 1] = (uint8_t)(e >> 8);
+    i += (e >> 21) & 3;
+    e = lut2[(acc >> (nb - kMaxLen)) & mask];
+    bad |= e;
+    nb -= (e >> 16) & 31;
+    op[i] = (uint8_t)e;
+    op[i + 1] = (uint8_t)(e >> 8);
+    i += (e >> 21) & 3;
   }
   for (; i < ns; i++) {
     refill(kMaxLen);
-    op[i] = lookup();
+    uint16_t v = lut[(acc >> (nb - kMaxLen)) & mask];
+    int l = v >> 8;
+    bad |= (uint32_t)(l == 0) << 23;
+    nb -= l ? l : 1;
+    op[i] = (uint8_t)v;
   }
-  return bad ? -3 : (long long)ns;
+  return (bad >> 23) & 1 ? -3 : (long long)ns;
 }
 
 // interleaved 4-chain decode: 4 independent bitstream dependency
-// chains in one loop (ILP), two symbols per chain per refill.  The
-// worker for both entropy_decode4's single-thread path and the
-// per-thread quartets of the generalized K-chunk format.
+// chains in one loop (ILP), two pair-lookups (2-4 symbols) per chain
+// per refill.  The worker for both entropy_decode4's single-thread
+// path and the per-thread quartets of the generalized K-chunk format.
 static long long decode_quad(const uint8_t* const* p, const size_t* avail,
-                             const uint16_t* lut, uint8_t* const* op,
-                             const size_t* ns) {
+                             const uint16_t* lut, const uint32_t* lut2,
+                             uint8_t* const* op, const size_t* ns) {
   uint64_t acc[4] = {0, 0, 0, 0};
   int nb[4] = {0, 0, 0, 0};
   size_t ip[4] = {0, 0, 0, 0};
-  size_t n_min = std::min(std::min(ns[0], ns[1]), std::min(ns[2], ns[3]));
+  size_t c[4] = {0, 0, 0, 0};    // per-chain output cursors
   const uint32_t mask = (1u << kMaxLen) - 1;
-  int bad = 0;
+  uint32_t bad = 0;
 
-  size_t i = 0;
 #define REFILL(s, want)                                                 \
     if (nb[s] < (want)) {                                               \
       if (ip[s] + 4 <= avail[s]) {                                      \
@@ -508,34 +553,28 @@ static long long decode_quad(const uint8_t* const* p, const size_t* avail,
         }                                                               \
       }                                                                 \
     }
-#define LOOKUP(s, dst)                                                  \
+#define LOOKUP2(s)                                                      \
     {                                                                   \
-      uint16_t v = lut[(acc[s] >> (nb[s] - kMaxLen)) & mask];           \
-      int l = v >> 8;                                                   \
-      bad |= (l == 0);                                                  \
-      nb[s] -= l ? l : 1;                                               \
-      (dst) = (uint8_t)v;                                               \
+      uint32_t e = lut2[(acc[s] >> (nb[s] - kMaxLen)) & mask];          \
+      bad |= e;                                                         \
+      nb[s] -= (e >> 16) & 31;                                          \
+      op[s][c[s]] = (uint8_t)e;                                         \
+      op[s][c[s] + 1] = (uint8_t)(e >> 8);                              \
+      c[s] += (e >> 21) & 3;                                            \
     }
-  for (; i + 2 <= n_min; i += 2) {
+  while (c[0] + 4 <= ns[0] && c[1] + 4 <= ns[1]
+         && c[2] + 4 <= ns[2] && c[3] + 4 <= ns[3]) {
     REFILL(0, 2 * kMaxLen) REFILL(1, 2 * kMaxLen)
     REFILL(2, 2 * kMaxLen) REFILL(3, 2 * kMaxLen)
-    LOOKUP(0, op[0][i]) LOOKUP(1, op[1][i])
-    LOOKUP(2, op[2][i]) LOOKUP(3, op[3][i])
-    LOOKUP(0, op[0][i + 1]) LOOKUP(1, op[1][i + 1])
-    LOOKUP(2, op[2][i + 1]) LOOKUP(3, op[3][i + 1])
-  }
-  for (; i < n_min; i++) {
-    REFILL(0, kMaxLen) REFILL(1, kMaxLen)
-    REFILL(2, kMaxLen) REFILL(3, kMaxLen)
-    LOOKUP(0, op[0][i]) LOOKUP(1, op[1][i])
-    LOOKUP(2, op[2][i]) LOOKUP(3, op[3][i])
+    LOOKUP2(0) LOOKUP2(1) LOOKUP2(2) LOOKUP2(3)
+    LOOKUP2(0) LOOKUP2(1) LOOKUP2(2) LOOKUP2(3)
   }
 #undef REFILL
-#undef LOOKUP
-  if (bad) return -3;
-  // tails (chunks differ in length by at most 1 symbol)
+#undef LOOKUP2
+  if ((bad >> 23) & 1) return -3;
+  // tails: single-symbol decode to each chain's exact count
   for (int s = 0; s < 4; s++) {
-    for (size_t j = n_min; j < ns[s]; j++) {
+    for (size_t j = c[s]; j < ns[s]; j++) {
       if (nb[s] < kMaxLen) {
         while (nb[s] < kMaxLen) {
           acc[s] = (acc[s] << 8) | (ip[s] < avail[s] ? p[s][ip[s]++] : 0);
@@ -576,14 +615,10 @@ long long entropy_decode4(const uint8_t* in, size_t n_comp, uint8_t* out,
   if (canonical_codes(lengths, codes, nullptr)) return -1;
   std::vector<uint16_t> lut_v(1 << kMaxLen, 0);
   uint16_t* lut = lut_v.data();
-  for (int i = 0; i < 256; i++) {
-    int l = lengths[i];
-    if (!l) continue;
-    uint32_t lo = (uint32_t)codes[i] << (kMaxLen - l);
-    uint32_t hi = lo + (1u << (kMaxLen - l));
-    uint16_t v = (uint16_t)((l << 8) | i);
-    for (uint32_t k = lo; k < hi; k++) lut[k] = v;
-  }
+  build_lut1(lengths, codes, lut);
+  std::vector<uint32_t> lut2_v(1 << kMaxLen);
+  uint32_t* lut2 = lut2_v.data();
+  build_pair_lut(lut, lut2);
 
   size_t chunk = (n + 3) / 4;
   const uint8_t* p[4];
@@ -609,7 +644,7 @@ long long entropy_decode4(const uint8_t* in, size_t n_comp, uint8_t* out,
     std::vector<std::thread> ts;
     for (int s = 0; s < 4; s++)
       ts.emplace_back([&, s] {
-        rc[s] = decode_stream(p[s], avail[s], lut, op[s], ns[s]);
+        rc[s] = decode_stream(p[s], avail[s], lut, lut2, op[s], ns[s]);
       });
     for (auto& t : ts) t.join();
     for (int s = 0; s < 4; s++)
@@ -617,7 +652,7 @@ long long entropy_decode4(const uint8_t* in, size_t n_comp, uint8_t* out,
     return (long long)n;
   }
 
-  return decode_quad(p, avail, lut, op, ns) < 0 ? -3 : (long long)n;
+  return decode_quad(p, avail, lut, lut2, op, ns) < 0 ? -3 : (long long)n;
 }
 
 // ---------------------------------------------------------------------------
@@ -727,14 +762,10 @@ long long entropy_decode_g(const uint8_t* in, size_t n_comp, uint8_t* out,
   if (canonical_codes(lengths, codes, nullptr)) return -1;
   std::vector<uint16_t> lut_v(1 << kMaxLen, 0);
   uint16_t* lut = lut_v.data();
-  for (int i = 0; i < 256; i++) {
-    int l = lengths[i];
-    if (!l) continue;
-    uint32_t lo = (uint32_t)codes[i] << (kMaxLen - l);
-    uint32_t hi = lo + (1u << (kMaxLen - l));
-    uint16_t v = (uint16_t)((l << 8) | i);
-    for (uint32_t k = lo; k < hi; k++) lut[k] = v;
-  }
+  build_lut1(lengths, codes, lut);
+  std::vector<uint32_t> lut2_v(1 << kMaxLen);
+  uint32_t* lut2 = lut2_v.data();
+  build_pair_lut(lut, lut2);
 
   size_t chunk = (n + K - 1) / K;
   std::vector<const uint8_t*> p(K);
@@ -762,7 +793,7 @@ long long entropy_decode_g(const uint8_t* in, size_t n_comp, uint8_t* out,
   auto run_quads = [&](int q_lo, int q_hi) {
     long long bad = 0;
     for (int q = q_lo; q < q_hi; q++) {
-      long long r = decode_quad(&p[4 * q], &avail[4 * q], lut,
+      long long r = decode_quad(&p[4 * q], &avail[4 * q], lut, lut2,
                                 &op[4 * q], &ns[4 * q]);
       if (r < 0) bad = r;
     }
@@ -777,7 +808,7 @@ long long entropy_decode_g(const uint8_t* in, size_t n_comp, uint8_t* out,
     // leftover single chains on the main thread while workers run
     long long tail_rc = 0;
     for (int s = 4 * quads; s < K; s++) {
-      long long r = decode_stream(p[s], avail[s], lut, op[s], ns[s]);
+      long long r = decode_stream(p[s], avail[s], lut, lut2, op[s], ns[s]);
       if (r < 0) tail_rc = r;
     }
     for (auto& th : ts) th.join();
@@ -788,7 +819,7 @@ long long entropy_decode_g(const uint8_t* in, size_t n_comp, uint8_t* out,
   }
   if (run_quads(0, quads) < 0) return -3;
   for (int s = 4 * quads; s < K; s++)
-    if (decode_stream(p[s], avail[s], lut, op[s], ns[s]) < 0) return -3;
+    if (decode_stream(p[s], avail[s], lut, lut2, op[s], ns[s]) < 0) return -3;
   return (long long)n;
 }
 

@@ -42,6 +42,27 @@ class TestRoundtrip:
             blob = E.compress(data, streams=streams)
             np.testing.assert_array_equal(E.decompress(blob), data)
 
+    @pytest.mark.parametrize("dist", ["geometric", "uniform", "skew15"])
+    def test_pair_lut_decode_distributions(self, dist):
+        """The pair-LUT decoder (two symbols per 15-bit window lookup)
+        must stay exact across code-length regimes: geometric tails
+        force 15-bit-limited codes (pairs never fit), uniform gives all
+        8-bit codes (pairs always fit), extreme skew mixes 1-bit codes
+        with long ones (pair-hit rate varies per window)."""
+        rng = np.random.default_rng(11)
+        n = 1 << 21   # above every threading threshold
+        data = {
+            "geometric": np.minimum(
+                rng.geometric(0.35, n) - 1, 255).astype(np.uint8),
+            "uniform": rng.integers(0, 256, n, dtype=np.uint8),
+            "skew15": rng.choice(
+                np.arange(64, dtype=np.uint8), n,
+                p=np.r_[0.97, np.full(63, 0.03 / 63)]),
+        }[dist]
+        for streams in (1, 4, 16):
+            blob = E.compress(data, streams=streams)
+            np.testing.assert_array_equal(E.decompress(blob), data)
+
     def test_g_format_magic_and_threaded_size(self):
         """>=1 MB inputs exercise the threaded quartet decode path."""
         rng = np.random.default_rng(5)
