@@ -184,12 +184,30 @@ def default_chunks(n_bytes: int) -> int:
     return min(128, max(4, 4 * (os.cpu_count() or 1)))
 
 
+def _stored(data: np.ndarray) -> np.ndarray:
+    """SDE0 stored stream: u32 magic | u64 n | raw bytes.  The escape
+    that caps worst-case expansion at 12 bytes: Huffman packs can expand
+    (up to ~12% with a per-frame table, ~1.87x with a mismatched reused
+    table at the 15-bit length limit) — same role as deflate/zstd stored
+    blocks."""
+    out = np.empty(12 + data.size, np.uint8)
+    out[:4] = np.frombuffer(np.uint32(_MAGIC0).tobytes(), np.uint8)
+    out[4:12] = np.frombuffer(np.uint64(data.size).tobytes(), np.uint8)
+    out[12:] = data
+    return out
+
+
 def compress(records, lengths=None, *, streams: int | None = None,
-             rle: bool = False) -> np.ndarray:
+             rle: bool = False, stored_ok: bool = True) -> np.ndarray:
     """u8 records -> self-contained compressed stream (u8 array: header
     + payload).  ``lengths`` (from build_lengths) may be reused across
     frames with matching statistics; by default a table is built from
-    this array's own histogram.  ``streams`` picks the chunk count:
+    this array's own histogram.  When the entropy-coded stream would be
+    no smaller than the input (incompressible data, tiny inputs where
+    the code table dominates, or a mismatched reused table), the 12-byte
+    SDE0 stored format is emitted instead — so a stream never expands
+    by more than 12 bytes; ``stored_ok=False`` pins the requested
+    format regardless (format-targeted tests/tools).  ``streams`` picks the chunk count:
     4 splits the input into 4 independent bitstreams so the decoder
     runs 4 dependency chains in parallel (zstd-style); 1 emits the
     minimal single-stream format; other values in [2, 128] emit the
@@ -226,6 +244,8 @@ def compress(records, lengths=None, *, streams: int | None = None,
                                        out.size)
         if n < 0:
             raise EntropyError(f"encode failed (code {n})")
+        if stored_ok and n >= 12 + data.size:   # stored escape
+            return _stored(data)
         return out[:n].copy()
     if streams is None:
         streams = 4 if data.size < (1 << 20) else default_chunks(data.size)
@@ -249,11 +269,14 @@ def compress(records, lengths=None, *, streams: int | None = None,
         raise EntropyError("streams must be in [1, 128]")
     if n < 0:
         raise EntropyError(f"encode failed (code {n})")
+    if stored_ok and n >= 12 + data.size:       # stored escape
+        return _stored(data)
     # .copy(): out[:n] alone would pin the bound-sized (~1.9x raw)
     # scratch buffer alive for the blob's lifetime
     return out[:n].copy()
 
 
+_MAGIC0 = 0x30454453   # "SDE0" (stored, no entropy coding)
 _MAGIC1 = 0x31454453   # "SDE1"
 _MAGIC4 = 0x34454453   # "SDE4"
 _MAGICR = 0x52454453   # "SDER"
@@ -263,14 +286,19 @@ _MAGICGR = 0x52474453  # "SDGR" (generalized K-chunk RLE)
 
 def decompress(blob) -> np.ndarray:
     """Compressed stream -> u8 records (exact inverse of compress);
-    dispatches on the stream magic (single-, 4-stream or RLE format)."""
+    dispatches on the stream magic (stored, single-, 4-stream, K-chunk
+    or RLE format)."""
     data = np.ascontiguousarray(np.asarray(blob), np.uint8).reshape(-1)
     if data.size < 12:
         raise EntropyError("stream too short")
     magic = int(np.frombuffer(data[:4].tobytes(), np.uint32)[0])
-    if magic not in (_MAGIC1, _MAGIC4, _MAGICR, _MAGICG, _MAGICGR):
+    if magic not in (_MAGIC0, _MAGIC1, _MAGIC4, _MAGICR, _MAGICG, _MAGICGR):
         raise EntropyError("bad stream magic")
     n_out = int(np.frombuffer(data[4:12].tobytes(), np.uint64)[0])
+    if magic == _MAGIC0:
+        if n_out != data.size - 12:
+            raise EntropyError("corrupt stored stream: size mismatch")
+        return data[12:].copy()
     # untrusted header: validate internal consistency BEFORE allocating
     # n_out bytes (a corrupt header must fail with EntropyError, not a
     # multi-GB MemoryError).  Plain Huffman emits >= 1 bit/symbol; an

@@ -27,7 +27,7 @@ class TestRoundtrip:
                 np.asarray([0, 255], np.uint8), 1_000),
             "all256": np.arange(256, dtype=np.uint8),
         }[case]
-        blob = E.compress(data)
+        blob = E.compress(data, stored_ok=False)
         back = E.decompress(blob)
         np.testing.assert_array_equal(back, data)
 
@@ -39,7 +39,7 @@ class TestRoundtrip:
         rng = np.random.default_rng(n)
         data = rng.integers(0, 256, n, dtype=np.uint8)
         for streams in (1, 4, 3, 16, 31, 128):
-            blob = E.compress(data, streams=streams)
+            blob = E.compress(data, streams=streams, stored_ok=False)
             np.testing.assert_array_equal(E.decompress(blob), data)
 
     @pytest.mark.parametrize("dist", ["geometric", "uniform", "skew15"])
@@ -60,14 +60,14 @@ class TestRoundtrip:
                 p=np.r_[0.97, np.full(63, 0.03 / 63)]),
         }[dist]
         for streams in (1, 4, 16):
-            blob = E.compress(data, streams=streams)
+            blob = E.compress(data, streams=streams, stored_ok=False)
             np.testing.assert_array_equal(E.decompress(blob), data)
 
     def test_g_format_magic_and_threaded_size(self):
         """>=1 MB inputs exercise the threaded quartet decode path."""
         rng = np.random.default_rng(5)
         data = rng.integers(0, 256, (1 << 20) + 17, dtype=np.uint8)
-        blob = E.compress(data, streams=16)
+        blob = E.compress(data, streams=16, stored_ok=False)
         assert blob[:4].tobytes() == b"SDEG"
         assert int(blob[12]) == 16
         np.testing.assert_array_equal(E.decompress(blob), data)
@@ -97,7 +97,8 @@ class TestRoundtrip:
         """Corrupted 4-stream chunk sizes whose u64 sum wraps below the
         input size must be rejected, not drive out-of-bounds reads."""
         rng = np.random.default_rng(3)
-        blob = E.compress(rng.integers(0, 256, 10_000, np.uint8)).copy()
+        blob = E.compress(rng.integers(0, 256, 10_000, np.uint8),
+                          stored_ok=False).copy()
         comp = np.frombuffer(blob[12:44].tobytes(), np.uint64).copy()
         comp[0] = np.uint64(2**64 - 50)
         comp[1] = np.uint64(50 + int(comp[1]))
@@ -122,7 +123,7 @@ class TestRoundtrip:
         rng = np.random.default_rng(n)
         data = rng.choice(np.arange(256, dtype=np.uint8), n,
                           p=np.r_[np.full(255, 0.2 / 255), 0.8])
-        blob = E.compress(data, rle=True)
+        blob = E.compress(data, rle=True, stored_ok=False)
         assert blob[:4].tobytes() == b"SDER"
         np.testing.assert_array_equal(E.decompress(blob), data)
 
@@ -131,7 +132,7 @@ class TestRoundtrip:
                      np.full(3, 0, np.uint8),
                      np.r_[np.full(300, 9, np.uint8),
                            np.arange(256, dtype=np.uint8)]):
-            blob = E.compress(data, rle=True)
+            blob = E.compress(data, rle=True, stored_ok=False)
             np.testing.assert_array_equal(E.decompress(blob), data)
 
     def test_rle_beats_plain_on_records(self):
@@ -199,7 +200,8 @@ class TestRoundtrip:
         """The K-chunk decoder parses an untrusted chunk count and size
         table; corruption must raise EntropyError, never crash."""
         rng = np.random.default_rng(0xF423)
-        base = E.compress(rng.integers(0, 256, 4096, np.uint8), streams=16)
+        base = E.compress(rng.integers(0, 256, 4096, np.uint8), streams=16,
+                          stored_ok=False)
         assert base[:4].tobytes() == b"SDEG"
         for trial in range(200):
             blob = base.copy()
@@ -334,7 +336,7 @@ class TestGeneralizedRle:
     def test_rle_g_all_runs_and_all_literals(self):
         for data in (np.full((1 << 20) + 3, 9, np.uint8),
                      np.tile(np.arange(256, dtype=np.uint8), 4097)):
-            blob = E.compress(data, rle=True)
+            blob = E.compress(data, rle=True, stored_ok=False)
             assert blob[:4].tobytes() == b"SDGR"
             np.testing.assert_array_equal(E.decompress(blob), data)
 
@@ -380,3 +382,62 @@ class TestGeneralizedRle:
             np.testing.assert_array_equal(E.decompress(blob), data)
         with pytest.raises(E.EntropyError):
             E.compress(data, rle=True, streams=0)
+
+
+class TestStoredEscape:
+    """SDE0 stored blocks: a compress() stream never expands by more
+    than the 12-byte header (deflate/zstd stored-block analog)."""
+
+    def test_incompressible_takes_stored(self):
+        rng = np.random.default_rng(77)
+        data = rng.integers(0, 256, 100_000, dtype=np.uint8)
+        blob = E.compress(data)
+        assert blob[:4].tobytes() == b"SDE0"
+        assert blob.size == data.size + 12
+        np.testing.assert_array_equal(E.decompress(blob), data)
+
+    def test_tiny_input_takes_stored(self):
+        # 1-byte input: any coded format's table alone dwarfs it
+        blob = E.compress(np.asarray([42], np.uint8))
+        assert blob[:4].tobytes() == b"SDE0"
+        np.testing.assert_array_equal(E.decompress(blob),
+                                      np.asarray([42], np.uint8))
+
+    def test_mismatched_reused_table_bounded(self):
+        """A reused per-batch table that badly mismatches a frame (the
+        shared-table video path) must cost at most 12 bytes, not the
+        up-to-1.87x a 15-bit-code pack could."""
+        skew = np.zeros(256, np.uint64)
+        skew[0] = 1 << 30
+        skew[1:] = 1
+        lengths = E.build_lengths(skew)
+        rng = np.random.default_rng(78)
+        data = rng.integers(1, 256, 65_536, dtype=np.uint8)  # never sym 0
+        blob = E.compress(data, lengths)
+        assert blob.size <= data.size + 12
+        np.testing.assert_array_equal(E.decompress(blob), data)
+
+    def test_rle_paths_bounded(self):
+        rng = np.random.default_rng(79)
+        for n in (3, 4096, (1 << 20) + 5):
+            data = rng.integers(0, 256, n, dtype=np.uint8)
+            blob = E.compress(data, rle=True)
+            assert blob.size <= data.size + 12
+            np.testing.assert_array_equal(E.decompress(blob), data)
+
+    def test_stored_size_mismatch_rejected(self):
+        blob = E.compress(np.random.default_rng(80)
+                          .integers(0, 256, 1000, np.uint8))
+        assert blob[:4].tobytes() == b"SDE0"
+        with pytest.raises(E.EntropyError):
+            E.decompress(blob[:-1])
+        grown = np.r_[blob, np.zeros(1, np.uint8)]
+        with pytest.raises(E.EntropyError):
+            E.decompress(grown)
+
+    def test_stored_ok_false_pins_format(self):
+        rng = np.random.default_rng(81)
+        data = rng.integers(0, 256, 10_000, dtype=np.uint8)
+        blob = E.compress(data, streams=4, stored_ok=False)
+        assert blob[:4].tobytes() == b"SDE4"
+        np.testing.assert_array_equal(E.decompress(blob), data)
