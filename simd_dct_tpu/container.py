@@ -33,6 +33,8 @@ import sys
 
 import numpy as np
 
+from . import entropy
+
 MAGIC = b"SDTC"
 VERSION = 1
 
@@ -81,7 +83,7 @@ def pack(payload, meta: FrameMeta) -> np.ndarray:
             raise ContainerError("chroma_lut must have 64 entries")
         flags |= _FLAG_CHROMA
         chroma = c.tobytes()
-    data = np.ascontiguousarray(np.asarray(payload), np.uint8).reshape(-1)
+    data = entropy.as_u8_stream(payload)
     end_y = meta.size_y if meta.end_y is None else meta.end_y
     head = _FIXED.pack(MAGIC, VERSION, MODES.index(meta.mode),
                        _ROUNDINGS.index(meta.rounding),
@@ -94,7 +96,7 @@ def pack(payload, meta: FrameMeta) -> np.ndarray:
 def unpack(blob) -> tuple[np.ndarray, FrameMeta]:
     """Container -> (payload bytes, FrameMeta).  Untrusted input: every
     header field is validated before use."""
-    data = np.ascontiguousarray(np.asarray(blob), np.uint8).reshape(-1)
+    data = entropy.as_u8_stream(blob)
     if data.size < _FIXED.size:
         raise ContainerError("container too short")
     (magic, ver, mode_i, rounding_i, size_x, size_y, start_y, end_y,
@@ -285,7 +287,7 @@ def encode_video(frames, mode: str = "enc-quant32", *,
 
 
 def _parse_video(blob):
-    data = np.ascontiguousarray(np.asarray(blob), np.uint8).reshape(-1)
+    data = entropy.as_u8_stream(blob)
     if data.size < _FIXED_V.size:
         raise ContainerError("container too short")
     (magic, ver, mode_i, rounding_i, size_x, size_y, n_frames,

@@ -43,6 +43,17 @@ class EntropyError(RuntimeError):
     pass
 
 
+def as_u8_stream(blob) -> np.ndarray:
+    """Bytes-like or array-like -> flat u8 array.
+
+    `np.asarray(b"...")` yields a 0-d S-dtype scalar, so a `bytes` blob
+    (e.g. a stream read back with `open(...).read()`) must go through
+    `np.frombuffer` instead of the array path."""
+    if isinstance(blob, (bytes, bytearray, memoryview)):
+        return np.frombuffer(blob, np.uint8)
+    return np.ascontiguousarray(np.asarray(blob), np.uint8).reshape(-1)
+
+
 def _build() -> str:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
     if (not os.path.exists(_SO)
@@ -223,7 +234,7 @@ def compress(records, lengths=None, *, streams: int | None = None,
     With rle, an explicit ``streams`` emits the K-chunk SDGR format
     with exactly that many chunks; the automatic default keeps the
     legacy 4-chunk SDER format for small inputs."""
-    data = np.ascontiguousarray(np.asarray(records), np.uint8).reshape(-1)
+    data = as_u8_stream(records)
     lib = _load()
     if rle:
         if data.size == 0:
@@ -288,7 +299,7 @@ def decompress(blob) -> np.ndarray:
     """Compressed stream -> u8 records (exact inverse of compress);
     dispatches on the stream magic (stored, single-, 4-stream, K-chunk
     or RLE format)."""
-    data = np.ascontiguousarray(np.asarray(blob), np.uint8).reshape(-1)
+    data = as_u8_stream(blob)
     if data.size < 12:
         raise EntropyError("stream too short")
     magic = int(np.frombuffer(data[:4].tobytes(), np.uint32)[0])
@@ -361,6 +372,9 @@ def compress_records(records, *, rle: bool = False) -> np.ndarray:
     wire before the host copy); the RLE format is self-contained.  The
     single table-policy implementation behind the api/facade/CLI
     compressed pipelines."""
+    if isinstance(records, (bytes, bytearray, memoryview)):
+        # bytes-like must not reach np.asarray (0-d S-scalar) or jit
+        records = np.frombuffer(records, np.uint8)
     if rle:
         return compress(np.asarray(records), rle=True)
     lengths = build_lengths(histogram(records))

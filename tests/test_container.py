@@ -56,6 +56,20 @@ class TestRoundtrip:
         assert payload[:4].tobytes() == b"SDER"
         assert np.asarray(C.decode(blob)).shape == (32, 128)
 
+    def test_bytes_blob(self):
+        """A container read back from disk arrives as `bytes`; decode,
+        info and the video parser must accept it (regression: the
+        np.asarray 0-d S-scalar trap raised an opaque ValueError)."""
+        blob = C.encode(_img(), "enc-quant32", quality=50.0, compress=True)
+        raw = np.asarray(blob).tobytes()
+        np.testing.assert_array_equal(C.decode(raw), C.decode(blob))
+        assert C.info(raw).mode == "enc-quant32"
+        frames = np.stack([_img(seed=s) for s in range(2)])
+        vblob = C.encode_video(frames, "enc-quant32", quality=50.0)
+        vraw = np.asarray(vblob).tobytes()
+        np.testing.assert_array_equal(C.decode_video(vraw),
+                                      C.decode_video(vblob))
+
     def test_luts_travel_exactly(self):
         """The decoder uses the stored f32 LUT verbatim — an uncommon
         quality must roundtrip through the header bit-exactly."""

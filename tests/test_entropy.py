@@ -93,6 +93,23 @@ class TestRoundtrip:
         with pytest.raises(E.EntropyError):
             E.decompress(blob)
 
+    def test_bytes_input(self):
+        """A `bytes` blob (stream read back from disk) must decompress
+        identically to the array form, and corrupt bytes must raise the
+        typed error (np.asarray(b"..") is a 0-d S-scalar trap)."""
+        data = np.tile(np.arange(256, dtype=np.uint8), 64)
+        blob = E.compress_records(data)
+        raw = np.asarray(blob).tobytes()
+        np.testing.assert_array_equal(E.decompress(raw), data)
+        np.testing.assert_array_equal(E.decompress(bytearray(raw)), data)
+        # compress side accepts bytes too
+        np.testing.assert_array_equal(
+            E.decompress(E.compress_records(data.tobytes())), data)
+        bad = bytearray(raw)
+        bad[0] ^= 0xFF
+        with pytest.raises(E.EntropyError):
+            E.decompress(bytes(bad))
+
     def test_wrapping_chunk_sizes_rejected(self):
         """Corrupted 4-stream chunk sizes whose u64 sum wraps below the
         input size must be rejected, not drive out-of-bounds reads."""
