@@ -208,7 +208,7 @@ def main():
         import statistics as _st
         from simd_dct_tpu.core.quantize import dequant_scales
 
-        def quick_slope(mk, batches, tries=2):
+        def quick_slope(mk, batches, tries=3):
             vals = [v for v in (_slope_ms(mk, batches, reps=6)
                                 for _ in range(tries)) if v > 0]
             return _st.median(vals) if vals else float("nan")
