@@ -49,6 +49,10 @@ def as_u8_stream(blob) -> np.ndarray:
     `np.asarray(b"...")` yields a 0-d S-dtype scalar, so a `bytes` blob
     (e.g. a stream read back with `open(...).read()`) must go through
     `np.frombuffer` instead of the array path."""
+    if isinstance(blob, memoryview) and not blob.contiguous:
+        # np.frombuffer raises an untyped ValueError on non-contiguous
+        # memoryviews; normalize (copy) so every bytes-like is accepted
+        blob = bytes(blob)
     if isinstance(blob, (bytes, bytearray, memoryview)):
         return np.frombuffer(blob, np.uint8)
     return np.ascontiguousarray(np.asarray(blob), np.uint8).reshape(-1)

@@ -701,14 +701,20 @@ def _scalar_from_pair_pi() -> np.ndarray:
 
 def _encq_pair_kernel(x_ref, b_ref, a_ref, q_ref, pi_ref, out_ref, *,
                       rounding: str, groups, as_written: bool,
-                      scalar_pi: bool, dtype):
+                      scalar_pi: bool, dtype, halves: int = 2):
+    # Up to two 128-row panels per grid step so the (32, 8W) record block
+    # keeps u8 STORES min-tile aligned — paired 16-sublane pieces from
+    # the two halves make one aligned 32-sublane store (the enc32 trick).
+    # With a (16, 8W) block every store is a masked sub-tile store:
+    # measured 60.6 vs 27.5 us / 4K frame (experiments/exp_r4_pair.py).
     bmat = b_ref[...]
     amat = a_ref[...]
     q_big = q_ref[...]
     pi = pi_ref[...] if scalar_pi else None
 
-    def compute_words(c):
-        x = (x_ref[:, pl.ds(c * CHUNK, CHUNK)].astype(jnp.int32)
+    def compute_words(h, c):
+        x = (x_ref[pl.ds(h * PANEL, PANEL), pl.ds(c * CHUNK, CHUNK)]
+             .astype(jnp.int32)
              .astype(jnp.float32) * jnp.float32(1.0 / 255.0)).astype(dtype)
         y = jnp.dot(x, amat, preferred_element_type=jnp.float32) \
             .astype(dtype)
@@ -717,27 +723,31 @@ def _encq_pair_kernel(x_ref, b_ref, a_ref, q_ref, pi_ref, out_ref, *,
         return pltpu.bitcast(zq, jnp.int32)              # (32, 128) words
 
     for base, store_from in groups:
-        pp = jnp.concatenate([compute_words(base + i) for i in range(4)],
-                             axis=0)
-        t = pp.T                                         # i32 transpose
-        bytes_t = pltpu.bitcast(t, jnp.uint8)            # (512, 128)
+        bytes_ts = [pltpu.bitcast(jnp.concatenate(
+            [compute_words(h, base + i) for i in range(4)], axis=0).T,
+            jnp.uint8) for h in range(halves)]           # (512, 128) each
         for cp in range(4):
-            vt = bytes_t[cp * 128:(cp + 1) * 128, :].T   # u8 transpose
+            vts = [bt[cp * 128:(cp + 1) * 128, :].T      # u8 transpose
+                   for bt in bytes_ts]
             pieces, offs = [], []
             for cl in range(store_from, 4):
                 c = base + cl
                 for cellbit in range(2):
                     cell = 2 * cp + cellbit
-                    lo = vt[cl * 32: cl * 32 + 16,
-                            cellbit * 64: cellbit * 64 + 64]
-                    if as_written:
-                        # the as-coded overlapping store leaves every
-                        # cell's second half unwritten (zero)
-                        hi = jnp.zeros_like(lo)
-                    else:
-                        hi = vt[cl * 32 + 16: cl * 32 + 32,
+                    parts = []
+                    for vt in vts:
+                        lo = vt[cl * 32: cl * 32 + 16,
                                 cellbit * 64: cellbit * 64 + 64]
-                    pieces.append(jnp.concatenate([lo, hi], axis=1))
+                        if as_written:
+                            # the as-coded overlapping store leaves every
+                            # cell's second half unwritten (zero)
+                            hi = jnp.zeros_like(lo)
+                        else:
+                            hi = vt[cl * 32 + 16: cl * 32 + 32,
+                                    cellbit * 64: cellbit * 64 + 64]
+                        parts.append(jnp.concatenate([lo, hi], axis=1))
+                    pieces.append(parts[0] if halves == 1
+                                  else jnp.concatenate(parts, axis=0))
                     offs.append(c * 1024 + cell * 128)
             if scalar_pi:
                 # scalar layout: permute each cell's 128 lanes by the
@@ -749,7 +759,8 @@ def _encq_pair_kernel(x_ref, b_ref, a_ref, q_ref, pi_ref, out_ref, *,
                 perm = jnp.dot(stacked, pi,
                                preferred_element_type=jnp.float32) \
                     .astype(jnp.int32).astype(jnp.uint8)
-                pieces = [perm[i * 16:(i + 1) * 16, :]
+                rows = 16 * halves
+                pieces = [perm[i * rows:(i + 1) * rows, :]
                           for i in range(len(offs))]
             for piece, off in zip(pieces, offs):
                 out_ref[:, pl.ds(off, 128)] = piece
@@ -769,19 +780,21 @@ def _encq_pair_panels(view: jax.Array, scales: jax.Array, *, rounding: str,
     H2 % 8 == 0 (final partial panel via edge-block masking)."""
     h2, w = view.shape
     assert h2 % 8 == 0 and w % CHUNK == 0 and w >= 4 * CHUNK
+    halves = 2 if h2 > PANEL else 1
+    num_steps = -(-h2 // (PANEL * halves))
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     kernel = functools.partial(
         _encq_pair_kernel, rounding=rounding,
         groups=_pair_groups(w // CHUNK), as_written=as_written,
-        scalar_pi=scalar_pi, dtype=dtype)
+        scalar_pi=scalar_pi, dtype=dtype, halves=halves)
     grid_spec = pl.GridSpec(
-        grid=(-(-h2 // PANEL),),
+        grid=(num_steps,),
         in_specs=[
-            pl.BlockSpec((PANEL, w), lambda p: (p, 0),
+            pl.BlockSpec((PANEL * halves, w), lambda p: (p, 0),
                          memory_space=pltpu.VMEM)] + [
             pl.BlockSpec((128, 128), lambda p: (0, 0),
                          memory_space=pltpu.VMEM)] * 4,
-        out_specs=pl.BlockSpec((16, 8 * w), lambda p: (p, 0),
+        out_specs=pl.BlockSpec((16 * halves, 8 * w), lambda p: (p, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -789,7 +802,7 @@ def _encq_pair_panels(view: jax.Array, scales: jax.Array, *, rounding: str,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((h2 // 8, 8 * w), jnp.uint8),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * 128 * 128 * w * (h2 // PANEL),
+            flops=2 * 2 * 128 * 128 * w * halves * num_steps,
             bytes_accessed=2 * h2 * w, transcendentals=0),
         interpret=interpret,
     )(view, jnp.asarray(_pair_row_basis_np()).astype(dtype),
