@@ -130,7 +130,10 @@ def unpack(blob) -> tuple[np.ndarray, FrameMeta]:
                      rounding=_ROUNDINGS[rounding_i],
                      start_y=start_y, end_y=end_y,
                      packed=bool(flags & _FLAG_PACKED))
-    return data[pos:], meta
+    # copy: the slice would otherwise alias the caller's blob (mutable
+    # bytearray input -> later caller mutation silently corrupts the
+    # payload; bytes input -> read-only array surprises mutating callers)
+    return data[pos:].copy(), meta
 
 
 # ---------------------------------------------------------------------------
@@ -370,7 +373,8 @@ def decode_video_frame(blob, index: int, *, backend: str | None = None,
         raise ContainerError(f"frame index {index} out of range "
                              f"[0, {m.n_frames})")
     payload = data[offs[index]:offs[index + 1]]
-    rec = entropy.decompress(payload) if m.packed else payload
+    # .copy(): un-packed payloads must not alias the caller's blob
+    rec = entropy.decompress(payload) if m.packed else payload.copy()
     return _decode_records(rec, m, backend, compat)
 
 
@@ -385,7 +389,7 @@ def decode_video(blob, *, backend: str | None = None,
     for i in range(m.n_frames):
         payload = data[offs[i]:offs[i + 1]]
         recs.append(entropy.decompress(payload) if m.packed else payload)
-    batch = np.stack(recs)
+    batch = np.stack(recs)  # np.stack copies, so raw slices never escape
     return _decode_records(batch, m, backend, compat)
 
 

@@ -25,11 +25,34 @@ All are testable on the fake CPU mesh and must produce identical bytes.
 from __future__ import annotations
 
 
+import itertools
+import threading
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import DATA_AXIS
+
+
+# Mosaic's collective_id selects which system barrier semaphore a kernel
+# uses; two collective kernels traced into ONE program must not share an
+# id (they would signal/wait the same semaphore and deadlock or cross
+# over).  Allocate round-robin over a small id space — ids only need to
+# be distinct between kernels that can be in flight together, and
+# sequentially-executed programs may reuse them.
+_COLLECTIVE_ID_SPACE = 16
+_collective_id_lock = threading.Lock()
+_collective_id_counter = itertools.count()
+
+
+def next_collective_id() -> int:
+    """Allocate a collective/barrier-semaphore id for a collective Pallas
+    kernel.  Thread-safe; wraps over a small id space (callers composing
+    more than ``_COLLECTIVE_ID_SPACE`` concurrent collectives must manage
+    ids themselves)."""
+    with _collective_id_lock:
+        return next(_collective_id_counter) % _COLLECTIVE_ID_SPACE
 
 
 def gather_planes_auto(segments: jax.Array, mesh: Mesh) -> jax.Array:
@@ -87,7 +110,7 @@ def gather_planes_ring(segments: jax.Array, mesh: Mesh, *,
 def gather_planes_remote(segments: jax.Array, mesh: Mesh, *,
                          axis_name: str = DATA_AXIS,
                          interpret: bool | None = None,
-                         collective_id: int = 7) -> jax.Array:
+                         collective_id: int | None = None) -> jax.Array:
     """Ring all-gather via explicit ``pltpu.make_async_remote_copy`` DMAs.
 
     The remote-DMA form of ``gather_planes_ring``: each of the N-1 hops
@@ -108,6 +131,10 @@ def gather_planes_remote(segments: jax.Array, mesh: Mesh, *,
     n = mesh.shape[axis_name]
     if n == 1:
         return gather_planes_auto(segments, mesh)
+    if collective_id is None:
+        # fresh id per traced kernel so two gathers composed into one
+        # program never share a barrier semaphore (round-2 VERDICT #5)
+        collective_id = next_collective_id()
     planes, s_total, seg = segments.shape
     chunk = s_total // n
     if interpret is None:
