@@ -70,25 +70,32 @@ def _best_of(fn, reps):
     return best
 
 
-def _slope_ms(make_fn, batches, reps=8):
+def _slope_ms(make_fn, batches, reps=12):
     """Per-frame seconds via the slope of single-dispatch batched runs.
 
     The wall ends when the checksum SCALAR is on the host (``float(...)``)
     — block_until_ready alone is not a reliable completion barrier through
     the remote-TPU relay, and bulk D2H runs at ~3 MB/s, so only a
-    scalar-fetch wall is trustworthy."""
-    walls = {}
-    for bsz, xb in batches:
-        f = make_fn()
-        float(f(xb))
-        best = 1e9
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(f(xb))
-            best = min(best, time.perf_counter() - t0)
-        walls[bsz] = best
-    (b0, _), (b1, _) = batches
-    return (walls[b1] - walls[b0]) / (b1 - b0)
+    scalar-fetch wall is trustworthy.
+
+    The two batch sizes' reps are INTERLEAVED (b0, b1, b0, b1, ...): the
+    tunnel's speed drifts in multi-second phases, and timing all b0 reps
+    in one block and all b1 reps in another lands that drift directly in
+    the slope (measured: 15-48 us spread on one kernel across rounds;
+    interleaved, the same probe tightened to ~13%)."""
+    (b0, x0), (b1, x1) = batches
+    f = make_fn()
+    float(f(x0))
+    float(f(x1))
+    best0 = best1 = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(f(x0))
+        best0 = min(best0, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(f(x1))
+        best1 = min(best1, time.perf_counter() - t0)
+    return (best1 - best0) / (b1 - b0)
 
 
 def main():
@@ -108,10 +115,14 @@ def main():
     lut = jnp.asarray(default_quant_lut(100) * 255.0)
     logical_bytes = H2 * W * 2
 
-    def dev_batches(shape, sizes=(8, 72)):
+    def dev_batches(shape, sizes=(8, 264)):
         """Device-side random u8 batches — no host->device transfer
         (shipping 1 GB of host batches through the tunnel costs minutes;
-        generation on-chip is free)."""
+        generation on-chip is free).  The wide batch separation keeps the
+        slope's noise floor low: per-call wall jitter of ~0.5 ms divides
+        by (b1 - b0) frames, so 256 frames of separation caps it at
+        ~2 us/frame (at (8, 72) the same jitter produced negative
+        slopes in round-3 diagnostics)."""
         out = []
         for b in sizes:
             key = jax.random.PRNGKey(b)
@@ -123,7 +134,7 @@ def main():
 
     def dev_batches_u32(shape):
         out = []
-        for b in (8, 72):
+        for b in (8, 264):
             key = jax.random.PRNGKey(b)
             out.append((b, jax.random.randint(
                 key, (b,) + shape, 0, 2 ** 31 - 1, dtype=jnp.int32)
@@ -141,6 +152,7 @@ def main():
             lambda xs: jnp.sum(jax.vmap(one)(xs).astype(jnp.int32)))
 
     use_pallas = info.supports_pallas
+    paired_fraction = None
     if use_pallas:
         scales = quant_scales(lut)
 
@@ -170,21 +182,56 @@ def main():
             return PK._enc32_panels(v, scales, normalize=False,
                                     rounding="rne", precision="bf16")
         try:
-            # median of repeated slope estimates: single slopes vary
-            # +-20% (occasionally negative) from tunnel jitter
-            def robust_slope(mk, tries=7, batches=None):
-                import statistics
-                vals = [v for v in (_slope_ms(mk, batches or bs_enc)
-                                    for _ in range(tries)) if v > 0]
-                if not vals:
-                    raise RuntimeError("no positive slope measurement")
-                return statistics.median(vals)
-
-            # roofline = the faster of the u8 and u32 copy probes
-            copy_s = min(robust_slope(copy_checksum),
-                         robust_slope(copy_checksum32, batches=bs_copy32))
+            # Rep-level paired slopes: the tunnel's speed drifts in
+            # multi-second phases, so the encode and copy walls must be
+            # ADJACENT samples, not separate measurement blocks (round-2
+            # VERDICT weak #2: 0.89 one snapshot, >1.0 the next; round-3
+            # diagnostics in experiments/exp_r5_interleave.py).  Each rep
+            # cycles all six walls (small/large batch x enc/copy-u8/
+            # copy-u32); slopes come from the per-wall bests, the headline
+            # fraction is the median of per-round paired ratios, and
+            # rounds repeat the whole cycle.
+            import statistics
+            enc_f = checksum(one_enc)()
+            cp8_f = copy_checksum()
+            cp32_f = copy_checksum32()
+            walls = [  # (name, fn, batches)
+                ("enc", enc_f, bs_enc),
+                ("cp8", cp8_f, bs_enc),
+                ("cp32", cp32_f, bs_copy32),
+            ]
+            for _, f, bs in walls:      # compile everything first
+                for _, xb in bs:
+                    float(f(xb))
+            enc_tries, copy_tries, ratios = [], [], []
+            for _ in range(5):
+                best = {}
+                for _ in range(10):
+                    for name, f, bs in walls:
+                        for bsz, xb in bs:
+                            t0 = time.perf_counter()
+                            float(f(xb))
+                            dt = time.perf_counter() - t0
+                            key = (name, bsz)
+                            best[key] = min(best.get(key, 1e9), dt)
+                def slope(name, bs):
+                    (b0, _), (b1, _) = bs
+                    return (best[(name, b1)] - best[(name, b0)]) / (b1 - b0)
+                e = slope("enc", bs_enc)
+                cs = [v for v in (slope("cp8", bs_enc),
+                                  slope("cp32", bs_copy32)) if v > 0]
+                if cs:
+                    copy_tries.append(min(cs))
+                if e > 0:
+                    enc_tries.append(e)
+                if cs and e > 0:
+                    ratios.append(min(cs) / e)
             del bs_copy32
-            enc_s = robust_slope(checksum(one_enc))
+            if not enc_tries or not copy_tries:
+                raise RuntimeError("no positive slope measurement")
+            copy_s = statistics.median(copy_tries)
+            enc_s = statistics.median(enc_tries)
+            paired_fraction = statistics.median(ratios) if ratios else None
             tier = "pallas_bf16"
         except Exception:
             use_pallas = False
@@ -275,7 +322,10 @@ def main():
                     elif isinstance(shape[0], tuple):
                         cur_bs = dev_batches(shape[0], sizes=shape[1])
                     else:
-                        cur_bs = dev_batches(shape)
+                        # per-mode rows keep the smaller separation: they
+                        # are indicative, and 264-frame batches of the
+                        # larger per-mode shapes would not fit HBM
+                        cur_bs = dev_batches(shape, sizes=(8, 136))
                     cur_shape = shape
                 mode_us[name] = 1e6 * quick_slope(mk, cur_bs)
             mode_us = {k: (round(v, 1) if isinstance(v, float) else v)
@@ -317,13 +367,23 @@ def main():
     # An encode "faster than copy" is a measurement failure, not a win:
     # flag it and clamp the headline fraction at 1.0 (round-1 VERDICT #5).
     raw_fraction = gbps / roof_gbps
+    # vs_baseline prefers the phase-paired per-round ratio (robust to
+    # tunnel drift) unless the spec clamp kicked in (probe read above
+    # the device's HBM peak — then the spec-based fraction is the
+    # honest one).
+    fraction = raw_fraction
+    if (paired_fraction is not None
+            and copy_gbps is not None and roof_gbps == copy_gbps):
+        fraction = paired_fraction
     record = {
         "metric": f"enc_quant32_fused_{tier}_4k",
         "value": round(gbps, 2),
         "unit": "GB/s",
-        "vs_baseline": round(min(raw_fraction, 1.0), 4),
+        "vs_baseline": round(min(fraction, 1.0), 4),
         "copy_gbps": copy_gbps,
         "raw_fraction": round(raw_fraction, 4),
+        "paired_fraction": (round(paired_fraction, 4)
+                            if paired_fraction is not None else None),
     }
     if mode_us:
         record["mode_us_4k"] = mode_us
@@ -350,7 +410,17 @@ def main():
             for k, v in record["mode_gbps"].items()}
     if entropy_stats:
         record["entropy_host"] = entropy_stats
+    spec = hbm_peak_gbps(info.device_kind)
+    if spec:
+        record["spec_fraction"] = round(gbps / spec, 4)
     if raw_fraction > 1.02:
+        # Not tunnel noise (round 3 decomposition, experiments/
+        # exp_r5_roofline.py + exp_r5_chain.py): the fused encode
+        # consistently outruns EVERY same-run copy formulation (XLA u8 /
+        # u32 elementwise, Pallas VMEM copies, a DMA-engine HBM->HBM
+        # copy, a chained 2 B/px copy stream) — the encode kernel is the
+        # fastest byte-mover on the chip, so the copy probe is a floor,
+        # not a ceiling.  vs_baseline stays clamped at 1.0.
         record["measurement_flag"] = "encode_exceeds_copy_roofline"
     watchdog.cancel()
     print(json.dumps(record))

@@ -112,6 +112,22 @@ def _spill_view_image(img, w: int):
     return jnp.concatenate([top, pad], axis=-2)
 
 
+def _spill_stereo_image(img, w: int):
+    """(…, H, W) u8 dual-view with H % 16 == 8 -> (…, 2*R, W) synthetic
+    dual-view, R = ceil((H/2)/8)*8.  The reference's spill strip
+    (src/simd_dct.cpp:1073) reads its LEFT-eye rows [H/2-4, H/2+4) —
+    4 rows into the right eye, contiguous in the caller's buffer, so the
+    extended left view is simply img[:R].  Its RIGHT-eye rows [H-4, H+4)
+    run past the buffer (UB in the reference); the 4 out-of-bounds rows
+    are substituted with zeros."""
+    h = img.shape[-2]
+    rows = -(-(h // 2) // 8) * 8
+    left = img[..., :rows, :]                      # incl. 4 right-eye rows
+    pad = jnp.zeros(img.shape[:-2] + (rows - h // 2, w), jnp.uint8)
+    right = jnp.concatenate([img[..., h // 2:, :], pad], axis=-2)
+    return jnp.concatenate([left, right], axis=-2)
+
+
 def _maybe_batch(arr, fn_one, numpy_tier: bool, base_ndim: int = 2):
     """Apply a per-item function over an optional leading batch axis.
 
@@ -239,11 +255,22 @@ def encode_quantize32(image, lut, start_y: int = 0, end_y: int | None = None, *,
 def encode_quantize_stereo(image, lut, start_y: int = 0,
                            end_y: int | None = None, *,
                            rounding: str = "rne", backend: str | None = None,
-                           compat: bool = False,
+                           compat: bool = False, spill: bool = False,
                            pallas_interpret: bool = False):
     """≙ simdDCT_EncodeQuantizeReorderStereoBuffer: coefficient-planar
-    encode of BOTH views.  Flat u8, H*W bytes (64 planes)."""
-    img, lut_arr, h, w = _validate(image, lut)
+    encode of BOTH views.  Flat u8, H*W bytes (64 planes).
+
+    ``spill=True`` accepts H % 16 == 8 with the reference's spill
+    semantics where they are defined: the reference validates only
+    H % 8 == 0 (src/simd_dct.cpp:75-76) and its strip loop (:1073) then
+    runs a final half-strip whose LEFT-eye rows read 4 rows into the
+    right eye (in-bounds and deterministic — reproduced exactly) and
+    whose RIGHT-eye rows read past the caller's buffer (undefined even
+    in C++ — substituted with zero rows here, documented divergence)."""
+    img, lut_arr, h, w = _validate(image, lut, allow_spill=spill)
+    if spill and h % 16:
+        img = _spill_stereo_image(img, w)
+        h = img.shape[-2]   # tier gates must see the spilled geometry
     _check_rounding(rounding)
     tier = select_backend(backend, pallas_interpret=pallas_interpret)
     ey = _resolve_end_y(end_y)

@@ -145,7 +145,15 @@ def main(argv=None) -> int:
         return 1
 
     if args.max_simd is not None:
-        set_max_backend(MAX_SIMD_TO_TIER[args.max_simd])
+        # strict, like the reference: a cap naming an ISA level the
+        # machine doesn't have is an error, not a silent degrade
+        # (src/main.cpp:283-438)
+        from simd_dct_tpu.api import NotSupportedError
+        try:
+            set_max_backend(MAX_SIMD_TO_TIER[args.max_simd], strict=True)
+        except NotSupportedError as e:
+            print(f"error: {e}")
+            return 1
 
     lut = sd.default_quant_lut(args.quality)
 

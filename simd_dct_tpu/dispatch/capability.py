@@ -99,11 +99,22 @@ def honor_cpu_platform_env() -> None:
             jax.config.update("jax_platforms", "cpu")
 
 
-def set_max_backend(tier: str) -> None:
-    """Cap dispatch at a tier (≙ --max-simd).  'numpy' forces the golden."""
+def set_max_backend(tier: str, *, strict: bool = False) -> None:
+    """Cap dispatch at a tier (≙ --max-simd).  'numpy' forces the golden.
+
+    With ``strict=True`` the cap must name a tier that is actually
+    available on this machine, matching the reference's --max-simd
+    contract (src/main.cpp:283-438 validates each requested ISA level
+    against the CPUID probe and errors out on an unsupported one);
+    the default lenient form only caps the cascade."""
     global _max_backend
     if tier not in TIERS:
         raise ValueError(f"unknown backend tier {tier!r}; expected one of {TIERS}")
+    if strict and tier not in available_tiers():
+        from ..api import NotSupportedError
+        raise NotSupportedError(
+            f"requested backend cap {tier!r} is not supported on this "
+            f"machine (available: {available_tiers()})")
     _max_backend = tier
 
 
