@@ -288,6 +288,12 @@ def main():
                                                    normalize=False))),
                 ("enc_stereo_materialized", (2 * H2, W),
                  lambda: (lambda xb: f2(f1(xb)))),
+                # separate-views fast path: single pallas output, no
+                # interleave epilogue -> fused sum is honest
+                ("enc_stereo_planar", (2 * H2, W), csum(
+                    lambda v: PK._enc_stereo_panels(
+                        v, scales_nq, rounding="rne",
+                        view_layout="planar"))),
                 ("dec32", (H2 // 8, 8 * W), csum(
                     lambda r: PK._dec32_panels(r, inv, normalize=False))),
                 ("dec_pair", (H2 // 8, 8 * W), csum(

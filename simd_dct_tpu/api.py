@@ -256,9 +256,18 @@ def encode_quantize_stereo(image, lut, start_y: int = 0,
                            end_y: int | None = None, *,
                            rounding: str = "rne", backend: str | None = None,
                            compat: bool = False, spill: bool = False,
+                           view_layout: str = "interleaved",
                            pallas_interpret: bool = False):
     """≙ simdDCT_EncodeQuantizeReorderStereoBuffer: coefficient-planar
     encode of BOTH views.  Flat u8, H*W bytes (64 planes).
+
+    ``view_layout='planar'`` returns a (2, 64, S, W/8) tensor with the
+    two views' plane segments stored SEPARATELY — the fused kernel's
+    native output, skipping the view-interleave epilogue (~40% of the
+    mode's wall; the reference byte stream is one
+    ``layout.reorder.stereo_views_to_interleaved`` away, and
+    ``decode_quantize_stereo(view_layout='planar')`` consumes the tensor
+    directly).  The default stays reference parity.
 
     ``spill=True`` accepts H % 16 == 8 with the reference's spill
     semantics where they are defined: the reference validates only
@@ -267,6 +276,10 @@ def encode_quantize_stereo(image, lut, start_y: int = 0,
     right eye (in-bounds and deterministic — reproduced exactly) and
     whose RIGHT-eye rows read past the caller's buffer (undefined even
     in C++ — substituted with zero rows here, documented divergence)."""
+    if view_layout not in ("interleaved", "planar"):
+        raise InvalidParameterError(
+            f"view_layout must be 'interleaved' or 'planar', "
+            f"got {view_layout!r}")
     img, lut_arr, h, w = _validate(image, lut, allow_spill=spill)
     if spill and h % 16:
         img = _spill_stereo_image(img, w)
@@ -274,30 +287,46 @@ def encode_quantize_stereo(image, lut, start_y: int = 0,
     _check_rounding(rounding)
     tier = select_backend(backend, pallas_interpret=pallas_interpret)
     ey = _resolve_end_y(end_y)
+
+    def _views(flat):
+        from .layout import reorder as _reorder
+        return _reorder.stereo_interleaved_to_views(
+            jnp.asarray(flat), h // 16, w // 8)
+
     if tier == "numpy":
-        return _maybe_batch(
+        out = _maybe_batch(
             img, lambda im: _golden.encode_quantize_stereo_golden(
                 np.asarray(im), lut_arr, start_y, ey, rounding=rounding,
                 compat=compat),
             numpy_tier=True)
+        if view_layout == "planar":
+            return _maybe_batch(jnp.asarray(out), _views, numpy_tier=False,
+                                base_ndim=1)
+        return out
     if compat:
         from .kernels import compat as _compat
-        return _maybe_batch(
+        out = _maybe_batch(
             img, lambda im: _compat.encode_quantize_stereo(
                 im, lut_arr, int(start_y), ey, rounding),
             numpy_tier=False)
+        if view_layout == "planar":
+            return _maybe_batch(out, _views, numpy_tier=False, base_ndim=1)
+        return out
     if tier == "pallas":
         from .kernels import pallas_dct as _pl
         if _pl.supports_mode("enc_quant_stereo", h, w):
             return _maybe_batch(
                 img, lambda im: _pl.encode_quantize_stereo(
                     im, jnp.asarray(lut_arr), int(start_y), ey, rounding,
-                    interpret=pallas_interpret),
+                    interpret=pallas_interpret, view_layout=view_layout),
                 numpy_tier=False)
-    return _maybe_batch(
+    out = _maybe_batch(
         img, lambda im: _xla.encode_quantize_stereo(
             im, jnp.asarray(lut_arr), int(start_y), ey, rounding),
         numpy_tier=False)
+    if view_layout == "planar":
+        return _maybe_batch(out, _views, numpy_tier=False, base_ndim=1)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -426,7 +455,44 @@ def decode_quantize32(data, lut, size_x: int, size_y: int, *,
 def decode_quantize_stereo(data, lut, size_x: int, size_y: int, *,
                            backend: str | None = None,
                            compat: bool = False,
+                           view_layout: str = "interleaved",
                            pallas_interpret: bool = False):
+    """``view_layout='planar'`` consumes the (2, 64, S, W/8) separate-
+    views tensor from ``encode_quantize_stereo(view_layout='planar')``
+    directly (the pallas tier reads it with fully aligned loads; other
+    tiers convert to the interleaved stream first)."""
+    if view_layout not in ("interleaved", "planar"):
+        raise InvalidParameterError(
+            f"view_layout must be 'interleaved' or 'planar', "
+            f"got {view_layout!r}")
+    if view_layout == "planar":
+        dv = jnp.asarray(data)
+        planar_ok = dv.ndim >= 4 and dv.shape[-4:] == (
+            2, 64, size_y // 16, size_x // 8)
+        if not planar_ok:
+            raise InvalidParameterError(
+                f"planar stereo data must have shape (..., 2, 64, "
+                f"{size_y // 16}, {size_x // 8}), got {dv.shape}")
+        tier0 = select_backend(backend, pallas_interpret=pallas_interpret)
+        if tier0 == "pallas" and not compat:
+            from .kernels import pallas_dct as _pl
+            if _pl.supports_mode("dec_quant_stereo", size_y, size_x):
+                if dv.dtype != jnp.uint8:
+                    raise InvalidParameterError(
+                        f"record streams must be uint8, got {dv.dtype}")
+                lut_arr = np.asarray(lut, np.float32).reshape(-1)
+                if lut_arr.size != 64:
+                    raise InvalidParameterError("lut must have 64 entries")
+                return _maybe_batch(
+                    dv, lambda vv: _pl.decode_quantize_stereo(
+                        vv, jnp.asarray(lut_arr), size_x, size_y,
+                        interpret=pallas_interpret, view_layout="planar"),
+                    numpy_tier=False, base_ndim=4)
+        # other tiers: convert to the reference stream and fall through
+        from .layout import reorder as _reorder
+        data = _maybe_batch(
+            dv, lambda vv: _reorder.stereo_views_to_interleaved(vv),
+            numpy_tier=False, base_ndim=4)
     d, lut_arr = _validate_decode(data, lut, size_x, size_y, size_y * size_x)
     tier = select_backend(backend, pallas_interpret=pallas_interpret)
     if compat:

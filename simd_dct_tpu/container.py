@@ -44,6 +44,11 @@ _ROUNDINGS = ("rne", "scalar", "clamp_first")
 
 _FLAG_PACKED = 1
 _FLAG_CHROMA = 2
+# stereo payload stores the two views' plane segments SEPARATELY
+# ((2, 64, S, W/8) row-major) — the fused kernel's native layout, which
+# skips the view-interleave epilogue on encode AND decode; bit unset =
+# the reference's interleaved plane stream (compat default)
+_FLAG_STEREO_PLANAR = 4
 
 _FIXED = struct.Struct("<4sHBBIIIIB3x")
 
@@ -64,6 +69,7 @@ class FrameMeta:
     start_y: int = 0
     end_y: int | None = None
     packed: bool = False                  # payload is an entropy stream
+    stereo_planar: bool = False           # stereo views stored separately
 
 
 def pack(payload, meta: FrameMeta) -> np.ndarray:
@@ -76,6 +82,11 @@ def pack(payload, meta: FrameMeta) -> np.ndarray:
     if luma.size != 64:
         raise ContainerError("luma_lut must have 64 entries")
     flags = (_FLAG_PACKED if meta.packed else 0)
+    if meta.stereo_planar:
+        if meta.mode != "enc-quant-stereo":
+            raise ContainerError(
+                "stereo_planar only applies to enc-quant-stereo")
+        flags |= _FLAG_STEREO_PLANAR
     chroma = b""
     if meta.chroma_lut is not None:
         c = np.ascontiguousarray(meta.chroma_lut, np.float32).reshape(-1)
@@ -129,7 +140,8 @@ def unpack(blob) -> tuple[np.ndarray, FrameMeta]:
                      luma_lut=luma, chroma_lut=chroma,
                      rounding=_ROUNDINGS[rounding_i],
                      start_y=start_y, end_y=end_y,
-                     packed=bool(flags & _FLAG_PACKED))
+                     packed=bool(flags & _FLAG_PACKED),
+                     stereo_planar=bool(flags & _FLAG_STEREO_PLANAR))
     # copy: the slice would otherwise alias the caller's blob (mutable
     # bytearray input -> later caller mutation silently corrupts the
     # payload; bytes input -> read-only array surprises mutating callers)
@@ -141,7 +153,8 @@ def unpack(blob) -> tuple[np.ndarray, FrameMeta]:
 # ---------------------------------------------------------------------------
 
 def _encode_records(image, mode: str, quality, rounding: str, backend,
-                    start_y: int = 0, end_y: int | None = None):
+                    start_y: int = 0, end_y: int | None = None,
+                    view_layout: str = "interleaved"):
     """Shared mode ladder for encode/encode_video: image (or a batched
     form) -> (records, luma_lut, chroma_lut) with the per-mode LUT
     domain conventions applied."""
@@ -163,7 +176,11 @@ def _encode_records(image, mode: str, quality, rounding: str, backend,
                                      **kw), luma, None
     if mode == "enc-quant-stereo":
         return api.encode_quantize_stereo(image, lut, start_y, end_y,
+                                          view_layout=view_layout,
                                           **kw), lut, None
+    if view_layout != "interleaved":
+        raise ContainerError(
+            "view_layout only applies to enc-quant-stereo")
     if mode == "enc-quant32-ycbcr":
         if start_y != 0 or (end_y is not None
                             and end_y < np.asarray(image).shape[-2]):
@@ -183,20 +200,27 @@ def _encode_records(image, mode: str, quality, rounding: str, backend,
 def encode(image, mode: str = "enc-quant32", *, quality: float | None = None,
            rounding: str = "rne", compress: bool = True, rle: bool = False,
            start_y: int = 0, end_y: int | None = None,
-           backend: str | None = None) -> np.ndarray:
+           backend: str | None = None,
+           view_layout: str = "interleaved") -> np.ndarray:
     """u8 image (or (3,H,W) planes for ycbcr) -> self-contained .sdt
-    container.  ``compress`` wraps the records in the entropy coder."""
+    container.  ``compress`` wraps the records in the entropy coder.
+    ``view_layout='planar'`` (stereo only) stores the two views' plane
+    segments separately — the fused kernel's native layout, skipping the
+    view-interleave on encode AND decode; the flag travels in the
+    header so ``decode`` dispatches transparently."""
     from . import entropy
 
     h = int(np.asarray(image).shape[-2])
     w = int(np.asarray(image).shape[-1])
     rec, luma, chroma = _encode_records(image, mode, quality, rounding,
-                                        backend, start_y, end_y)
-    payload = entropy.compress_records(rec, rle=rle) if compress \
-        else np.asarray(rec)
+                                        backend, start_y, end_y,
+                                        view_layout=view_layout)
+    rec = np.asarray(rec).reshape(-1)
+    payload = entropy.compress_records(rec, rle=rle) if compress else rec
     meta = FrameMeta(mode=mode, size_x=w, size_y=h, luma_lut=luma,
                      chroma_lut=chroma, rounding=rounding,
-                     start_y=start_y, end_y=end_y, packed=compress)
+                     start_y=start_y, end_y=end_y, packed=compress,
+                     stereo_planar=(view_layout == "planar"))
     return pack(payload, meta)
 
 
@@ -235,12 +259,14 @@ class VideoMeta:
     chroma_lut: np.ndarray | None = None
     rounding: str = "rne"
     packed: bool = False
+    stereo_planar: bool = False
 
 
 def encode_video(frames, mode: str = "enc-quant32", *,
                  quality: float | None = None, rounding: str = "rne",
                  compress: bool = True, rle: bool = False,
-                 backend: str | None = None) -> np.ndarray:
+                 backend: str | None = None,
+                 view_layout: str = "interleaved") -> np.ndarray:
     """u8 frame batch (B,H,W) — or (B,3,H,W) planes for ycbcr — ->
     self-contained .sdtv container.  Frames are encoded through the
     batched api forms (one device dispatch), then each frame's records
@@ -260,7 +286,7 @@ def encode_video(frames, mode: str = "enc-quant32", *,
         raise ContainerError("empty frame batch")
     h, w = int(arr.shape[-2]), int(arr.shape[-1])
     rec, luma, chroma = _encode_records(arr, mode, quality, rounding,
-                                        backend)
+                                        backend, view_layout=view_layout)
     rec = np.asarray(rec).reshape(b, -1)
 
     if compress:
@@ -276,7 +302,8 @@ def encode_video(frames, mode: str = "enc-quant32", *,
     else:
         payloads = [rec[i] for i in range(b)]
 
-    flags = (_FLAG_PACKED if compress else 0)
+    flags = (_FLAG_PACKED if compress else 0) \
+        | (_FLAG_STEREO_PLANAR if view_layout == "planar" else 0)
     parts = [_FIXED_V.pack(MAGIC_V, VERSION, MODES.index(mode),
                            _ROUNDINGS.index(rounding), w, h, b, flags
                            | (_FLAG_CHROMA if chroma is not None else 0)),
@@ -334,7 +361,8 @@ def _parse_video(blob):
     meta = VideoMeta(mode=MODES[mode_i], size_x=size_x, size_y=size_y,
                      n_frames=n_frames, luma_lut=luma, chroma_lut=chroma,
                      rounding=_ROUNDINGS[rounding_i],
-                     packed=bool(flags & _FLAG_PACKED))
+                     packed=bool(flags & _FLAG_PACKED),
+                     stereo_planar=bool(flags & _FLAG_STEREO_PLANAR))
     return data, offs, meta
 
 
@@ -356,6 +384,13 @@ def _decode_records(rec, m, backend, compat):
         return api.decode_quantize32(rec, m.luma_lut, m.size_x, m.size_y,
                                      **kw)
     if m.mode == "enc-quant-stereo":
+        if getattr(m, "stereo_planar", False):
+            s, bw = m.size_y // 16, m.size_x // 8
+            arr = np.asarray(rec)
+            shape = (2, 64, s, bw) if arr.ndim == 1 else (-1, 2, 64, s, bw)
+            return api.decode_quantize_stereo(
+                arr.reshape(shape), m.luma_lut, m.size_x, m.size_y,
+                view_layout="planar", **kw)
         return api.decode_quantize_stereo(rec, m.luma_lut, m.size_x,
                                           m.size_y, **kw)
     return api.decode_quantize32_ycbcr(rec, m.luma_lut, m.chroma_lut,

@@ -921,7 +921,8 @@ def _decq_pair_panels(records: jax.Array, inv_scales: jax.Array, *,
 # -- fused stereo decode (inverse of the plane-patch encode) ---------------
 
 def _dec_stereo_kernel(in_ref, b_ref, a_ref, qi_ref, out_ref,
-                       a_scr, b_scr, *, groups, dtype):
+                       a_scr, b_scr, *, groups, dtype,
+                       views_input: bool = False):
     """Z-tile reassembly straight from the planar byte stream — NO XLA
     prologue transpose (the previous version's (p,m)-interleave prologue
     alone cost ~100 us / 4K frame, ~40% of the total).  The planar
@@ -940,16 +941,22 @@ def _dec_stereo_kernel(in_ref, b_ref, a_ref, qi_ref, out_ref,
     bmat = b_ref[...]
     amat = a_ref[...]
     qi_big = qi_ref[...]
-    half = in_ref.shape[2] // 2
+    half = in_ref.shape[-1] if views_input else in_ref.shape[2] // 2
 
     for view in range(2):
         for base, size in groups:
             w16 = 16 * size
             for u in range(8):
                 for v in range(8):
-                    a_scr[pl.ds(u * 16, 16), pl.ds(v * 128, w16)] = \
-                        in_ref[u * 8 + v, :,
-                               pl.ds(view * half + base * 16, w16)]
+                    if views_input:
+                        # (2, 64, 16, BW) separate-views block: every
+                        # load starts at a 128-aligned lane offset
+                        src = in_ref[view, u * 8 + v, :,
+                                     pl.ds(base * 16, w16)]
+                    else:
+                        src = in_ref[u * 8 + v, :,
+                                     pl.ds(view * half + base * 16, w16)]
+                    a_scr[pl.ds(u * 16, 16), pl.ds(v * 128, w16)] = src
             for v in range(8):
                 t = a_scr[:, pl.ds(v * 128, 128)].T   # rows (i,n), (u,m)
                 for i in range(size):
@@ -974,21 +981,35 @@ def _dec_stereo_kernel(in_ref, b_ref, a_ref, qi_ref, out_ref,
 def _dec_stereo_panels(planar: jax.Array, inv_scales: jax.Array, *,
                        interpret: bool = False,
                        precision: str = "bf16") -> jax.Array:
-    """(64, S, 2, BW) u8 planar tensor -> (H, W) u8 dual-view image
-    (any S; final partial panel via edge-block masking)."""
-    _, s, _, bw = planar.shape
+    """(64, S, 2, BW) u8 planar tensor (reference interleaved layout) OR
+    (2, 64, S, BW) separate-views tensor -> (H, W) u8 dual-view image
+    (any S; final partial panel via edge-block masking).  The separate-
+    views form reads every plane patch at a 128-aligned lane offset
+    (the interleaved form's view-1 loads are masked, ~10% dearer)."""
+    views_input = planar.ndim == 4 and planar.shape[0] == 2 \
+        and planar.shape[1] == 64
+    if views_input:
+        _, _, s, bw = planar.shape
+    else:
+        _, s, _, bw = planar.shape
     h2, w = s * 8, bw * 8
     assert w % CHUNK == 0
     n_pg = -(-h2 // PANEL)
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
-    # pure reshape (no data movement): one (64, 16, 2*BW) block per panel
-    flat = planar.reshape(64, s, 2 * bw)
     kernel = functools.partial(_dec_stereo_kernel,
-                               groups=_stereo_groups(w // CHUNK), dtype=dtype)
+                               groups=_stereo_groups(w // CHUNK),
+                               dtype=dtype, views_input=views_input)
+    if views_input:
+        flat = planar
+        in_spec = pl.BlockSpec((2, 64, 16, bw), lambda pg: (0, 0, pg, 0))
+    else:
+        # pure reshape (no data movement): one (64, 16, 2*BW) block/panel
+        flat = planar.reshape(64, s, 2 * bw)
+        in_spec = pl.BlockSpec((64, 16, 2 * bw), lambda pg: (0, pg, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_pg,),
-        in_specs=[pl.BlockSpec((64, 16, 2 * bw), lambda pg: (0, pg, 0))] + [
+        in_specs=[in_spec] + [
             pl.BlockSpec((128, 128), lambda pg: (0, 0))] * 3,
         out_specs=pl.BlockSpec((2, PANEL, w), lambda pg: (0, pg, 0)),
         scratch_shapes=[pltpu.VMEM((128, 1024), jnp.uint8),
@@ -1051,53 +1072,77 @@ def _stereo_groups(num_chunks: int):
 
 
 def _enc_stereo_kernel(xl_ref, xr_ref, b_ref, a_ref, q_ref,
-                       ol_ref, or_ref, *, rounding: str, groups, dtype):
+                       out_ref, *, rounding: str, groups, dtype,
+                       halves: int = 1):
+    # Up to two 128-row panels per grid step: each plane's strip piece is
+    # 16 sublanes, below the (32, 128) u8 min store tile — pairing the
+    # two halves' pieces makes every store 32-sublane aligned (the same
+    # trick as the enc32/pair kernels' halves=2).
     bmat = b_ref[...]
     amat = a_ref[...]
     q_big = q_ref[...]
 
-    def compute_tile(x_ref, c):
-        x = (x_ref[0, :, pl.ds(c * CHUNK, CHUNK)].astype(jnp.int32)
+    def compute_tile(x_ref, h, c):
+        x = (x_ref[0, pl.ds(h * PANEL, PANEL), pl.ds(c * CHUNK, CHUNK)]
+             .astype(jnp.int32)
              .astype(jnp.float32) * jnp.float32(1.0 / 255.0)).astype(dtype)
         y = jnp.dot(x, amat, preferred_element_type=jnp.float32) \
             .astype(dtype)
         z = jnp.dot(bmat, y, preferred_element_type=jnp.float32)
         return _quantize_tile(z * q_big, rounding)
 
-    for x_ref, out_ref in ((xl_ref, ol_ref), (xr_ref, or_ref)):
+    for view, x_ref in ((0, xl_ref), (1, xr_ref)):
         for base, size in groups:
-            tiles = [compute_tile(x_ref, base + i) for i in range(size)]
+            tiles = [[compute_tile(x_ref, h, base + i)
+                      for i in range(size)] for h in range(halves)]
             for u in range(8):
                 for v in range(8):
-                    piece = jnp.concatenate(
+                    pieces = [jnp.concatenate(
                         [t[u * 16:(u + 1) * 16, v * 16: v * 16 + 16]
-                         for t in tiles], axis=1)      # (16, 16*size)
-                    out_ref[u * 8 + v, :, pl.ds(base * 16, 16 * size)] = \
-                        piece
+                         for t in row], axis=1)       # (16, 16*size)
+                        for row in tiles]
+                    piece = (pieces[0] if halves == 1
+                             else jnp.concatenate(pieces, axis=0))
+                    out_ref[view, u * 8 + v, :,
+                            pl.ds(base * 16, 16 * size)] = piece
 
 
 @functools.partial(jax.jit, static_argnames=("rounding", "interpret",
-                                             "precision"))
+                                             "precision", "view_layout",
+                                             "halves"))
 def _enc_stereo_panels(img: jax.Array, scales: jax.Array, *, rounding: str,
                        interpret: bool = False,
-                       precision: str = "bf16") -> jax.Array:
-    """(H, W) u8 dual-view image -> (64, S, 2, BW) u8 planar tensor
-    (flattens row-major to the reference's planar byte stream).
+                       precision: str = "bf16",
+                       view_layout: str = "interleaved",
+                       halves: int | None = None) -> jax.Array:
+    """(H, W) u8 dual-view image -> planar coefficient tensor.
 
-    The kernel writes per-view 3-D (64, 16, BW) blocks whose leading
-    index is the PLANE — the plane/panel-major reorder the previous
-    2-D outputs left to an XLA transpose happens for free in the
-    BlockSpec, with every store 128-aligned.  The only epilogue left is
-    the view interleave (one jnp.stack moving contiguous BW-byte runs).
-    Writing the (64, S, 2*BW) stream directly from the kernel was
-    measured SLOWER (view 1's BW lane offset is not 128-aligned; the
-    masked stores cost ~2x the whole stack).  NB a fused-sum checksum
-    lets XLA delete the epilogue entirely — honest walls must
-    materialize the planar tensor (two-dispatch)."""
+    ``view_layout='interleaved'`` (reference parity): (64, S, 2, BW),
+    flattening row-major to the reference's planar byte stream
+    (src/simd_dct.cpp:896-1103: per plane, per strip, BW left-view then
+    BW right-view bytes).  ``view_layout='planar'`` (fast path): the raw
+    (2, 64, S, BW) kernel output — views stored separately, NO epilogue.
+
+    The kernel writes one (2, 64, 16, BW) block per panel whose leading
+    indices are VIEW and PLANE — the plane/panel-major reorder happens
+    for free in the BlockSpec, with every store 128-aligned.  The only
+    epilogue left on the interleaved layout is the view interleave (one
+    XLA transpose moving contiguous BW-byte runs, ~40% of the mode's
+    wall).  Writing the (64, S, 2*BW) stream directly from the kernel
+    was measured SLOWER (view 1's BW lane offset is not 128-aligned; the
+    masked stores cost ~2x the whole stack; experiments/
+    stereo_interleave_store.py).  NB a fused-sum checksum lets XLA
+    delete the interleave epilogue — honest walls for the interleaved
+    layout must materialize it (two-dispatch)."""
     h, w = img.shape
     h2 = h // 2
     assert h2 % 8 == 0 and w % CHUNK == 0
-    n_pg = -(-h2 // PANEL)
+    if halves is None:
+        halves = 2 if h2 > PANEL else 1
+    # halves=4 measured OOM against the 16 MB scoped-VMEM limit at 4K
+    # (double-buffered 2x(512,W) inputs + (2,64,64,BW) output = 17.6 MB)
+    assert halves in (1, 2), "stereo kernel supports halves in (1, 2)"
+    n_pg = -(-h2 // (PANEL * halves))
     bw = w // 8
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     # (2, H2, W) view tensor (pure reshape) so the right view starts on
@@ -1106,31 +1151,34 @@ def _enc_stereo_panels(img: jax.Array, scales: jax.Array, *, rounding: str,
     views = img.reshape(2, h2, w)
     kernel = functools.partial(_enc_stereo_kernel, rounding=rounding,
                                groups=_stereo_groups(w // CHUNK),
-                               dtype=dtype)
+                               dtype=dtype, halves=halves)
     grid_spec = pl.GridSpec(
         grid=(n_pg,),
         in_specs=[
-            pl.BlockSpec((1, PANEL, w), lambda pg: (0, pg, 0),
+            pl.BlockSpec((1, PANEL * halves, w), lambda pg: (0, pg, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PANEL, w), lambda pg: (1, pg, 0),
+            pl.BlockSpec((1, PANEL * halves, w), lambda pg: (1, pg, 0),
                          memory_space=pltpu.VMEM)] + [
             pl.BlockSpec((128, 128), lambda pg: (0, 0),
                          memory_space=pltpu.VMEM)] * 3,
-        out_specs=[pl.BlockSpec((64, 16, bw), lambda pg: (0, pg, 0),
-                                memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec((2, 64, 16 * halves, bw),
+                               lambda pg: (0, 0, pg, 0),
+                               memory_space=pltpu.VMEM),
     )
-    out_l, out_r = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((64, h2 // 8, bw), jnp.uint8)] * 2,
+        out_shape=jax.ShapeDtypeStruct((2, 64, h2 // 8, bw), jnp.uint8),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * 128 * 128 * w * 2 * n_pg,
+            flops=2 * 2 * 128 * 128 * w * 2 * halves * n_pg,
             bytes_accessed=2 * h * w, transcendentals=0),
         interpret=interpret,
     )(views, views, jnp.asarray(_row_basis_np()).astype(dtype),
       jnp.asarray(_stereo_col_basis_np()).astype(dtype),
       _stereo_q_tile(scales))
-    return jnp.stack([out_l, out_r], axis=2)
+    if view_layout == "planar":
+        return out
+    return out.transpose(1, 2, 0, 3)
 
 
 # -- hybrid modes: pallas tile compute + XLA byte-record permute -----------
@@ -1187,16 +1235,31 @@ def decode_quantize(data, lut, size_x, size_y, layout="scalar",
 
 def encode_quantize_stereo(img, lut, start_y=0, end_y=1 << 30,
                            rounding="rne", interpret=False,
-                           precision="bf16"):
+                           precision="bf16", view_layout="interleaved"):
     """Fast path for the stereo coefficient-planar mode: fully fused
-    in-kernel (src/simd_dct.cpp:896-1103 semantics)."""
+    in-kernel (src/simd_dct.cpp:896-1103 semantics).
+
+    ``view_layout='planar'`` returns the (2, 64, S, BW) separate-views
+    tensor — the kernel's native output, NO interleave epilogue (the
+    reference byte stream is recoverable via
+    ``layout.reorder.stereo_views_to_interleaved``)."""
     h, w = img.shape
     h2, bw = h // 2, w // 8
     wp = _ceil_to(w, CHUNK)
     if wp != w:   # W padding pads both stacked views row-wise at once
         img = jnp.pad(img, ((0, 0), (0, wp - w)))
     planar = _enc_stereo_panels(img, quant_scales(lut), rounding=rounding,
-                                interpret=interpret, precision=precision)
+                                interpret=interpret, precision=precision,
+                                view_layout=view_layout)
+    if view_layout == "planar":
+        if wp != w:
+            planar = planar[..., :bw]
+        if not (start_y == 0 and end_y >= h):
+            s = np.arange(h // 16)
+            mask = (s * 16 >= start_y) & (s * 16 <= end_y)
+            planar = jnp.where(jnp.asarray(mask)[None, None, :, None],
+                               planar, jnp.uint8(0))
+        return planar
     if wp != w:
         planar = planar[:, :, :, :bw]
     flat = planar.reshape(-1)
@@ -1209,15 +1272,21 @@ def encode_quantize_stereo(img, lut, start_y=0, end_y=1 << 30,
 
 
 def decode_quantize_stereo(data, lut, size_x, size_y, interpret=False,
-                           precision="bf16"):
+                           precision="bf16", view_layout="interleaved"):
     """Fast path for the stereo inverse: fully in-kernel (the exact
-    inverse of the fused plane-patch encode)."""
+    inverse of the fused plane-patch encode).  ``view_layout='planar'``
+    consumes the (2, 64, S, BW) separate-views tensor with every plane-
+    patch load 128-aligned."""
     h2 = size_y // 2
-    planar = jnp.asarray(data).reshape(64, h2 // 8, 2, size_x // 8)
+    if view_layout == "planar":
+        planar = jnp.asarray(data).reshape(2, 64, h2 // 8, size_x // 8)
+        pad_axes = ((0, 0), (0, 0), (0, 0))
+    else:
+        planar = jnp.asarray(data).reshape(64, h2 // 8, 2, size_x // 8)
+        pad_axes = ((0, 0), (0, 0), (0, 0))
     wp = _ceil_to(size_x, CHUNK)
     if wp != size_x:
-        planar = jnp.pad(planar, ((0, 0), (0, 0), (0, 0),
-                                  (0, (wp - size_x) // 8)))
+        planar = jnp.pad(planar, pad_axes + ((0, (wp - size_x) // 8),))
     out = _dec_stereo_panels(planar, dequant_scales(lut),
                              interpret=interpret, precision=precision)
     if wp != size_x:

@@ -168,3 +168,18 @@ def planar_stereo(bufs: jnp.ndarray) -> jnp.ndarray:
 def planar_stereo_inverse(flat: jnp.ndarray, s: int, bw: int) -> jnp.ndarray:
     planes = flat.reshape(64, s, 2, bw)
     return jnp.transpose(planes, (2, 1, 3, 0))  # (view, S, BW, 64)
+
+
+def stereo_views_to_interleaved(views: jnp.ndarray) -> jnp.ndarray:
+    """(2, 64, S, BW) separate-views tensor (the fused stereo kernel's
+    native ``view_layout='planar'`` output) -> the reference's flat
+    interleaved byte stream (per plane, per strip, BW left then BW right
+    bytes, src/simd_dct.cpp:258-264).  This transpose IS the epilogue the
+    fast path skips — call it only at compat boundaries."""
+    return jnp.transpose(views, (1, 2, 0, 3)).reshape(-1)
+
+
+def stereo_interleaved_to_views(flat: jnp.ndarray, s: int,
+                                bw: int) -> jnp.ndarray:
+    """Reference interleaved stereo stream -> (2, 64, S, BW) tensor."""
+    return jnp.transpose(flat.reshape(64, s, 2, bw), (2, 0, 1, 3))
