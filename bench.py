@@ -354,6 +354,13 @@ def main():
             "pack_mbps": round(rec.size / tp / 1e6),
             "unpack_mbps": round(rec.size / tu / 1e6),
             "ratio": round(rec.size / blob.size, 2),
+            # the honest end-to-end cap of the COMPRESSED pipeline: the
+            # device encodes a 4K view in ~25-35 us but the host pack of
+            # its 7.86 MB of records bounds sustained throughput (the
+            # streaming wrapper hides the device side, not the host
+            # side).  Stated here and in README/STATUS so the ~1000x
+            # device-vs-host gap can't masquerade as device throughput.
+            "pack_bound_fps_4k_view": round(rec.size / tp / (H2 * W)),
         }
     except Exception:
         pass
