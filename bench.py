@@ -203,8 +203,8 @@ def main():
             for _, f, bs in walls:      # compile everything first
                 for _, xb in bs:
                     float(f(xb))
-            enc_tries, copy_tries, ratios = [], [], []
-            for _ in range(5):
+            cycles = {"enc": [], "cp8": [], "cp32": []}
+            for _ in range(6):
                 best = {}
                 for _ in range(10):
                     for name, f, bs in walls:
@@ -214,23 +214,30 @@ def main():
                             dt = time.perf_counter() - t0
                             key = (name, bsz)
                             best[key] = min(best.get(key, 1e9), dt)
-                def slope(name, bs):
+                for name, _, bs in walls:
                     (b0, _), (b1, _) = bs
-                    return (best[(name, b1)] - best[(name, b0)]) / (b1 - b0)
-                e = slope("enc", bs_enc)
-                cs = [v for v in (slope("cp8", bs_enc),
-                                  slope("cp32", bs_copy32)) if v > 0]
-                if cs:
-                    copy_tries.append(min(cs))
-                if e > 0:
-                    enc_tries.append(e)
-                if cs and e > 0:
-                    ratios.append(min(cs) / e)
+                    cycles[name].append(
+                        (best[(name, b1)] - best[(name, b0)]) / (b1 - b0))
             del bs_copy32
-            if not enc_tries or not copy_tries:
+            enc_tries = [v for v in cycles["enc"] if v > 0]
+            if not enc_tries:
                 raise RuntimeError("no positive slope measurement")
-            copy_s = statistics.median(copy_tries)
+            # Pick the genuinely-faster copy probe by its MEDIAN across
+            # cycles, then ratio each cycle against that one probe — a
+            # per-cycle min over two noisy probes systematically biases
+            # the fraction down (it picks whichever probe got lucky).
+            probe_med = {}
+            for p in ("cp8", "cp32"):
+                vals = [v for v in cycles[p] if v > 0]
+                if vals:
+                    probe_med[p] = statistics.median(vals)
+            if not probe_med:
+                raise RuntimeError("no positive copy measurement")
+            fastest = min(probe_med, key=probe_med.get)
+            copy_s = probe_med[fastest]
             enc_s = statistics.median(enc_tries)
+            ratios = [c / e for c, e in zip(cycles[fastest], cycles["enc"])
+                      if c > 0 and e > 0]
             paired_fraction = statistics.median(ratios) if ratios else None
             tier = "pallas_bf16"
         except Exception:

@@ -814,65 +814,80 @@ def _encq_pair_panels(view: jax.Array, scales: jax.Array, *, rounding: str,
 
 def _decq_pair_kernel(rec_ref, b_ref, a_ref, qi_ref, pi_ref, out_ref,
                       s128_ref, u8t_ref, pi_scr, *, groups, scalar_pi: bool,
-                      dtype):
+                      dtype, halves: int = 1):
     """Assembly is done with VMEM scratch STORES, not jnp.concatenate
     trees: Mosaic lowers nested concats as repeated whole-tile copies
-    (~7x slower than the equivalent sliced stores, measured)."""
+    (~7x slower than the equivalent sliced stores, measured).
+
+    Up to two strip-panels per grid step (halves=2): a lone (16, 8W)
+    record block sits below the (32, 128) u8 min tile, so its HBM->VMEM
+    DMA pads every 16-sublane tile — pairing two strips makes the input
+    block 32-sublane aligned (the same trick as the encode kernels)."""
     bmat = b_ref[...]
     amat = a_ref[...]
     qi_big = qi_ref[...]
     pi_t = pi_ref[...] if scalar_pi else None
 
-    for base, _ in groups:
-        for cp in range(4):
-            if scalar_pi:
-                # scalar records -> pair cell order (inverse Π = Πᵀ),
-                # batched: one full (128,128) MXU tile per column-panel
-                # instead of 16 quarter-height matmuls per group
-                for cl in range(4):
-                    c = base + cl
-                    pi_scr[pl.ds(cl * 32, 16), :] = \
-                        rec_ref[:, pl.ds(c * 1024 + (2 * cp) * 128, 128)]
-                    pi_scr[pl.ds(cl * 32 + 16, 16), :] = \
-                        rec_ref[:, pl.ds(c * 1024 + (2 * cp + 1) * 128, 128)]
-                stacked = pi_scr[...].astype(jnp.int32).astype(jnp.bfloat16)
-                perm = jax.lax.dot_general(
-                    stacked, pi_t, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) \
-                    .astype(jnp.int32).astype(jnp.uint8)
-                cells = [(perm[cl * 32: cl * 32 + 16, :],
-                          perm[cl * 32 + 16: cl * 32 + 32, :])
-                         for cl in range(4)]
-            else:
-                cells = [
-                    (rec_ref[:, pl.ds((base + cl) * 1024 + (2 * cp) * 128,
-                                      128)],
-                     rec_ref[:, pl.ds((base + cl) * 1024 + (2 * cp + 1) * 128,
-                                      128)])
-                    for cl in range(4)]
-            for cl, (p0, p1) in enumerate(cells):
-                # band rows (c, half): [p0 half | p1 half]
-                k = 2 * cl
-                s128_ref[pl.ds(k * 16, 16), pl.ds(0, 64)] = p0[:, :64]
-                s128_ref[pl.ds(k * 16, 16), pl.ds(64, 64)] = p1[:, :64]
-                s128_ref[pl.ds((k + 1) * 16, 16), pl.ds(0, 64)] = p0[:, 64:]
-                s128_ref[pl.ds((k + 1) * 16, 16), pl.ds(64, 64)] = p1[:, 64:]
-            u8t_ref[pl.ds(cp * 128, 128), :] = s128_ref[...].T
-        t = pltpu.bitcast(u8t_ref[...], jnp.int32)       # (128, 128) words
-        pp = t.T                                         # i32 transpose
-        for cl in range(4):
-            c = base + cl
-            zq = pltpu.bitcast(pp[cl * 32:(cl + 1) * 32, :], jnp.uint8)
-            z = ((zq.astype(jnp.int32).astype(jnp.float32) - 127.0)
-                 * qi_big).astype(dtype)
-            y = jax.lax.dot_general(z, amat, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32) \
-                .astype(dtype)
-            x = jax.lax.dot_general(bmat, y, (((0,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            px = jnp.clip(jnp.rint(x * jnp.float32(255.0)), 0.0, 255.0)
-            out_ref[:, pl.ds(c * CHUNK, CHUNK)] = \
-                px.astype(jnp.int32).astype(jnp.uint8)
+    for h in range(halves):
+        rrow = pl.ds(h * 16, 16)
+        for base, _ in groups:
+            for cp in range(4):
+                if scalar_pi:
+                    # scalar records -> pair cell order (inverse Π = Πᵀ),
+                    # batched: one full (128,128) MXU tile per column-panel
+                    # instead of 16 quarter-height matmuls per group
+                    for cl in range(4):
+                        c = base + cl
+                        pi_scr[pl.ds(cl * 32, 16), :] = \
+                            rec_ref[rrow,
+                                    pl.ds(c * 1024 + (2 * cp) * 128, 128)]
+                        pi_scr[pl.ds(cl * 32 + 16, 16), :] = \
+                            rec_ref[rrow,
+                                    pl.ds(c * 1024 + (2 * cp + 1) * 128,
+                                          128)]
+                    stacked = pi_scr[...].astype(jnp.int32) \
+                        .astype(jnp.bfloat16)
+                    perm = jax.lax.dot_general(
+                        stacked, pi_t, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) \
+                        .astype(jnp.int32).astype(jnp.uint8)
+                    cells = [(perm[cl * 32: cl * 32 + 16, :],
+                              perm[cl * 32 + 16: cl * 32 + 32, :])
+                             for cl in range(4)]
+                else:
+                    cells = [
+                        (rec_ref[rrow,
+                                 pl.ds((base + cl) * 1024 + (2 * cp) * 128,
+                                       128)],
+                         rec_ref[rrow,
+                                 pl.ds((base + cl) * 1024
+                                       + (2 * cp + 1) * 128, 128)])
+                        for cl in range(4)]
+                for cl, (p0, p1) in enumerate(cells):
+                    # band rows (c, half): [p0 half | p1 half]
+                    k = 2 * cl
+                    s128_ref[pl.ds(k * 16, 16), pl.ds(0, 64)] = p0[:, :64]
+                    s128_ref[pl.ds(k * 16, 16), pl.ds(64, 64)] = p1[:, :64]
+                    s128_ref[pl.ds((k + 1) * 16, 16), pl.ds(0, 64)] = \
+                        p0[:, 64:]
+                    s128_ref[pl.ds((k + 1) * 16, 16), pl.ds(64, 64)] = \
+                        p1[:, 64:]
+                u8t_ref[pl.ds(cp * 128, 128), :] = s128_ref[...].T
+            t = pltpu.bitcast(u8t_ref[...], jnp.int32)   # (128, 128) words
+            pp = t.T                                     # i32 transpose
+            for cl in range(4):
+                c = base + cl
+                zq = pltpu.bitcast(pp[cl * 32:(cl + 1) * 32, :], jnp.uint8)
+                z = ((zq.astype(jnp.int32).astype(jnp.float32) - 127.0)
+                     * qi_big).astype(dtype)
+                y = jax.lax.dot_general(z, amat, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32) \
+                    .astype(dtype)
+                x = jax.lax.dot_general(bmat, y, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                px = jnp.clip(jnp.rint(x * jnp.float32(255.0)), 0.0, 255.0)
+                out_ref[pl.ds(h * PANEL, PANEL), pl.ds(c * CHUNK, CHUNK)] = \
+                    px.astype(jnp.int32).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("scalar_pi", "interpret",
@@ -890,16 +905,18 @@ def _decq_pair_panels(records: jax.Array, inv_scales: jax.Array, *,
     h2 = s * 8
     assert w % CHUNK == 0 and w >= 4 * CHUNK
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    halves = 2 if h2 > PANEL else 1
     kernel = functools.partial(_decq_pair_kernel,
                                groups=_pair_groups(w // CHUNK),
-                               scalar_pi=scalar_pi, dtype=dtype)
+                               scalar_pi=scalar_pi, dtype=dtype,
+                               halves=halves)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(-(-h2 // PANEL),),
+        grid=(-(-h2 // (PANEL * halves)),),
         in_specs=[
-            pl.BlockSpec((16, 8 * w), lambda p: (p, 0))] + [
+            pl.BlockSpec((16 * halves, 8 * w), lambda p: (p, 0))] + [
             pl.BlockSpec((128, 128), lambda p: (0, 0))] * 4,
-        out_specs=pl.BlockSpec((PANEL, w), lambda p: (p, 0)),
+        out_specs=pl.BlockSpec((PANEL * halves, w), lambda p: (p, 0)),
         scratch_shapes=[pltpu.VMEM((128, 128), jnp.uint8),
                         pltpu.VMEM((512, 128), jnp.uint8),
                         pltpu.VMEM((128, 128), jnp.uint8)],
