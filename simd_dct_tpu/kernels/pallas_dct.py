@@ -939,7 +939,7 @@ def _decq_pair_panels(records: jax.Array, inv_scales: jax.Array, *,
 
 def _dec_stereo_kernel(in_ref, b_ref, a_ref, qi_ref, out_ref,
                        a_scr, b_scr, *, groups, dtype,
-                       views_input: bool = False):
+                       views_input: bool = False, halves: int = 1):
     """Z-tile reassembly straight from the planar byte stream — NO XLA
     prologue transpose (the previous version's (p,m)-interleave prologue
     alone cost ~100 us / 4K frame, ~40% of the total).  The planar
@@ -958,40 +958,48 @@ def _dec_stereo_kernel(in_ref, b_ref, a_ref, qi_ref, out_ref,
     bmat = b_ref[...]
     amat = a_ref[...]
     qi_big = qi_ref[...]
-    half = in_ref.shape[-1] if views_input else in_ref.shape[2] // 2
+    half = in_ref.shape[-1] if views_input else in_ref.shape[-1] // 2
 
-    for view in range(2):
-        for base, size in groups:
-            w16 = 16 * size
-            for u in range(8):
+    for h in range(halves):
+        for view in range(2):
+            for base, size in groups:
+                w16 = 16 * size
+                for u in range(8):
+                    for v in range(8):
+                        if views_input:
+                            # separate-views block: every load starts at
+                            # a 128-aligned lane offset
+                            src = in_ref[view, u * 8 + v,
+                                         pl.ds(h * 16, 16),
+                                         pl.ds(base * 16, w16)]
+                        else:
+                            src = in_ref[u * 8 + v, pl.ds(h * 16, 16),
+                                         pl.ds(view * half + base * 16,
+                                               w16)]
+                        a_scr[pl.ds(u * 16, 16), pl.ds(v * 128, w16)] = src
                 for v in range(8):
-                    if views_input:
-                        # (2, 64, 16, BW) separate-views block: every
-                        # load starts at a 128-aligned lane offset
-                        src = in_ref[view, u * 8 + v, :,
-                                     pl.ds(base * 16, w16)]
-                    else:
-                        src = in_ref[u * 8 + v, :,
-                                     pl.ds(view * half + base * 16, w16)]
-                    a_scr[pl.ds(u * 16, 16), pl.ds(v * 128, w16)] = src
-            for v in range(8):
-                t = a_scr[:, pl.ds(v * 128, 128)].T   # rows (i,n), (u,m)
+                    t = a_scr[:, pl.ds(v * 128, 128)].T  # rows (i,n), (u,m)
+                    for i in range(size):
+                        b_scr[pl.ds(v * 16, 16), pl.ds(i * 128, 128)] = \
+                            t[i * 16:(i + 1) * 16, :]
                 for i in range(size):
-                    b_scr[pl.ds(v * 16, 16), pl.ds(i * 128, 128)] = \
-                        t[i * 16:(i + 1) * 16, :]
-            for i in range(size):
-                c = base + i
-                zq = b_scr[:, pl.ds(i * 128, 128)].T     # (u,m) x (v,n)
-                z = ((zq.astype(jnp.int32).astype(jnp.float32) - 127.0)
-                     * qi_big).astype(dtype)
-                y = jax.lax.dot_general(z, amat, (((1,), (1,)), ((), ())),
-                                        preferred_element_type=jnp.float32) \
-                    .astype(dtype)
-                x = jax.lax.dot_general(bmat, y, (((0,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-                px = jnp.clip(jnp.rint(x * jnp.float32(255.0)), 0.0, 255.0)
-                out_ref[view, :, pl.ds(c * CHUNK, CHUNK)] = \
-                    px.astype(jnp.int32).astype(jnp.uint8)
+                    c = base + i
+                    zq = b_scr[:, pl.ds(i * 128, 128)].T  # (u,m) x (v,n)
+                    z = ((zq.astype(jnp.int32).astype(jnp.float32) - 127.0)
+                         * qi_big).astype(dtype)
+                    y = jax.lax.dot_general(z, amat,
+                                            (((1,), (1,)), ((), ())),
+                                            preferred_element_type=jnp
+                                            .float32).astype(dtype)
+                    x = jax.lax.dot_general(bmat, y,
+                                            (((0,), (0,)), ((), ())),
+                                            preferred_element_type=jnp
+                                            .float32)
+                    px = jnp.clip(jnp.rint(x * jnp.float32(255.0)),
+                                  0.0, 255.0)
+                    out_ref[view, pl.ds(h * PANEL, PANEL),
+                            pl.ds(c * CHUNK, CHUNK)] = \
+                        px.astype(jnp.int32).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "precision"))
@@ -1011,24 +1019,29 @@ def _dec_stereo_panels(planar: jax.Array, inv_scales: jax.Array, *,
         _, s, _, bw = planar.shape
     h2, w = s * 8, bw * 8
     assert w % CHUNK == 0
-    n_pg = -(-h2 // PANEL)
+    halves = 2 if h2 > PANEL else 1
+    n_pg = -(-h2 // (PANEL * halves))
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     kernel = functools.partial(_dec_stereo_kernel,
                                groups=_stereo_groups(w // CHUNK),
-                               dtype=dtype, views_input=views_input)
+                               dtype=dtype, views_input=views_input,
+                               halves=halves)
     if views_input:
         flat = planar
-        in_spec = pl.BlockSpec((2, 64, 16, bw), lambda pg: (0, 0, pg, 0))
+        in_spec = pl.BlockSpec((2, 64, 16 * halves, bw),
+                               lambda pg: (0, 0, pg, 0))
     else:
-        # pure reshape (no data movement): one (64, 16, 2*BW) block/panel
+        # pure reshape (no data movement): one (64, 16h, 2*BW) block/panel
         flat = planar.reshape(64, s, 2 * bw)
-        in_spec = pl.BlockSpec((64, 16, 2 * bw), lambda pg: (0, pg, 0))
+        in_spec = pl.BlockSpec((64, 16 * halves, 2 * bw),
+                               lambda pg: (0, pg, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_pg,),
         in_specs=[in_spec] + [
             pl.BlockSpec((128, 128), lambda pg: (0, 0))] * 3,
-        out_specs=pl.BlockSpec((2, PANEL, w), lambda pg: (0, pg, 0)),
+        out_specs=pl.BlockSpec((2, PANEL * halves, w),
+                               lambda pg: (0, pg, 0)),
         scratch_shapes=[pltpu.VMEM((128, 1024), jnp.uint8),
                         pltpu.VMEM((128, 1024), jnp.uint8)],
     )
