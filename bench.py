@@ -314,13 +314,23 @@ def main():
                 # row inside the bench's soft deadline
                 ("enc32_ycbcr", ((3, H2, W), (4, 28)), (lambda: (
                     lambda xb: _c32sum(xb)))),
+                ("enc32_ycbcr420", ((3, H2, W), (4, 28)), (lambda: (
+                    lambda xb: _c420sum(xb)))),
             ]
             from simd_dct_tpu.kernels import color32 as C32
+            from simd_dct_tpu.kernels import color420 as C420
             from simd_dct_tpu.layout import BASE_CHROMA_QUANT_TABLE
             chroma = jnp.asarray(BASE_CHROMA_QUANT_TABLE * 100.0 * 255.0)
             _c32sum = jax.jit(lambda xs: jnp.sum(jax.vmap(
                 lambda p: C32._enc32_rgb_panels(p, lut, chroma))(xs)
                 .astype(jnp.int32)))
+
+            def _c420sum_impl(xs):
+                y_r, c_r = jax.vmap(
+                    lambda p: C420._enc420_panels(p, lut, chroma))(xs)
+                return (jnp.sum(y_r.astype(jnp.int32))
+                        + jnp.sum(c_r.astype(jnp.int32)))
+            _c420sum = jax.jit(_c420sum_impl)
             cur_shape, cur_bs = None, bs_enc
             for name, shape, mk in extras:
                 # soft deadline: the headline must reach the driver even
@@ -418,6 +428,9 @@ def main():
                 continue
             if "stereo" in k:
                 mode_bytes[k] = 2 * logical_bytes
+            elif "420" in k:
+                # 3 u8 in + 1.5 u8 out per pixel
+                mode_bytes[k] = (9 * logical_bytes) // 4
             elif "ycbcr" in k:
                 mode_bytes[k] = 3 * logical_bytes
             else:

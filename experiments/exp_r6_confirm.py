@@ -3,11 +3,14 @@ halves=2 vs halves=4, head-to-head with more cycles.
 
 Run: python experiments/exp_r6_confirm.py
 """
+import os
 import statistics
 import sys
 import time
 
-sys.path.insert(0, ".")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)
 
 import jax
 import jax.numpy as jnp

@@ -690,6 +690,104 @@ def roundtrip_quantize32_ycbcr(planes, luma_lut, chroma_lut, *,
 
 
 # ---------------------------------------------------------------------------
+# YCbCr 4:2:0 chroma-subsampled pipeline (north-star addition; halves
+# chroma HBM bytes and record-stream size — see kernels/color420)
+# ---------------------------------------------------------------------------
+
+def _validate_420(planes, luma_lut, chroma_lut):
+    p, lut_l, lut_c, h, w = _validate_color(planes, luma_lut, chroma_lut)
+    # the half-res chroma planes must themselves satisfy the mode32
+    # contract: W/2 % 64 and (H/2)/2 % 8
+    if w % 128:
+        raise NotSupportedError(
+            f"enc-quant32-ycbcr420 requires W % 128 == 0 "
+            f"(half-res chroma W/2 % 64), got {w}")
+    if h % 32:
+        raise NotSupportedError(
+            f"enc-quant32-ycbcr420 requires H % 32 == 0 "
+            f"(half-res chroma strips), got {h}")
+    return p, lut_l, lut_c, h, w
+
+
+def encode_quantize32_ycbcr420(planes, luma_lut, chroma_lut, *,
+                               rounding: str = "rne",
+                               backend: str | None = None,
+                               pallas_interpret: bool = False):
+    """(3, H, W) u8 planar RGB -> flat (1.5 * H/2 * W,) u8 4:2:0 record
+    stream ``[Y records | Cb records | Cr records]`` (TOP view,
+    dual-view convention).  Cb/Cr are 2x2-mean subsampled; on the
+    pallas tier the subsample is folded into the chroma DCT bases
+    (kernels/color420) so it costs no extra pass."""
+    _check_rounding(rounding)
+    p, lut_l, lut_c, h, w = _validate_420(planes, luma_lut, chroma_lut)
+    from .kernels import color420 as _c420
+    tier = select_backend(backend, pallas_interpret=pallas_interpret)
+    _reject_numpy_tier_ycbcr(tier)
+    top = p[..., : h // 2, :]
+    if tier == "pallas":
+        from .kernels import pallas_dct as _pl
+        if _pl.supports_mode("enc_quant32", h, w):
+            return _maybe_batch_color(top, lambda t: _c420.pack_records(
+                *_c420.enc420_rgb(t, jnp.asarray(lut_l),
+                                  jnp.asarray(lut_c), rounding=rounding,
+                                  interpret=pallas_interpret)))
+    return _maybe_batch_color(top, lambda t: _c420.pack_records(
+        *_c420.encode_ycbcr420_xla(t, jnp.asarray(lut_l),
+                                   jnp.asarray(lut_c), rounding=rounding)))
+
+
+def decode_quantize32_ycbcr420(data, luma_lut, chroma_lut,
+                               size_x: int, size_y: int, *,
+                               backend: str | None = None,
+                               pallas_interpret: bool = False):
+    """Flat (1.5 * H/2 * W,) u8 4:2:0 record stream -> (3, H/2, W) u8
+    planar RGB (chroma upsampled by 2x2 replication)."""
+    d = jnp.asarray(data)
+    if d.dtype != jnp.uint8:
+        raise InvalidParameterError(
+            f"record streams must be uint8, got {d.dtype}")
+    if size_x <= 0 or size_y <= 0:
+        raise InvalidParameterError(
+            f"invalid dimensions {(size_x, size_y)}")
+    if size_y % 32:
+        raise NotSupportedError(
+            f"ycbcr420 requires H % 32 == 0, got H={size_y}")
+    if size_x % 128:
+        raise NotSupportedError(
+            f"ycbcr420 requires W % 128 == 0, got {size_x}")
+    h2 = size_y // 2
+    expect = (3 * h2 * size_x) // 2
+    if d.size == 0 or d.size % expect:
+        raise InvalidParameterError(
+            f"expected a multiple of {expect} record bytes for "
+            f"{(size_x, size_y)}, got {d.size}")
+    batch = d.size // expect
+    lut_l = np.asarray(luma_lut, np.float32).reshape(-1)
+    lut_c = np.asarray(chroma_lut, np.float32).reshape(-1)
+    if lut_l.size != 64 or lut_c.size != 64:
+        raise InvalidParameterError("luts must have 64 entries")
+    from .kernels import color420 as _c420
+    tier = select_backend(backend, pallas_interpret=pallas_interpret)
+    _reject_numpy_tier_ycbcr(tier)
+    use_pallas = False
+    if tier == "pallas":
+        from .kernels import pallas_dct as _pl
+        use_pallas = _pl.supports_mode("dec_quant32", size_y, size_x)
+
+    def _one(flat):
+        y_rec, c_rec = _c420.unpack_records(flat.reshape(-1), size_x, h2)
+        if use_pallas:
+            return _c420.dec420_rgb(y_rec, c_rec, jnp.asarray(lut_l),
+                                    jnp.asarray(lut_c),
+                                    interpret=pallas_interpret)
+        return _c420.decode_ycbcr420_xla(y_rec, c_rec, jnp.asarray(lut_l),
+                                         jnp.asarray(lut_c))
+    if batch > 1:
+        return jax.vmap(_one)(d.reshape(batch, expect))
+    return _one(d)
+
+
+# ---------------------------------------------------------------------------
 # C-enum-style wrappers
 # ---------------------------------------------------------------------------
 #

@@ -41,7 +41,7 @@ MAX_SIMD_TO_TIER = {
 }
 
 MODES = ("enc-quant", "enc-quant32", "enc-quant-stereo",
-         "enc-quant32-ycbcr")
+         "enc-quant32-ycbcr", "enc-quant32-ycbcr420")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -325,6 +325,29 @@ def main(argv=None) -> int:
                 enc_base=planesj,
                 nbytes=3 * img.size)   # 3 planes per frame
 
+    if "enc-quant32-ycbcr420" in modes:
+        if w % 128 or h % 32:
+            print(f"{'enc-quant32-ycbcr420':<28} | not supported "
+                  "(needs W % 128 == 0 and H % 32 == 0)")
+        elif mesh is not None:
+            print(f"{'enc-quant32-ycbcr420':<28} | no sharded path; skipped")
+        else:
+            from simd_dct_tpu.layout import BASE_CHROMA_QUANT_TABLE
+            q = 1.0 if args.quality is None else args.quality
+            chroma = BASE_CHROMA_QUANT_TABLE * q * 255.0
+            planesj = jax.numpy.asarray(np.ascontiguousarray(rgb_planes))
+            run_mode(
+                "enc-quant32-ycbcr420",
+                lambda: sd.api.encode_quantize32_ycbcr420(
+                    planesj, lut * 255.0, chroma),
+                lambda d: sd.api.decode_quantize32_ycbcr420(
+                    d, lut * 255.0, chroma, w, h),
+                np.asarray(rgb_planes)[:, : h // 2],
+                enc_one=lambda pl3: sd.api.encode_quantize32_ycbcr420(
+                    pl3, lut * 255.0, chroma),
+                enc_base=planesj,
+                nbytes=3 * img.size)   # 3 planes in; 1.5 B/px records out
+
     if args.out_file and last_output is not None:
         if args.out_file.endswith(".sdt") and last_mode is not None:
             # self-describing container for the LAST mode that actually
@@ -332,7 +355,7 @@ def main(argv=None) -> int:
             # requested-but-unsupported/skipped modes must not be picked)
             from simd_dct_tpu import container as C
             last = last_mode
-            src = rgb_planes if last == "enc-quant32-ycbcr" else img
+            src = rgb_planes if last.startswith("enc-quant32-ycbcr") else img
             C.encode(np.ascontiguousarray(src), last,
                      quality=args.quality, compress=args.compress,
                      rle=args.rle, start_y=args.start_y,

@@ -147,6 +147,21 @@ class Encoder:
             planes, self._lut * np.float32(255.0),
             self.chroma_lut() * np.float32(255.0), **self._kw())
 
+    def encode_quantize32_ycbcr420(self, planes):
+        from . import api
+        c = self.config
+        return api.encode_quantize32_ycbcr420(
+            planes, self._lut * np.float32(255.0),
+            self.chroma_lut() * np.float32(255.0),
+            rounding=c.rounding, **self._kw())
+
+    def decode_quantize32_ycbcr420(self, data, size_x: int, size_y: int):
+        from . import api
+        return api.decode_quantize32_ycbcr420(
+            data, self._lut * np.float32(255.0),
+            self.chroma_lut() * np.float32(255.0), size_x, size_y,
+            **self._kw())
+
     # -- entropy-coded bitstream (north-star extension) -----------------
 
     def encode_quantize32_compressed(self, image,

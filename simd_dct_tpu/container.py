@@ -39,7 +39,7 @@ MAGIC = b"SDTC"
 VERSION = 1
 
 MODES = ("enc-quant", "enc-quant-pair", "enc-quant32", "enc-quant-stereo",
-         "enc-quant32-ycbcr")
+         "enc-quant32-ycbcr", "enc-quant32-ycbcr420")
 _ROUNDINGS = ("rne", "scalar", "clamp_first")
 
 _FLAG_PACKED = 1
@@ -181,19 +181,20 @@ def _encode_records(image, mode: str, quality, rounding: str, backend,
     if view_layout != "interleaved":
         raise ContainerError(
             "view_layout only applies to enc-quant-stereo")
-    if mode == "enc-quant32-ycbcr":
+    if mode in ("enc-quant32-ycbcr", "enc-quant32-ycbcr420"):
         if start_y != 0 or (end_y is not None
                             and end_y < np.asarray(image).shape[-2]):
             # the color pipeline has no strip-range form; a header
             # recording an unapplied range would lie to consumers
             raise ContainerError(
-                "enc-quant32-ycbcr does not support a start_y/end_y range")
+                f"{mode} does not support a start_y/end_y range")
         luma = lut * np.float32(255.0)
         q = 1.0 if quality is None else quality
         chroma = (BASE_CHROMA_QUANT_TABLE * q * 255.0).astype(np.float32)
-        return api.encode_quantize32_ycbcr(image, luma, chroma,
-                                           rounding=rounding,
-                                           backend=backend), luma, chroma
+        fn = (api.encode_quantize32_ycbcr420 if mode.endswith("420")
+              else api.encode_quantize32_ycbcr)
+        return fn(image, luma, chroma, rounding=rounding,
+                  backend=backend), luma, chroma
     raise ContainerError(f"mode must be one of {MODES}")
 
 
@@ -276,7 +277,7 @@ def encode_video(frames, mode: str = "enc-quant32", *,
     from . import entropy
 
     arr = np.asarray(frames)
-    is_color = mode == "enc-quant32-ycbcr"
+    is_color = mode in ("enc-quant32-ycbcr", "enc-quant32-ycbcr420")
     want = 4 if is_color else 3
     if arr.ndim != want:
         raise ContainerError(
@@ -393,6 +394,10 @@ def _decode_records(rec, m, backend, compat):
                 view_layout="planar", **kw)
         return api.decode_quantize_stereo(rec, m.luma_lut, m.size_x,
                                           m.size_y, **kw)
+    if m.mode == "enc-quant32-ycbcr420":
+        return api.decode_quantize32_ycbcr420(rec, m.luma_lut, m.chroma_lut,
+                                              m.size_x, m.size_y,
+                                              backend=backend)
     return api.decode_quantize32_ycbcr(rec, m.luma_lut, m.chroma_lut,
                                        m.size_x, m.size_y, backend=backend)
 

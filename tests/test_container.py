@@ -23,7 +23,7 @@ class TestRoundtrip:
         h, w = 64, 128
         src = _img(h, w)
         planes = np.stack([_img(h, w, s) for s in range(3)])
-        image = planes if mode == "enc-quant32-ycbcr" else src
+        image = planes if mode.startswith("enc-quant32-ycbcr") else src
         blob = C.encode(image, mode, quality=50.0, compress=compress)
         got = np.asarray(C.decode(blob))
 
@@ -43,9 +43,16 @@ class TestRoundtrip:
         else:
             from simd_dct_tpu.layout.color import BASE_CHROMA_QUANT_TABLE
             chroma = (BASE_CHROMA_QUANT_TABLE * 50.0 * 255.0)
-            rec = api.encode_quantize32_ycbcr(planes, lut * 255.0, chroma)
-            ref = api.decode_quantize32_ycbcr(rec, lut * 255.0, chroma,
-                                              w, h)
+            if mode.endswith("420"):
+                rec = api.encode_quantize32_ycbcr420(planes, lut * 255.0,
+                                                     chroma)
+                ref = api.decode_quantize32_ycbcr420(rec, lut * 255.0,
+                                                     chroma, w, h)
+            else:
+                rec = api.encode_quantize32_ycbcr(planes, lut * 255.0,
+                                                  chroma)
+                ref = api.decode_quantize32_ycbcr(rec, lut * 255.0, chroma,
+                                                  w, h)
         np.testing.assert_array_equal(got, np.asarray(ref))
 
     def test_rle_payload(self):
@@ -164,7 +171,7 @@ class TestVideo:
         decode — batching adds no semantics."""
         h, w = 64, 128
         b = 3
-        if mode == "enc-quant32-ycbcr":
+        if mode.startswith("enc-quant32-ycbcr"):
             frames = np.stack([np.stack([_img(h, w, 3 * i + c)
                                          for c in range(3)])
                                for i in range(b)])
