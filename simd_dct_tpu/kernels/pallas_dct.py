@@ -758,14 +758,17 @@ def _encq_pair_kernel(x_ref, b_ref, a_ref, q_ref, pi_ref, out_ref, *,
                     offs.append(c * 1024 + cell * 128)
             if scalar_pi:
                 # scalar layout: permute each cell's 128 lanes by the
-                # static pair->scalar map — one exact bf16 0/1 matmul on
-                # the stacked pieces (byte values <= 255 are exact bf16)
-                # (u8 -> i32 -> bf16: Mosaic has no direct u8->bf16 cast)
-                stacked = jnp.concatenate(pieces, axis=0) \
-                    .astype(jnp.int32).astype(jnp.bfloat16)
-                perm = jnp.dot(stacked, pi,
-                               preferred_element_type=jnp.float32) \
-                    .astype(jnp.int32).astype(jnp.uint8)
+                # static pair->scalar map — one exact s8 0/1 MXU matmul
+                # on the stacked pieces: each output byte is exactly one
+                # input byte mod 256, so bitcast u8->s8, accumulate s32,
+                # mask & 255 (no u8->i32->bf16 / f32->i32->u8 chains;
+                # measured 98.7 -> ~80 us/4K vs the bf16 form)
+                stacked = pltpu.bitcast(jnp.concatenate(pieces, axis=0),
+                                        jnp.int8)
+                perm = (jax.lax.dot_general(
+                    stacked, pi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                    & 255).astype(jnp.uint8)
                 rows = 16 * halves
                 pieces = [perm[i * rows:(i + 1) * rows, :]
                           for i in range(len(offs))]
@@ -814,7 +817,7 @@ def _encq_pair_panels(view: jax.Array, scales: jax.Array, *, rounding: str,
         interpret=interpret,
     )(view, jnp.asarray(_pair_row_basis_np()).astype(dtype),
       jnp.asarray(_pair_col_basis_np()).astype(dtype), _pair_q_tile(scales),
-      jnp.asarray(_scalar_from_pair_pi()).astype(jnp.bfloat16))
+      jnp.asarray(_scalar_from_pair_pi().astype(np.int8)))
 
 
 # -- fused enc-quant decode (inverse of the pair pipeline) -----------------
@@ -852,12 +855,13 @@ def _decq_pair_kernel(rec_ref, b_ref, a_ref, qi_ref, pi_ref, out_ref,
                             rec_ref[rrow,
                                     pl.ds(c * 1024 + (2 * cp + 1) * 128,
                                           128)]
-                    stacked = pi_scr[...].astype(jnp.int32) \
-                        .astype(jnp.bfloat16)
-                    perm = jax.lax.dot_general(
+                    # inverse permutation as an exact s8 MXU matmul
+                    # (see the encode kernel's scalar_pi note)
+                    stacked = pltpu.bitcast(pi_scr[...], jnp.int8)
+                    perm = (jax.lax.dot_general(
                         stacked, pi_t, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32) \
-                        .astype(jnp.int32).astype(jnp.uint8)
+                        preferred_element_type=jnp.int32)
+                        & 255).astype(jnp.uint8)
                     cells = [(perm[cl * 32: cl * 32 + 16, :],
                               perm[cl * 32 + 16: cl * 32 + 32, :])
                              for cl in range(4)]
@@ -939,7 +943,7 @@ def _decq_pair_panels(records: jax.Array, inv_scales: jax.Array, *,
     )(records, jnp.asarray(_pair_row_basis_np()).astype(dtype),
       jnp.asarray(_pair_col_basis_np()).astype(dtype),
       _pair_q_tile(inv_scales),
-      jnp.asarray(_scalar_from_pair_pi()).astype(jnp.bfloat16))
+      jnp.asarray(_scalar_from_pair_pi().astype(np.int8)))
 
 
 # -- fused stereo decode (inverse of the plane-patch encode) ---------------
