@@ -837,44 +837,42 @@ def _decq_pair_kernel(rec_ref, b_ref, a_ref, qi_ref, pi_ref, out_ref,
     amat = a_ref[...]
     qi_big = qi_ref[...]
     pi_t = pi_ref[...] if scalar_pi else None
+    rr = 16 * halves
 
-    for h in range(halves):
-        rrow = pl.ds(h * 16, 16)
-        for base, _ in groups:
-            for cp in range(4):
-                if scalar_pi:
-                    # scalar records -> pair cell order (inverse Π = Πᵀ),
-                    # batched: one full (128,128) MXU tile per column-panel
-                    # instead of 16 quarter-height matmuls per group
-                    for cl in range(4):
-                        c = base + cl
-                        pi_scr[pl.ds(cl * 32, 16), :] = \
-                            rec_ref[rrow,
-                                    pl.ds(c * 1024 + (2 * cp) * 128, 128)]
-                        pi_scr[pl.ds(cl * 32 + 16, 16), :] = \
-                            rec_ref[rrow,
-                                    pl.ds(c * 1024 + (2 * cp + 1) * 128,
-                                          128)]
-                    # inverse permutation as an exact s8 MXU matmul
-                    # (see the encode kernel's scalar_pi note)
-                    stacked = pltpu.bitcast(pi_scr[...], jnp.int8)
-                    perm = (jax.lax.dot_general(
-                        stacked, pi_t, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.int32)
-                        & 255).astype(jnp.uint8)
-                    cells = [(perm[cl * 32: cl * 32 + 16, :],
-                              perm[cl * 32 + 16: cl * 32 + 32, :])
-                             for cl in range(4)]
-                else:
-                    cells = [
-                        (rec_ref[rrow,
-                                 pl.ds((base + cl) * 1024 + (2 * cp) * 128,
-                                       128)],
-                         rec_ref[rrow,
-                                 pl.ds((base + cl) * 1024
-                                       + (2 * cp + 1) * 128, 128)])
-                        for cl in range(4)]
-                for cl, (p0, p1) in enumerate(cells):
+    for base, _ in groups:
+        for cp in range(4):
+            # one ALIGNED (16*halves, 128) read per cell chunk covers both
+            # strip panels at once (rows h*16..h*16+16 of the record block
+            # belong to panel h) — per-h 16-sublane reads pay sub-tile
+            # masking, the same ~2x tax as masked stores
+            raw = [(rec_ref[pl.ds(0, rr),
+                            pl.ds((base + cl) * 1024 + (2 * cp) * 128, 128)],
+                    rec_ref[pl.ds(0, rr),
+                            pl.ds((base + cl) * 1024 + (2 * cp + 1) * 128,
+                                  128)])
+                   for cl in range(4)]
+            if scalar_pi:
+                # scalar records -> pair cell order (inverse Π = Πᵀ) as an
+                # exact s8 MXU matmul (see the encode kernel's scalar_pi
+                # note), batched over all 4 chunks x both panels
+                for cl, (v0, v1) in enumerate(raw):
+                    pi_scr[pl.ds(cl * 2 * rr, rr), :] = v0
+                    pi_scr[pl.ds(cl * 2 * rr + rr, rr), :] = v1
+                stacked = pltpu.bitcast(pi_scr[...], jnp.int8)
+                perm = (jax.lax.dot_general(
+                    stacked, pi_t, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                    & 255).astype(jnp.uint8)
+            for h in range(halves):
+                for cl in range(4):
+                    if scalar_pi:
+                        p0 = perm[cl * 2 * rr + h * 16:
+                                  cl * 2 * rr + h * 16 + 16, :]
+                        p1 = perm[cl * 2 * rr + rr + h * 16:
+                                  cl * 2 * rr + rr + h * 16 + 16, :]
+                    else:
+                        p0 = raw[cl][0][h * 16: h * 16 + 16, :]
+                        p1 = raw[cl][1][h * 16: h * 16 + 16, :]
                     # band rows (c, half): [p0 half | p1 half]
                     k = 2 * cl
                     s128_ref[pl.ds(k * 16, 16), pl.ds(0, 64)] = p0[:, :64]
@@ -883,8 +881,10 @@ def _decq_pair_kernel(rec_ref, b_ref, a_ref, qi_ref, pi_ref, out_ref,
                         p0[:, 64:]
                     s128_ref[pl.ds((k + 1) * 16, 16), pl.ds(64, 64)] = \
                         p1[:, 64:]
-                u8t_ref[pl.ds(cp * 128, 128), :] = s128_ref[...].T
-            t = pltpu.bitcast(u8t_ref[...], jnp.int32)   # (128, 128) words
+                u8t_ref[pl.ds(h * 512 + cp * 128, 128), :] = s128_ref[...].T
+        for h in range(halves):
+            t = pltpu.bitcast(u8t_ref[pl.ds(h * 512, 512), :],
+                              jnp.int32)                 # (128, 128) words
             pp = t.T                                     # i32 transpose
             for cl in range(4):
                 c = base + cl
@@ -929,8 +929,8 @@ def _decq_pair_panels(records: jax.Array, inv_scales: jax.Array, *,
             pl.BlockSpec((128, 128), lambda p: (0, 0))] * 4,
         out_specs=pl.BlockSpec((PANEL * halves, w), lambda p: (p, 0)),
         scratch_shapes=[pltpu.VMEM((128, 128), jnp.uint8),
-                        pltpu.VMEM((512, 128), jnp.uint8),
-                        pltpu.VMEM((128, 128), jnp.uint8)],
+                        pltpu.VMEM((512 * halves, 128), jnp.uint8),
+                        pltpu.VMEM((128 * halves, 128), jnp.uint8)],
     )
     return pl.pallas_call(
         kernel,
