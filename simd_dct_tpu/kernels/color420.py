@@ -114,6 +114,24 @@ def _gather_tile(ref, h, c):
     return jnp.concatenate(bands, axis=0)        # (128, 128) u8
 
 
+def _gather_tiles2(ref, c):
+    """Both record panels' (128,128) Z tiles at chunk ``c`` from ALIGNED
+    (32,128) reads (16-sublane sub-tile reads pay ~2x masking)."""
+    gs = [(ref[pl.ds(0, 32), pl.ds(c * 1024 + k * 128, 128)],
+           ref[pl.ds(0, 32), pl.ds(c * 1024 + 512 + k * 128, 128)])
+          for k in range(4)]
+    out = []
+    for h in range(2):
+        bands = []
+        for g0f, g1f in gs:
+            g0 = g0f[h * 16: h * 16 + 16, :]
+            g1 = g1f[h * 16: h * 16 + 16, :]
+            bands.append(jnp.concatenate([g0[:, :64], g1[:, :64]], axis=1))
+            bands.append(jnp.concatenate([g0[:, 64:], g1[:, 64:]], axis=1))
+        out.append(jnp.concatenate(bands, axis=0))
+    return out                                   # [h0, h1] (128, 128) u8
+
+
 def _enc420_kernel(x_ref, b_ref, a_ref, bc_ref, ac_ref, ql_ref, qc_ref,
                    y_ref, cb_ref, cr_ref, *, rounding: str, num_chunks: int,
                    dtype):
@@ -265,10 +283,11 @@ def _dec420_kernel(y_ref, cb_ref, cr_ref, b_ref, a_ref, bd_ref, ad_ref,
         # upsample takes the matching 128-column slice of Bd, so no
         # (256, 256) value is ever built (Mosaic relayouts; the same
         # restructure took the encode from 137.8 to 85.9 us)
+        ytiles = [_gather_tiles2(y_ref, 2 * cc + j) for j in range(2)]
         for h in range(2):
             cols = []
             for j in range(2):
-                zb = _gather_tile(y_ref, h, 2 * cc + j)
+                zb = ytiles[j][h]
                 zq = ((zb.astype(jnp.int32).astype(jnp.float32) - 127.0)
                       * qil).astype(dtype)
                 y = jax.lax.dot_general(zq, amat, (((1,), (1,)), ((), ())),

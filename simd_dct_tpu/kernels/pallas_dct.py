@@ -186,18 +186,25 @@ def _dec32_kernel(rec_ref, b_ref, a_ref, qi_ref, out_ref, *, normalize: bool,
     qi_big = qi_ref[...]
     scale = jnp.float32(255.0) if normalize else jnp.float32(1.0)
 
-    for h in range(halves):
-        def chunk(c, carry):
+    rr = 16 * halves
+
+    def chunk(c, carry):
+        # One ALIGNED (16*halves, 128) read per record group covers both
+        # record panels (16-sublane sub-tile reads pay ~2x masking).
+        gs = [(rec_ref[pl.ds(0, rr), pl.ds(c * 1024 + k * 128, 128)],
+               rec_ref[pl.ds(0, rr), pl.ds(c * 1024 + 512 + k * 128, 128)])
+              for k in range(4)]
+        for h in range(halves):
             # Reassemble Z bytes from the record stream (inverse of the
             # encode stores): u-band rows from 64-lane halves.
             bands = []
-            for k in range(4):
-                g0 = rec_ref[pl.ds(h * 16, 16),
-                             pl.ds(c * 1024 + k * 128, 128)]
-                g1 = rec_ref[pl.ds(h * 16, 16),
-                             pl.ds(c * 1024 + 512 + k * 128, 128)]
-                bands.append(jnp.concatenate([g0[:, :64], g1[:, :64]], axis=1))
-                bands.append(jnp.concatenate([g0[:, 64:], g1[:, 64:]], axis=1))
+            for g0f, g1f in gs:
+                g0 = g0f[h * 16: h * 16 + 16, :]
+                g1 = g1f[h * 16: h * 16 + 16, :]
+                bands.append(jnp.concatenate([g0[:, :64], g1[:, :64]],
+                                             axis=1))
+                bands.append(jnp.concatenate([g0[:, 64:], g1[:, 64:]],
+                                             axis=1))
             zb = jnp.concatenate(bands, axis=0)      # (128, 128) u8
             z = ((zb.astype(jnp.int32).astype(jnp.float32) - 127.0)
                  * qi_big).astype(dtype)
@@ -210,9 +217,9 @@ def _dec32_kernel(rec_ref, b_ref, a_ref, qi_ref, out_ref, *, normalize: bool,
             v = jnp.clip(jnp.rint(x * scale), 0.0, 255.0)
             out_ref[pl.ds(h * PANEL, PANEL), pl.ds(c * CHUNK, CHUNK)] = \
                 v.astype(jnp.int32).astype(jnp.uint8)
-            return carry
+        return carry
 
-        jax.lax.fori_loop(0, num_chunks, chunk, None, unroll=True)
+    jax.lax.fori_loop(0, num_chunks, chunk, None, unroll=True)
 
 
 @functools.partial(jax.jit, static_argnames=("normalize", "interpret",
