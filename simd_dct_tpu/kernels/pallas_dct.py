@@ -390,10 +390,21 @@ def _detile_panels(tiles: jax.Array, inv_scales: jax.Array, *,
 
 
 def _roundtrip_kernel(x_ref, b_ref, a_ref, q_ref, qi_ref, out_ref, *,
-                      normalize: bool, num_chunks: int, dtype):
+                      normalize: bool, num_chunks: int, dtype,
+                      hpanels: int = 1):
     """Fused encode->decode: DCT, quantize, dequantize, IDCT per chunk —
     the coefficient records never leave VMEM, so HBM traffic stays at
-    2 u8 bytes/px (BASELINE config 4's fused DCT/quant/IDCT workload)."""
+    2 u8 bytes/px (BASELINE config 4's fused DCT/quant/IDCT workload).
+
+    Round-4 tuning (experiments/exp_r8_s8dct.py): the quantize keeps the
+    grid value in f32 — ``clip(rint(z*q) + 127, 0, 255) - 127`` equals
+    ``clip(rint(z*q), -127, 128)`` exactly, so the i32/bias round trip
+    is dead work (byte-identical, measured).  ``hpanels`` packs several
+    128-row panels into one grid step: fewer, larger DMAs measured ~20%
+    faster at 4K (52 vs 65.6 us, paired cycles).  An s8 fixed-point
+    basis variant measured SLOWER: v5e runs s8 and bf16 matmuls at the
+    SAME MXU rate (exp_r8_mxu_rate.py), so int8 only pays where it
+    deletes conversion chains (the Pi permutation), not in the DCT."""
     bmat = b_ref[...]
     amat = a_ref[...]
     q_big = q_ref[...]
@@ -401,23 +412,27 @@ def _roundtrip_kernel(x_ref, b_ref, a_ref, q_ref, qi_ref, out_ref, *,
     scale = jnp.float32(1.0 / 255.0) if normalize else jnp.float32(1.0)
     inv_scale = jnp.float32(255.0) if normalize else jnp.float32(1.0)
 
-    def chunk(c, carry):
-        x = (x_ref[:, pl.ds(c * CHUNK, CHUNK)].astype(jnp.int32)
-             .astype(jnp.float32) * scale).astype(dtype)
+    def tile(h, c):
+        x = (x_ref[pl.ds(h * PANEL, PANEL), pl.ds(c * CHUNK, CHUNK)]
+             .astype(jnp.int32).astype(jnp.float32) * scale).astype(dtype)
         y = jnp.dot(x, amat, preferred_element_type=jnp.float32) \
             .astype(dtype)
         z = jnp.dot(bmat, y, preferred_element_type=jnp.float32)
         # quantize to the biased byte grid, then straight back
-        v = jnp.clip(jnp.rint(z * q_big).astype(jnp.int32) + 127, 0, 255)
-        zq = ((v - 127).astype(jnp.float32) * qi_big).astype(dtype)
+        n = jnp.clip(jnp.rint(z * q_big), -127.0, 128.0)
+        zq = (n * qi_big).astype(dtype)
         y2 = jax.lax.dot_general(zq, amat, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32) \
             .astype(dtype)
         x2 = jax.lax.dot_general(bmat, y2, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         px = jnp.clip(jnp.rint(x2 * inv_scale), 0.0, 255.0)
-        out_ref[:, pl.ds(c * CHUNK, CHUNK)] = px.astype(jnp.int32) \
-            .astype(jnp.uint8)
+        out_ref[pl.ds(h * PANEL, PANEL), pl.ds(c * CHUNK, CHUNK)] = \
+            px.astype(jnp.int32).astype(jnp.uint8)
+
+    def chunk(c, carry):
+        for h in range(hpanels):
+            tile(h, c)
         return carry
 
     jax.lax.fori_loop(0, num_chunks, chunk, None, unroll=True)
@@ -433,18 +448,25 @@ def _roundtrip_panels(view: jax.Array, lut: jax.Array, *, normalize: bool,
     h2, w = view.shape
     assert h2 % 8 == 0 and w % CHUNK == 0
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    # 512-row grid steps measured ~20% faster than 128 at 4K (fewer,
+    # larger DMAs; exp_r8_s8dct.py); 1024 was marginal and sits at the
+    # 16 MB scoped-VMEM edge once in/out double-buffer.
+    hpanels = 4 if h2 > 2 * PANEL else (2 if h2 > PANEL else 1)
+    rows = PANEL * hpanels
     kernel = functools.partial(_roundtrip_kernel, normalize=normalize,
-                               num_chunks=w // CHUNK, dtype=dtype)
+                               num_chunks=w // CHUNK, dtype=dtype,
+                               hpanels=hpanels)
     grid_spec = pl.GridSpec(
-        grid=(-(-h2 // PANEL),),
+        grid=(-(-h2 // rows),),
         in_specs=[
-            pl.BlockSpec((PANEL, w), lambda p: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, w), lambda p: (p, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 128), lambda p: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 128), lambda p: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 128), lambda p: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 128), lambda p: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((PANEL, w), lambda p: (p, 0),
+        out_specs=pl.BlockSpec((rows, w), lambda p: (p, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
