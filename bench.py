@@ -252,20 +252,49 @@ def main():
         enc_s = _slope_ms(mk, bs_enc)
         tier = "xla"
 
-    # -- per-mode walls (indicative, fewer tries than the headline) -----
+    # -- per-mode walls (rep-level paired with the same-run copy probe) --
     # pallas outputs are opaque to XLA so a fused-sum checksum is honest
     # for them; the stereo encode ends in an XLA view-interleave, which a
     # fused sum would DELETE — it gets a two-dispatch materializing wall.
+    # Every mode's reps interleave its two batch walls with the copy
+    # probe's two walls, so each cycle yields a PHASE-PAIRED
+    # fraction-of-copy; the per-cycle slopes are persisted in the JSON
+    # (round-3 VERDICT #8: auditable drift, >=5 cycles per mode).
     mode_us = {}
+    mode_cycle_log = {}
+    mode_paired = {}
     bench_t0 = time.time()
     if use_pallas:
         import statistics as _st
         from simd_dct_tpu.core.quantize import dequant_scales
 
-        def quick_slope(mk, batches, tries=3):
-            vals = [v for v in (_slope_ms(mk, batches, reps=6)
-                                for _ in range(tries)) if v > 0]
-            return _st.median(vals) if vals else float("nan")
+        def _call(f, xb):
+            return float(f(*xb)) if isinstance(xb, tuple) else float(f(xb))
+
+        def paired_mode(f, batches, cycles=5, reps=6):
+            """Per-cycle (mode_slope_us, copy_slope_us) with the mode and
+            copy walls adjacent inside every rep."""
+            for _, xb in batches:
+                _call(f, xb)
+            m_cyc, c_cyc = [], []
+            for _ in range(cycles):
+                best = {}
+                for _ in range(reps):
+                    for tag, g, bs in (("m", f, batches),
+                                       ("c", cp8_f, bs_enc)):
+                        for bsz, xb in bs:
+                            t0 = time.perf_counter()
+                            _call(g, xb)
+                            dt = time.perf_counter() - t0
+                            best[(tag, bsz)] = min(
+                                best.get((tag, bsz), 1e9), dt)
+                (mb0, _), (mb1, _) = batches
+                (cb0, _), (cb1, _) = bs_enc
+                m_cyc.append(1e6 * (best[("m", mb1)] - best[("m", mb0)])
+                             / (mb1 - mb0))
+                c_cyc.append(1e6 * (best[("c", cb1)] - best[("c", cb0)])
+                             / (cb1 - cb0))
+            return m_cyc, c_cyc
 
         inv = dequant_scales(lut)
         lut_nq = jnp.asarray(default_quant_lut(100))
@@ -273,7 +302,7 @@ def main():
         inv_nq = dequant_scales(lut_nq)
         try:
             def csum(one):
-                return lambda: jax.jit(lambda xs: jnp.sum(
+                return jax.jit(lambda xs: jnp.sum(
                     jax.vmap(one)(xs).astype(jnp.int32)))
 
             # stereo encode: materialize the planar tensor (two-dispatch)
@@ -282,8 +311,42 @@ def main():
                                                 rounding="rne")))
             f2 = jax.jit(lambda o: jnp.sum(o.astype(jnp.int32)))
 
-            mode_us["enc32"] = enc_s * 1e6
+            from simd_dct_tpu.kernels import color32 as C32
+            from simd_dct_tpu.kernels import color420 as C420
+            from simd_dct_tpu.layout import BASE_CHROMA_QUANT_TABLE
+            chroma = jnp.asarray(BASE_CHROMA_QUANT_TABLE * 100.0 * 255.0)
+            _c32sum = csum(lambda p: C32._enc32_rgb_panels(p, lut, chroma))
+            _c32dsum = csum(
+                lambda r: C32._dec32_rgb_panels(r, lut, chroma))
+
+            def _c420sum_impl(xs):
+                y_r, c_r = jax.vmap(
+                    lambda p: C420._enc420_panels(p, lut, chroma))(xs)
+                return (jnp.sum(y_r.astype(jnp.int32))
+                        + jnp.sum(c_r.astype(jnp.int32)))
+            _c420sum = jax.jit(_c420sum_impl)
+            _c420dsum = jax.jit(lambda ys, cs: jnp.sum(jax.vmap(
+                lambda y, c: C420._dec420_panels(y, c, lut, chroma))(ys, cs)
+                .astype(jnp.int32)))
+
+            def batches_420(sizes=(4, 28)):
+                out = []
+                for b in sizes:
+                    ky, kc = jax.random.PRNGKey(b), jax.random.PRNGKey(b + 1)
+                    y = jax.random.randint(
+                        ky, (b, H2 // 8, 8 * W), 0, 256,
+                        dtype=jnp.int32).astype(jnp.uint8)
+                    c = jax.random.randint(
+                        kc, (b, 2, H2 // 16, 4 * W), 0, 256,
+                        dtype=jnp.int32).astype(jnp.uint8)
+                    out.append((b, (y, c)))
+                jax.block_until_ready([x for _, x in out])
+                return out
+
+            # (name, batch shape spec, checksum fn); None = reuse bs_enc,
+            # "420dec" = the two-array 420 record batches
             extras = [
+                ("enc32", None, enc_f),
                 ("enc_pair", None, csum(
                     lambda v: PK._encq_pair_panels(v, scales_nq,
                                                    rounding="rne"))),
@@ -294,7 +357,7 @@ def main():
                     lambda v: PK._roundtrip_panels(v, lut,
                                                    normalize=False))),
                 ("enc_stereo_materialized", (2 * H2, W),
-                 lambda: (lambda xb: f2(f1(xb)))),
+                 lambda xb: f2(f1(xb))),
                 # separate-views fast path: single pallas output, no
                 # interleave epilogue -> fused sum is honest
                 ("enc_stereo_planar", (2 * H2, W), csum(
@@ -310,38 +373,32 @@ def main():
                                                    scalar_pi=True))),
                 ("dec_stereo", (64, H2 // 8, 2, W // 8), csum(
                     lambda p: PK._dec_stereo_panels(p, inv_nq))),
+                ("dec_stereo_planar", (2, 64, H2 // 8, W // 8), csum(
+                    lambda p: PK._dec_stereo_panels(p, inv_nq))),
                 # 3-plane frames are 23.6 MB: smaller batches keep the
-                # row inside the bench's soft deadline
-                ("enc32_ycbcr", ((3, H2, W), (4, 28)), (lambda: (
-                    lambda xb: _c32sum(xb)))),
-                ("enc32_ycbcr420", ((3, H2, W), (4, 28)), (lambda: (
-                    lambda xb: _c420sum(xb)))),
+                # rows inside the bench's soft deadline
+                ("enc32_ycbcr", ((3, H2, W), (4, 28)),
+                 lambda xb: _c32sum(xb)),
+                ("dec32_ycbcr", ((3, H2 // 8, 8 * W), (4, 28)),
+                 lambda xb: _c32dsum(xb)),
+                ("enc32_ycbcr420", ((3, H2, W), (4, 28)),
+                 lambda xb: _c420sum(xb)),
+                ("dec32_ycbcr420", "420dec",
+                 lambda xb: _c420dsum(*xb)),
             ]
-            from simd_dct_tpu.kernels import color32 as C32
-            from simd_dct_tpu.kernels import color420 as C420
-            from simd_dct_tpu.layout import BASE_CHROMA_QUANT_TABLE
-            chroma = jnp.asarray(BASE_CHROMA_QUANT_TABLE * 100.0 * 255.0)
-            _c32sum = jax.jit(lambda xs: jnp.sum(jax.vmap(
-                lambda p: C32._enc32_rgb_panels(p, lut, chroma))(xs)
-                .astype(jnp.int32)))
-
-            def _c420sum_impl(xs):
-                y_r, c_r = jax.vmap(
-                    lambda p: C420._enc420_panels(p, lut, chroma))(xs)
-                return (jnp.sum(y_r.astype(jnp.int32))
-                        + jnp.sum(c_r.astype(jnp.int32)))
-            _c420sum = jax.jit(_c420sum_impl)
             cur_shape, cur_bs = None, bs_enc
-            for name, shape, mk in extras:
+            for name, shape, f in extras:
                 # soft deadline: the headline must reach the driver even
                 # when the tunnel is in a slow phase
-                if time.time() - bench_t0 > 240:
+                if time.time() - bench_t0 > 420:
                     mode_us["truncated_at"] = name
                     break
                 if shape != cur_shape:
                     del cur_bs
                     if shape is None:
                         cur_bs = bs_enc
+                    elif shape == "420dec":
+                        cur_bs = batches_420()
                     elif isinstance(shape[0], tuple):
                         cur_bs = dev_batches(shape[0], sizes=shape[1])
                     else:
@@ -350,7 +407,21 @@ def main():
                         # larger per-mode shapes would not fit HBM
                         cur_bs = dev_batches(shape, sizes=(8, 136))
                     cur_shape = shape
-                mode_us[name] = 1e6 * quick_slope(mk, cur_bs)
+                m_cyc, c_cyc = paired_mode(f, cur_bs)
+                pos = [v for v in m_cyc if v > 0]
+                if not pos:
+                    continue
+                mode_us[name] = _st.median(pos)
+                mode_cycle_log[name] = {
+                    "mode_us": [round(v, 1) for v in m_cyc],
+                    "copy_us": [round(v, 1) for v in c_cyc]}
+                ratios = [(c / m) for m, c in zip(m_cyc, c_cyc)
+                          if m > 0 and c > 0]
+                if ratios:
+                    # copy probe moves 2 logical bytes/px of (H2, W);
+                    # the byte-accounting scale is applied when the
+                    # fraction is reported (mode_frac_of_copy below)
+                    mode_paired[name] = _st.median(ratios)
             mode_us = {k: (round(v, 1) if isinstance(v, float) else v)
                        for k, v in mode_us.items()}
         except Exception as exc:      # per-mode extras must never kill
@@ -438,9 +509,15 @@ def main():
         record["mode_gbps"] = {
             k: round(b / mode_us[k] / 1e3, 1)
             for k, b in mode_bytes.items() if mode_us[k] > 0}
+        # fraction-of-copy per mode: PHASE-PAIRED (median of per-cycle
+        # copy/mode slope ratios scaled by the byte accounting) when the
+        # paired cycles exist; point-estimate fallback otherwise
         record["mode_frac_of_copy"] = {
-            k: round(v / roof_gbps, 3)
+            k: (round(mode_paired[k] * mode_bytes[k] / logical_bytes, 3)
+                if k in mode_paired else round(v / roof_gbps, 3))
             for k, v in record["mode_gbps"].items()}
+        if mode_cycle_log:
+            record["mode_cycles_us"] = mode_cycle_log
     if entropy_stats:
         record["entropy_host"] = entropy_stats
     spec = hbm_peak_gbps(info.device_kind)

@@ -8,6 +8,7 @@ from . import collectives
 from .sharding import (
     encode_quantize32_sharded, decode_quantize32_sharded,
     encode_quantize32_ycbcr_sharded, decode_quantize32_ycbcr_sharded,
+    encode_quantize32_ycbcr420_sharded, decode_quantize32_ycbcr420_sharded,
     encode_quantize_stereo_sharded, decode_quantize_stereo_sharded,
     encode_quantize32_batch, encode_quantize32_batch_2d,
     roundtrip_quantize32_batch,
@@ -18,6 +19,8 @@ __all__ = [
     "strip_sharding", "replicated", "initialize_distributed",
     "encode_quantize32_sharded", "decode_quantize32_sharded",
     "encode_quantize32_ycbcr_sharded", "decode_quantize32_ycbcr_sharded",
+    "encode_quantize32_ycbcr420_sharded",
+    "decode_quantize32_ycbcr420_sharded",
     "encode_quantize_stereo_sharded", "decode_quantize_stereo_sharded",
     "encode_quantize32_batch", "encode_quantize32_batch_2d",
     "roundtrip_quantize32_batch",

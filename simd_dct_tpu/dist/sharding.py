@@ -297,6 +297,73 @@ def encode_quantize32_ycbcr_sharded(planes: jax.Array, luma, chroma,
     return fn(top, luma, chroma)
 
 
+def encode_quantize32_ycbcr420_sharded(planes: jax.Array, luma, chroma,
+                                       mesh: Mesh, *,
+                                       axis_name: str = DATA_AXIS,
+                                       rounding: str = "rne"):
+    """Fused YCbCr 4:2:0 encode with the TOP view's strips sharded over
+    the mesh: (3, H, W) planar RGB -> ((S, 8W) luma records sharded on
+    strips, (2, S/2, 4W) chroma records sharded on chroma strips).
+
+    The 2x2 chroma fold pairs luma strips, so each shard must own an
+    EVEN strip count (strips never cross a 16-row boundary; chroma
+    strips never cross a 32-row boundary) — still zero collectives."""
+    _, h, w = planes.shape
+    n = _num_shards(mesh, axis_name)
+    assert (h // 2) % (n * 16) == 0, \
+        "420 sharding needs an even strip count per shard"
+    top = planes[:, : h // 2, :]
+    luma = jnp.asarray(luma, jnp.float32)
+    chroma = jnp.asarray(chroma, jnp.float32)
+
+    use_pl = _use_pallas(mesh, (h // 2) // n, w) and w % 256 == 0
+
+    def shard_fn(local, lut_l, lut_c):
+        from ..kernels import color420 as C420
+        if use_pl:
+            return C420._enc420_panels(local, lut_l, lut_c,
+                                       rounding=rounding)
+        return C420.encode_ycbcr420_xla(local, lut_l, lut_c,
+                                        rounding=rounding)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, axis_name, None), P(), P()),
+        out_specs=(P(axis_name, None), P(None, axis_name, None)),
+        check_vma=False)
+    return fn(top, luma, chroma)
+
+
+def decode_quantize32_ycbcr420_sharded(y_rec: jax.Array, c_rec: jax.Array,
+                                       luma, chroma, size_x: int,
+                                       size_y: int, mesh: Mesh, *,
+                                       axis_name: str = DATA_AXIS) \
+        -> jax.Array:
+    """Inverse: strip-sharded ((S, 8W), (2, S/2, 4W)) 420 records ->
+    (3, H/2, W) planar RGB sharded on rows (2x2 replication upsample
+    stays shard-local: a chroma strip feeds exactly its own shard's two
+    luma strips)."""
+    luma = jnp.asarray(luma, jnp.float32)
+    chroma = jnp.asarray(chroma, jnp.float32)
+    n = _num_shards(mesh, axis_name)
+    s = y_rec.shape[0]
+    assert s % (2 * n) == 0
+
+    use_pl = _use_pallas(mesh, (s // n) * 8, size_x) and size_x % 256 == 0
+
+    def shard_fn(local_y, local_c, lut_l, lut_c):
+        from ..kernels import color420 as C420
+        if use_pl:
+            return C420._dec420_panels(local_y, local_c, lut_l, lut_c)
+        return C420.decode_ycbcr420_xla(local_y, local_c, lut_l, lut_c)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis_name, None), P(None, axis_name, None), P(), P()),
+        out_specs=P(None, axis_name, None), check_vma=False)
+    return fn(y_rec, c_rec, luma, chroma)
+
+
 def decode_quantize32_ycbcr_sharded(records: jax.Array, luma, chroma,
                                     size_x: int, size_y: int, mesh: Mesh, *,
                                     axis_name: str = DATA_AXIS) -> jax.Array:

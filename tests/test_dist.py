@@ -292,3 +292,42 @@ def test_color_sharded_unaligned_strips():
     dec = dist.decode_quantize32_ycbcr_sharded(sharded, luma, chroma,
                                                128, 1088, mesh4)
     assert np.asarray(dec).shape == (3, 544, 128)
+
+
+def test_ycbcr420_sharded_matches(img, mesh):
+    """Round 4: the 4:2:0 pipeline's sharded twin — strip-sharded encode
+    and decode byte-match the single-device XLA 420 tier (the chroma
+    fold is shard-local: chroma strips never cross a 32-row boundary)."""
+    from simd_dct_tpu.kernels import color420 as C420
+    from simd_dct_tpu.layout.color import BASE_CHROMA_QUANT_TABLE
+    luma = default_quant_lut(100) * 255.0
+    chroma = BASE_CHROMA_QUANT_TABLE * 100 * 255.0
+    planes = np.stack([img, img[::-1], img[:, ::-1]])
+    y_rec, c_rec = dist.encode_quantize32_ycbcr420_sharded(
+        jnp.asarray(planes), luma, chroma, mesh)
+    y_s, c_s = C420.encode_ycbcr420_xla(
+        jnp.asarray(planes[:, :1024]), jnp.asarray(luma),
+        jnp.asarray(chroma))
+    np.testing.assert_array_equal(np.asarray(y_rec), np.asarray(y_s))
+    np.testing.assert_array_equal(np.asarray(c_rec), np.asarray(c_s))
+    assert y_rec.sharding.spec[0] == "data"
+    assert c_rec.sharding.spec[1] == "data"
+    dec = dist.decode_quantize32_ycbcr420_sharded(
+        y_rec, c_rec, luma, chroma, 128, 2048, mesh)
+    single_dec = np.asarray(C420.decode_ycbcr420_xla(
+        y_s, c_s, jnp.asarray(luma), jnp.asarray(chroma)))
+    np.testing.assert_array_equal(np.asarray(dec), single_dec)
+    assert dec.sharding.spec[1] == "data"
+
+
+def test_ycbcr420_sharded_uneven_rejected(mesh):
+    """A strip count that leaves a shard an odd number of strips (chroma
+    pair would cross the shard boundary) is rejected."""
+    from simd_dct_tpu.layout.color import BASE_CHROMA_QUANT_TABLE
+    luma = default_quant_lut(100) * 255.0
+    chroma = BASE_CHROMA_QUANT_TABLE * 100 * 255.0
+    rng = np.random.default_rng(9)
+    planes = rng.integers(0, 256, (3, 1216, 128), dtype=np.uint8)  # 76 strips
+    with pytest.raises(AssertionError):
+        dist.encode_quantize32_ycbcr420_sharded(
+            jnp.asarray(planes), luma, chroma, mesh)
