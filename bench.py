@@ -450,6 +450,48 @@ def main():
             # device-vs-host gap can't masquerade as device throughput.
             "pack_bound_fps_4k_view": round(rec.size / tp / (H2 * W)),
         }
+        # sparse precompaction (round 4): REAL records from the device
+        # encoder on smooth 4K content; the device drops all-127 64-byte
+        # blocks so the host packs only the kept fraction.  The fps row
+        # counts exactly the per-frame HOST work of the sparse pipeline
+        # (Huffman on kept bytes; compaction and expansion live on
+        # device).  Exactness is asserted, not assumed.
+        if use_pallas:
+            try:
+                jj = jnp.arange(H2, dtype=jnp.float32)[:, None]
+                ii = jnp.arange(W, dtype=jnp.float32)[None, :]
+                smooth = jnp.clip(
+                    128.0 + 90.0 * jnp.sin(jj / 37.0) * jnp.cos(ii / 53.0)
+                    + 20.0 * jnp.sin((ii + 2 * jj) / 11.0),
+                    0, 255).astype(jnp.uint8)
+                rec_dev = PK._enc32_panels(smooth, scales, normalize=False,
+                                           rounding="rne")
+                rec_sm = np.asarray(rec_dev).reshape(-1)
+                blocks = rec_sm.reshape(-1, 64)
+                kept_mask = (blocks != 127).any(axis=1)
+                kept = blocks[kept_mask].reshape(-1)
+                lengths_s = E.build_lengths(E.histogram(kept, device=False))
+                blob_s = E.compress(kept, lengths_s)
+                tps = _best_of(lambda: E.compress(kept, lengths_s), 3)
+                # exact recovery through the full sparse stream (device
+                # compaction forced onto the host CPU backend so the
+                # check never rides the tunnel)
+                import jax as _jax
+                with _jax.default_device(_jax.devices("cpu")[0]):
+                    full = E.compress_sparse(rec_sm)
+                    ok = bool(np.array_equal(E.decompress(full), rec_sm))
+                entropy_stats.update({
+                    "sparse_kept_frac": round(float(kept_mask.mean()), 4),
+                    "sparse_ratio": round(rec_sm.size / max(
+                        full.size, 1), 2),
+                    "sparse_exact": ok,
+                    "pack_bound_fps_4k_view_sparse": round(1.0 / tps),
+                    "sparse_pack_mbps": round(kept.size / tps / 1e6),
+                })
+                del blob_s
+            except Exception as exc:
+                entropy_stats["sparse_error"] = \
+                    f"{type(exc).__name__}: {exc}"
     except Exception:
         pass
 

@@ -136,7 +136,21 @@ def gather_planes_remote(segments: jax.Array, mesh: Mesh, *,
         # program never share a barrier semaphore (round-2 VERDICT #5)
         collective_id = next_collective_id()
     planes, s_total, seg = segments.shape
+    if s_total % n:
+        # the ring forwards equal-size slots; a ragged strip axis would
+        # silently corrupt the tail shard's segment
+        from ..api import InvalidParameterError
+        raise InvalidParameterError(
+            f"gather_planes_remote needs the strip axis ({s_total}) to "
+            f"divide evenly over the {n} '{axis_name}' shards")
     chunk = s_total // n
+    # ring over ONE axis of a possibly multi-dim mesh: the DMA target is
+    # addressed by its index along EVERY mesh axis, so the other axes
+    # keep this device's own coordinates (a per-row ring on 2-D meshes)
+    def _device_id(right):
+        from jax import lax as _lax
+        return tuple(_lax.axis_index(ax) if ax != axis_name else right
+                     for ax in mesh.axis_names)
     if interpret is None:
         # 'axon' is a remote-TPU tunnel platform: real hardware DMAs
         interpret = mesh.devices.flat[0].platform not in ("tpu", "axon")
@@ -159,8 +173,12 @@ def gather_planes_remote(segments: jax.Array, mesh: Mesh, *,
             # deadlock on small host thread pools (verified).
             left = lax.rem(my_id - 1 + n, n)
             barrier = pltpu.get_barrier_semaphore()
-            pltpu.semaphore_signal(barrier, device_id=left)
-            pltpu.semaphore_signal(barrier, device_id=right)
+            pltpu.semaphore_signal(
+                barrier, device_id=_device_id(left),
+                device_id_type=pltpu.DeviceIdType.MESH)
+            pltpu.semaphore_signal(
+                barrier, device_id=_device_id(right),
+                device_id_type=pltpu.DeviceIdType.MESH)
             pltpu.semaphore_wait(barrier, 2)
         # own chunk -> my slot of the output
         own = pltpu.make_async_copy(
@@ -177,7 +195,7 @@ def gather_planes_remote(segments: jax.Array, mesh: Mesh, *,
                 src_ref=out_ref.at[:, pl.ds(slot * chunk, chunk), :],
                 dst_ref=out_ref.at[:, pl.ds(slot * chunk, chunk), :],
                 send_sem=send_sem, recv_sem=recv_sem,
-                device_id=(right,),
+                device_id=_device_id(right),
                 device_id_type=pltpu.DeviceIdType.MESH)
             rc.start()
             rc.wait()

@@ -307,6 +307,8 @@ def decompress(blob) -> np.ndarray:
     if data.size < 12:
         raise EntropyError("stream too short")
     magic = int(np.frombuffer(data[:4].tobytes(), np.uint32)[0])
+    if magic == _MAGICS:
+        return _decompress_sparse(data)
     if magic not in (_MAGIC0, _MAGIC1, _MAGIC4, _MAGICR, _MAGICG, _MAGICGR):
         raise EntropyError("bad stream magic")
     n_out = int(np.frombuffer(data[4:12].tobytes(), np.uint64)[0])
@@ -367,6 +369,163 @@ def decompress(blob) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# sparse precompaction (device-side significance compaction, round 4)
+# ---------------------------------------------------------------------------
+#
+# At typical quality most record bytes are the +127-biased zero
+# coefficient, and the mode32 byte order groups each vertical frequency
+# u into 64-byte runs (u*64 + v*8 + b) — so whole 64-byte blocks of
+# smooth content are exactly 127.  The DEVICE computes a per-block
+# significance bitmap (one VPU compare/reduce pass) and compacts the
+# significant blocks with a static-capacity gather; the host Huffman
+# then packs only the kept bytes, lifting the pack-bound pipeline cap
+# by ~1/kept_fraction (round-3 VERDICT #3: the ~400x device/host
+# mismatch).  Dense inputs fall back to the plain formats via the same
+# transparent escape as the stored block.
+
+SPARSE_BLOCK = 64
+_MAGICS = 0x31534453   # "SDS1" (sparse: bitmap + compacted blocks)
+_SPARSE_HDR = 4 + 8 + 4 + 4    # magic | n u64 | nblk u32 | count u32
+
+
+@functools.cache
+def _sparse_count_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def count(blocks):
+        flags = jnp.any(blocks != jnp.uint8(127), axis=1)
+        return jnp.sum(flags.astype(jnp.int32))
+    return count
+
+
+@functools.cache
+def _precompact_jit(cap: int):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def pre(blocks):
+        nblk = blocks.shape[0]
+        flags = jnp.any(blocks != jnp.uint8(127), axis=1)
+        idx, = jnp.nonzero(flags, size=cap, fill_value=nblk - 1)
+        kept = jnp.take(blocks, idx, axis=0)
+        weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
+        bitmap = (flags.reshape(-1, 8).astype(jnp.int32) @ weights) \
+            .astype(jnp.uint8)
+        return bitmap, kept
+    return pre
+
+
+def _sparse_blocks(records):
+    """records (any u8 array, host or device) -> (nblk, 64) device/host
+    blocks padded with 127 to a multiple of 8 blocks, plus n_bytes."""
+    import jax.numpy as jnp
+    if isinstance(records, (bytes, bytearray, memoryview)):
+        records = np.frombuffer(records, np.uint8)
+    flat = jnp.asarray(records, jnp.uint8).reshape(-1)
+    n = int(flat.size)
+    if n == 0:
+        raise EntropyError("empty input has no code")
+    unit = 8 * SPARSE_BLOCK
+    pad = (-n) % unit
+    if pad:
+        flat = jnp.concatenate([flat, jnp.full(pad, 127, jnp.uint8)])
+    return flat.reshape(-1, SPARSE_BLOCK), n
+
+
+def compress_sparse(records, *, rle: bool = False,
+                    max_kept_frac: float = 0.85) -> np.ndarray:
+    """u8 records -> compressed stream, with all-127 64-byte blocks
+    dropped on the DEVICE before the host Huffman pack.  Falls back to
+    the plain ``compress`` formats when more than ``max_kept_frac`` of
+    the blocks are significant (the bitmap would buy nothing), so the
+    result always decodes via ``decompress``."""
+    blocks, n = _sparse_blocks(records)
+    nblk = blocks.shape[0]
+    count = int(_sparse_count_jit()(blocks))
+    if count > max_kept_frac * nblk:
+        data = np.asarray(blocks).reshape(-1)[:n]
+        return compress(data, rle=rle)
+    cap = 1
+    while cap < max(count, 1):
+        cap *= 2
+    cap = min(cap, nblk)
+    bitmap, kept = _precompact_jit(cap)(blocks)
+    bm = np.asarray(bitmap)
+    kb = np.ascontiguousarray(np.asarray(kept)[:count]).reshape(-1)
+    payload = compress(kb, rle=rle) if count else np.zeros(0, np.uint8)
+    out = np.empty(_SPARSE_HDR + bm.size + payload.size, np.uint8)
+    out[:4] = np.frombuffer(np.uint32(_MAGICS).tobytes(), np.uint8)
+    out[4:12] = np.frombuffer(np.uint64(n).tobytes(), np.uint8)
+    out[12:16] = np.frombuffer(np.uint32(nblk).tobytes(), np.uint8)
+    out[16:20] = np.frombuffer(np.uint32(count).tobytes(), np.uint8)
+    out[20:20 + bm.size] = bm
+    out[20 + bm.size:] = payload
+    return out
+
+
+def _decompress_sparse(data: np.ndarray) -> np.ndarray:
+    if data.size < _SPARSE_HDR:
+        raise EntropyError("stream too short")
+    n = int(np.frombuffer(data[4:12].tobytes(), np.uint64)[0])
+    nblk = int(np.frombuffer(data[12:16].tobytes(), np.uint32)[0])
+    count = int(np.frombuffer(data[16:20].tobytes(), np.uint32)[0])
+    if nblk % 8 or nblk == 0 or count > nblk:
+        raise EntropyError("corrupt sparse stream: bad block counts")
+    if not nblk * SPARSE_BLOCK - (8 * SPARSE_BLOCK) < max(n, 1) \
+            <= nblk * SPARSE_BLOCK:
+        raise EntropyError("corrupt sparse stream: size mismatch")
+    bm_bytes = nblk // 8
+    if data.size < _SPARSE_HDR + bm_bytes:
+        raise EntropyError("stream too short")
+    bitmap = data[_SPARSE_HDR:_SPARSE_HDR + bm_bytes]
+    flags = np.unpackbits(bitmap, bitorder="little").astype(bool)
+    if int(flags.sum()) != count:
+        raise EntropyError("corrupt sparse stream: bitmap/count mismatch")
+    if count:
+        kept = decompress(data[_SPARSE_HDR + bm_bytes:])
+        if kept.size != count * SPARSE_BLOCK:
+            raise EntropyError("corrupt sparse stream: payload size")
+    else:
+        kept = np.zeros(0, np.uint8)
+    out = np.full((nblk, SPARSE_BLOCK), 127, np.uint8)
+    out[flags] = kept.reshape(count, SPARSE_BLOCK)
+    return out.reshape(-1)[:n]
+
+
+@functools.cache
+def _expand_jit(cap: int):
+    """Device-side inverse of the compaction gather: rebuild the full
+    block tensor from (flags, kept) without host bytes (used by the
+    compressed decode path once the kept blocks are back on device)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def expand(flags, kept):
+        slot = jnp.cumsum(flags.astype(jnp.int32)) - 1
+        slot = jnp.clip(slot, 0, cap - 1)
+        gathered = jnp.take(kept, slot, axis=0)
+        return jnp.where(flags[:, None], gathered,
+                         jnp.uint8(127)).astype(jnp.uint8)
+    return expand
+
+
+def expand_sparse_device(bitmap, kept, n_bytes: int):
+    """(bitmap bytes, (count, 64) kept blocks) -> flat u8 records on
+    device.  ``kept`` may be padded beyond the true count; the bitmap
+    is the source of truth."""
+    import jax.numpy as jnp
+    bm = jnp.asarray(bitmap, jnp.uint8)
+    flags = jnp.unpackbits(bm, bitorder="little").astype(bool)
+    kb = jnp.asarray(kept, jnp.uint8).reshape(-1, SPARSE_BLOCK)
+    out = _expand_jit(kb.shape[0])(flags, kb)
+    return out.reshape(-1)[:n_bytes]
+
+
+# ---------------------------------------------------------------------------
 # end-to-end convenience: encode+compress / decompress+decode
 # ---------------------------------------------------------------------------
 
@@ -387,13 +546,18 @@ def compress_records(records, *, rle: bool = False) -> np.ndarray:
 
 
 def encode_quantize32_compressed(image, lut, *, rle: bool = False,
-                                 **kw) -> np.ndarray:
+                                 sparse: bool = False, **kw) -> np.ndarray:
     """Full pipeline: TPU fused mode32 encode -> on-device histogram ->
     host Huffman pack (``rle=True``: run-length + Huffman, better ratio
-    on typical records).  Returns the compressed stream."""
+    on typical records; ``sparse=True``: device-side significance
+    compaction first, so the host packs only the significant 64-byte
+    blocks — the pack-bound fps cap scales by ~1/kept_fraction).
+    Returns the compressed stream."""
     from . import api
-    return compress_records(api.encode_quantize32(image, lut, **kw),
-                            rle=rle)
+    rec = api.encode_quantize32(image, lut, **kw)
+    if sparse:
+        return compress_sparse(rec, rle=rle)
+    return compress_records(rec, rle=rle)
 
 
 def decode_quantize32_compressed(blob, lut, size_x: int, size_y: int,

@@ -331,3 +331,63 @@ def test_ycbcr420_sharded_uneven_rejected(mesh):
     with pytest.raises(AssertionError):
         dist.encode_quantize32_ycbcr420_sharded(
             jnp.asarray(planes), luma, chroma, mesh)
+
+
+def test_remote_gather_2d_mesh():
+    """Round 4 (round-3 VERDICT next #6a): the remote-DMA ring gather
+    over ONE axis of a 2-D (host, chip) mesh — the DMA target is
+    addressed along every mesh axis, other axes keeping this device's
+    own coordinates.  Byte-identical to the GSPMD gather."""
+    from simd_dct_tpu.dist import collectives as C
+    m2 = dist.make_mesh_2d((2, 2))
+    rng = np.random.default_rng(41)
+    seg = jnp.asarray(rng.integers(0, 256, (64, 16, 16), dtype=np.uint8))
+    got = np.asarray(C.gather_planes_remote(seg, m2, axis_name="chip"))
+    np.testing.assert_array_equal(got, np.asarray(seg))
+
+
+def test_remote_gather_ragged_rejected():
+    """Round 4 (#6b): a strip axis that does not divide over the ring
+    shards raises the typed parameter error instead of corrupting the
+    tail shard's segment."""
+    from simd_dct_tpu import api
+    from simd_dct_tpu.dist import collectives as C
+    mesh4 = dist.make_mesh(4)
+    seg = jnp.zeros((64, 18, 16), jnp.uint8)     # 18 % 4 != 0
+    with pytest.raises(api.InvalidParameterError):
+        C.gather_planes_remote(seg, mesh4)
+
+
+def test_remote_gather_with_compute_kernel():
+    """Round 4 (#6c): a compute Pallas kernel and the collective gather
+    kernel traced into ONE jitted program — the collective's barrier
+    semaphore id must not interfere with a regular kernel in the same
+    program."""
+    from jax.experimental import pallas as pl
+    from simd_dct_tpu.dist import collectives as C
+    mesh4 = dist.make_mesh(4)
+    rng = np.random.default_rng(43)
+    seg = jnp.asarray(rng.integers(0, 255, (64, 16, 16), dtype=np.uint8))
+
+    def inc_kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...] + jnp.uint8(1)
+
+    def inc(x):
+        flat = x.reshape(-1, x.shape[-1])
+        out = pl.pallas_call(
+            inc_kernel,
+            out_shape=jax.ShapeDtypeStruct(flat.shape, jnp.uint8),
+            interpret=True,
+        )(flat)
+        return out.reshape(x.shape)
+
+    def prog(s):
+        bumped = jax.shard_map(
+            inc, mesh=mesh4,
+            in_specs=dist.collectives.P(None, "data", None),
+            out_specs=dist.collectives.P(None, "data", None),
+            check_vma=False)(s)
+        return C.gather_planes_remote(bumped, mesh4)
+
+    got = np.asarray(jax.jit(prog)(seg))
+    np.testing.assert_array_equal(got, np.asarray(seg) + 1)

@@ -458,3 +458,79 @@ class TestStoredEscape:
         blob = E.compress(data, streams=4, stored_ok=False)
         assert blob[:4].tobytes() == b"SDE4"
         np.testing.assert_array_equal(E.decompress(blob), data)
+
+
+# -- sparse precompaction (round 4) ----------------------------------------
+
+def _sparse_records(nblk=512, active_every=4, seed=0):
+    """Synthetic mode32-like records: 1 in ``active_every`` 64-byte
+    blocks carries non-127 bytes."""
+    rng = np.random.default_rng(seed)
+    blocks = np.full((nblk, 64), 127, np.uint8)
+    act = np.arange(0, nblk, active_every)
+    blocks[act] = rng.integers(100, 156, (act.size, 64), dtype=np.uint8)
+    return blocks.reshape(-1)
+
+
+def test_sparse_roundtrip_exact():
+    rec = _sparse_records()
+    blob = E.compress_sparse(rec)
+    assert blob.size < rec.size // 2
+    out = E.decompress(blob)
+    np.testing.assert_array_equal(out, rec)
+    # rle payload variant
+    blob_r = E.compress_sparse(rec, rle=True)
+    np.testing.assert_array_equal(E.decompress(blob_r), rec)
+
+
+def test_sparse_unaligned_tail():
+    rec = _sparse_records(nblk=96)[: 96 * 64 - 37]     # ragged tail
+    out = E.decompress(E.compress_sparse(rec))
+    np.testing.assert_array_equal(out, rec)
+
+
+def test_sparse_dense_fallback():
+    rng = np.random.default_rng(3)
+    rec = rng.integers(0, 256, 64 * 256, dtype=np.uint8)   # every block hit
+    blob = E.compress_sparse(rec)
+    # fell back to a plain format (magic != SDS1), still exact
+    assert int(np.frombuffer(blob[:4].tobytes(), np.uint32)[0]) != E._MAGICS
+    np.testing.assert_array_equal(E.decompress(blob), rec)
+
+
+def test_sparse_all_trivial():
+    rec = np.full(64 * 64, 127, np.uint8)
+    blob = E.compress_sparse(rec)
+    assert blob.size < 100
+    np.testing.assert_array_equal(E.decompress(blob), rec)
+
+
+def test_sparse_device_expand_matches():
+    import jax.numpy as jnp
+    rec = _sparse_records(nblk=256, active_every=3, seed=7)
+    blocks, n = E._sparse_blocks(rec)
+    count = int(E._sparse_count_jit()(blocks))
+    cap = 1
+    while cap < count:
+        cap *= 2
+    bitmap, kept = E._precompact_jit(min(cap, blocks.shape[0]))(blocks)
+    out = np.asarray(E.expand_sparse_device(bitmap, np.asarray(kept), n))
+    np.testing.assert_array_equal(out, rec)
+
+
+def test_sparse_corrupt_headers_typed():
+    rec = _sparse_records()
+    blob = E.compress_sparse(rec)
+    for mut in (blob[:10], blob[:24]):
+        with pytest.raises(E.EntropyError):
+            E.decompress(mut)
+    # flipped bitmap bit -> count mismatch must be typed, not a crash
+    bad = blob.copy()
+    bad[20] ^= 1
+    with pytest.raises(E.EntropyError):
+        E.decompress(bad)
+    # implausible counts
+    bad2 = blob.copy()
+    bad2[16:20] = np.frombuffer(np.uint32(1 << 30).tobytes(), np.uint8)
+    with pytest.raises(E.EntropyError):
+        E.decompress(bad2)
