@@ -271,7 +271,7 @@ def main():
         def _call(f, xb):
             return float(f(*xb)) if isinstance(xb, tuple) else float(f(xb))
 
-        def paired_mode(f, batches, cycles=5, reps=6):
+        def paired_mode(f, batches, cycles=5, reps=8):
             """Per-cycle (mode_slope_us, copy_slope_us) with the mode and
             copy walls adjacent inside every rep."""
             for _, xb in batches:
@@ -329,7 +329,7 @@ def main():
                 lambda y, c: C420._dec420_panels(y, c, lut, chroma))(ys, cs)
                 .astype(jnp.int32)))
 
-            def batches_420(sizes=(4, 28)):
+            def batches_420(sizes=(4, 44)):
                 out = []
                 for b in sizes:
                     ky, kc = jax.random.PRNGKey(b), jax.random.PRNGKey(b + 1)
@@ -377,14 +377,13 @@ def main():
                     lambda p: PK._dec_stereo_panels(p, inv_nq))),
                 # 3-plane frames are 23.6 MB: smaller batches keep the
                 # rows inside the bench's soft deadline
-                ("enc32_ycbcr", ((3, H2, W), (4, 28)),
+                ("enc32_ycbcr", ((3, H2, W), (4, 44)),
                  lambda xb: _c32sum(xb)),
-                ("dec32_ycbcr", ((3, H2 // 8, 8 * W), (4, 28)),
+                ("dec32_ycbcr", ((3, H2 // 8, 8 * W), (4, 44)),
                  lambda xb: _c32dsum(xb)),
-                ("enc32_ycbcr420", ((3, H2, W), (4, 28)),
+                ("enc32_ycbcr420", ((3, H2, W), (4, 44)),
                  lambda xb: _c420sum(xb)),
-                ("dec32_ycbcr420", "420dec",
-                 lambda xb: _c420dsum(*xb)),
+                ("dec32_ycbcr420", "420dec", _c420dsum),
             ]
             cur_shape, cur_bs = None, bs_enc
             for name, shape, f in extras:
@@ -402,10 +401,14 @@ def main():
                     elif isinstance(shape[0], tuple):
                         cur_bs = dev_batches(shape[0], sizes=shape[1])
                     else:
-                        # per-mode rows keep the smaller separation: they
-                        # are indicative, and 264-frame batches of the
-                        # larger per-mode shapes would not fit HBM
-                        cur_bs = dev_batches(shape, sizes=(8, 136))
+                        # wide batch separation keeps the slope's noise
+                        # floor low (round-4: 128-frame separation gave
+                        # NEGATIVE slopes on the ~15 us dec32); stereo
+                        # frames are 31.4 MB so their batches stay
+                        # smaller to fit HBM next to the resident copy
+                        # batches
+                        big = 136 if shape[0] == 2 * H2 else 264
+                        cur_bs = dev_batches(shape, sizes=(8, big))
                     cur_shape = shape
                 m_cyc, c_cyc = paired_mode(f, cur_bs)
                 pos = [v for v in m_cyc if v > 0]

@@ -336,6 +336,11 @@ def encode_quantize_stereo(image, lut, start_y: int = 0,
 def _validate_decode(data, lut, size_x, size_y, expect_bytes):
     if data is None or lut is None:
         raise InvalidParameterError("data and lut must not be None")
+    if size_x <= 0 or size_y <= 0:
+        # zero dims would make expect_bytes 0 and turn the batch modulo
+        # below into a ZeroDivisionError (found by container fuzzing)
+        raise InvalidParameterError(
+            f"invalid dimensions {(size_x, size_y)}")
     if (size_x % 8) or (size_y % 8):
         raise NotSupportedError(
             f"dims must be multiples of 8, got {(size_x, size_y)}")

@@ -271,3 +271,72 @@ class TestVideo:
         with pytest.raises(C.ContainerError):
             C.encode(planes, "enc-quant32-ycbcr", quality=50.0,
                      start_y=8, end_y=24)
+
+
+class TestDeepFuzz:
+    """Round 4 (VERDICT #7): ~1k mutations across the WHOLE blob (headers
+    AND payloads), truncations, splices, and random garbage — every
+    failure must be a typed error; successful decodes of mutants are
+    fine (garbage pixels), but never crashes or unbounded allocations."""
+
+    TYPED = None
+
+    @classmethod
+    def _typed(cls):
+        if cls.TYPED is None:
+            from simd_dct_tpu.entropy import EntropyError
+            from simd_dct_tpu.api import SimdDctError
+            cls.TYPED = (C.ContainerError, EntropyError, SimdDctError,
+                         ValueError, TypeError)
+        return cls.TYPED
+
+    def _hammer(self, base, decode, rng, trials):
+        typed = self._typed()
+        for trial in range(trials):
+            kind = trial % 4
+            if kind == 0:        # bit flips ANYWHERE (payload included)
+                blob = base.copy()
+                idx = rng.integers(0, blob.size, 8)
+                blob[idx] ^= rng.integers(1, 256, 8).astype(np.uint8)
+            elif kind == 1:      # truncation at any point
+                blob = base[: int(rng.integers(0, base.size))].copy()
+            elif kind == 2:      # splice: swap two random spans
+                blob = base.copy()
+                a, b = sorted(rng.integers(0, blob.size, 2))
+                ln = int(min(rng.integers(1, 64), blob.size - b))
+                blob[a:a + ln], blob[b:b + ln] = \
+                    blob[b:b + ln].copy(), blob[a:a + ln].copy()
+            else:                # random garbage with a valid-ish prefix
+                blob = np.concatenate([
+                    base[: int(rng.integers(0, 64))],
+                    rng.integers(0, 256, int(rng.integers(0, 256)),
+                                 dtype=np.uint8).astype(np.uint8)])
+            try:
+                decode(np.ascontiguousarray(blob))
+            except typed:
+                pass
+
+    @pytest.mark.parametrize("mode,comp", [
+        ("enc-quant32", True), ("enc-quant", False),
+        ("enc-quant-stereo", True)])
+    def test_frame_fuzz(self, mode, comp):
+        rng = np.random.default_rng(hash(mode) % 2**32)
+        base = C.encode(_img(), mode, quality=50.0, compress=comp)
+        self._hammer(base, C.decode, rng, 250)
+
+    def test_video_fuzz(self):
+        rng = np.random.default_rng(0xF00D)
+        frames = np.stack([_img(64, 128, i) for i in range(3)])
+        base = C.encode_video(frames, "enc-quant32", quality=50.0)
+        self._hammer(base, C.decode_video, rng, 250)
+        # per-frame random access on mutants, incl. out-of-range indices
+        typed = self._typed() + (IndexError,)
+        for trial in range(100):
+            blob = base.copy()
+            idx = rng.integers(0, blob.size, 8)
+            blob[idx] ^= rng.integers(1, 256, 8).astype(np.uint8)
+            try:
+                C.decode_video_frame(np.ascontiguousarray(blob),
+                                     int(rng.integers(-2, 6)))
+            except typed:
+                pass
