@@ -403,11 +403,12 @@ def main():
                     else:
                         # wide batch separation keeps the slope's noise
                         # floor low (round-4: 128-frame separation gave
-                        # NEGATIVE slopes on the ~15 us dec32); stereo
-                        # frames are 31.4 MB so their batches stay
-                        # smaller to fit HBM next to the resident copy
-                        # batches
-                        big = 136 if shape[0] == 2 * H2 else 264
+                        # NEGATIVE slopes on the ~15 us dec32), but
+                        # >7.9 MB frames (stereo pixel/planar tensors)
+                        # cap at 136 — 264-frame batches of those OOMed
+                        # HBM next to the resident copy batches
+                        frame_bytes = int(np.prod(shape))
+                        big = 264 if frame_bytes <= H2 * W else 136
                         cur_bs = dev_batches(shape, sizes=(8, big))
                     cur_shape = shape
                 m_cyc, c_cyc = paired_mode(f, cur_bs)
@@ -427,8 +428,13 @@ def main():
                     mode_paired[name] = _st.median(ratios)
             mode_us = {k: (round(v, 1) if isinstance(v, float) else v)
                        for k, v in mode_us.items()}
+            del cur_bs
         except Exception as exc:      # per-mode extras must never kill
             mode_us["error"] = f"{type(exc).__name__}: {exc}"  # the headline
+        try:
+            del bs_enc      # free ~2 GB of HBM before the entropy stage
+        except NameError:
+            pass
 
     # -- host entropy stage (native K-chunk Huffman; TPU-independent) ---
     entropy_stats = {}
