@@ -34,12 +34,28 @@ from simd_dct_tpu.core.quantize import default_quant_lut, quant_scales
 H, W = 4096, 3840
 
 
-def _enc_stereo_ilv_kernel(xl_ref, xr_ref, b_ref, a_ref, q_ref,
+def _zipmat_np(halves: int) -> np.ndarray:
+    """(32h, 32h) 0/1 sublane-zip: row 2i+view <- stacked row
+    view*16h + i (the strip interleave as a constant s8 matmul —
+    jnp.repeat/stack/reshape formulations all crash the Mosaic remote
+    compiler when composed with the DCT pipeline; the MXU form lowers
+    and each output byte is one input byte mod 256, so s8/s32/&255 is
+    exact, same argument as the Pi matmul)."""
+    n = 32 * halves
+    p = np.zeros((n, n), np.int8)
+    for view in range(2):
+        for i in range(16 * halves):
+            p[2 * i + view, view * 16 * halves + i] = 1
+    return p
+
+
+def _enc_stereo_ilv_kernel(xl_ref, xr_ref, b_ref, a_ref, q_ref, z_ref,
                            out_ref, *, rounding, groups, dtype,
                            halves: int):
     bmat = b_ref[...]
     amat = a_ref[...]
     q_big = q_ref[...]
+    zp = z_ref[...]
 
     def compute_tile(x_ref, h, c):
         x = (x_ref[0, pl.ds(h * PANEL, PANEL), pl.ds(c * CHUNK, CHUNK)]
@@ -65,8 +81,12 @@ def _enc_stereo_ilv_kernel(xl_ref, xr_ref, b_ref, a_ref, q_ref,
                     per_view.append(rows[0] if halves == 1
                                     else jnp.concatenate(rows, axis=0))
                 # sublane zip: out row 2s = view0 strip s, 2s+1 = view1
-                piece = jnp.stack(per_view, axis=1) \
-                    .reshape(32 * halves, per_view[0].shape[-1])
+                stacked = pltpu.bitcast(
+                    jnp.concatenate(per_view, axis=0), jnp.int8)
+                piece = (jax.lax.dot_general(
+                    zp, stacked, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                    & 255).astype(jnp.uint8)
                 out_ref[u * 8 + v, :, pl.ds(base * 16, 16 * size)] = piece
 
 
@@ -89,7 +109,9 @@ def enc_stereo_ilv(img, scales, rounding="rne", halves=2):
             pl.BlockSpec((1, PANEL * halves, w), lambda pg: (1, pg, 0),
                          memory_space=pltpu.VMEM)] + [
             pl.BlockSpec((128, 128), lambda pg: (0, 0),
-                         memory_space=pltpu.VMEM)] * 3,
+                         memory_space=pltpu.VMEM)] * 3 + [
+            pl.BlockSpec((32 * halves, 32 * halves), lambda pg: (0, 0),
+                         memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((64, 32 * halves, bw),
                                lambda pg: (0, pg, 0),
                                memory_space=pltpu.VMEM),
@@ -102,7 +124,7 @@ def enc_stereo_ilv(img, scales, rounding="rne", halves=2):
             bytes_accessed=2 * h * w, transcendentals=0),
     )(views, views, jnp.asarray(PK._row_basis_np()).astype(dtype),
       jnp.asarray(PK._stereo_col_basis_np()).astype(dtype),
-      PK._stereo_q_tile(scales))
+      PK._stereo_q_tile(scales), jnp.asarray(_zipmat_np(halves)))
 
 
 def main():

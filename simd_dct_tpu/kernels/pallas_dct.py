@@ -1154,6 +1154,70 @@ def _stereo_groups(num_chunks: int):
     return tuple(groups)
 
 
+@functools.lru_cache(maxsize=None)
+def _zipmat_np(halves: int) -> np.ndarray:
+    """(32h, 32h) 0/1 sublane-zip matrix: row 2i+view <- stacked row
+    view*16h + i.  The strip-row interleave of the reference stereo
+    stream as a constant s8 MXU matmul — jnp.repeat/stack/reshape
+    sublane-interleave formulations all crash the Mosaic remote
+    compiler when composed with the DCT pipeline (round 4, measured);
+    the matmul form lowers, and each output byte is exactly one input
+    byte mod 256, so bitcast-s8 / s32-accumulate / &255 is exact (the
+    same argument as the scalar-layout Pi matmul)."""
+    n = 32 * halves
+    p = np.zeros((n, n), np.int8)
+    for view in range(2):
+        for i in range(16 * halves):
+            p[2 * i + view, view * 16 * halves + i] = 1
+    return p
+
+
+def _enc_stereo_ilv_kernel(xl_ref, xr_ref, b_ref, a_ref, q_ref, z_ref,
+                           out_ref, *, rounding: str, groups, dtype,
+                           halves: int):
+    """Reference-interleaved stereo encode with NO epilogue: the output
+    is (64, 2S, BW) — a pure reshape of the reference byte stream
+    (plane, strip, view, b) — built by zipping both views' plane pieces
+    on the SUBLANE axis via the constant zip matmul.  Measured 129 vs
+    154 us/dual-view 4K for the kernel + XLA-transpose path it replaces
+    (experiments/exp_r9_stereo_ilv.py), byte-identical."""
+    bmat = b_ref[...]
+    amat = a_ref[...]
+    q_big = q_ref[...]
+    zp = z_ref[...]
+
+    def compute_tile(x_ref, h, c):
+        x = (x_ref[0, pl.ds(h * PANEL, PANEL), pl.ds(c * CHUNK, CHUNK)]
+             .astype(jnp.int32)
+             .astype(jnp.float32) * jnp.float32(1.0 / 255.0)).astype(dtype)
+        y = jnp.dot(x, amat, preferred_element_type=jnp.float32) \
+            .astype(dtype)
+        z = jnp.dot(bmat, y, preferred_element_type=jnp.float32)
+        return _quantize_tile(z * q_big, rounding)
+
+    for base, size in groups:
+        tiles = {v: [[compute_tile(x_ref, h, base + i) for i in range(size)]
+                     for h in range(halves)]
+                 for v, x_ref in ((0, xl_ref), (1, xr_ref))}
+        for u in range(8):
+            for v in range(8):
+                per_view = []
+                for view in range(2):
+                    rows = [jnp.concatenate(
+                        [t[u * 16:(u + 1) * 16, v * 16: v * 16 + 16]
+                         for t in tiles[view][h]], axis=1)
+                        for h in range(halves)]
+                    per_view.append(rows[0] if halves == 1
+                                    else jnp.concatenate(rows, axis=0))
+                stacked = pltpu.bitcast(
+                    jnp.concatenate(per_view, axis=0), jnp.int8)
+                piece = (jax.lax.dot_general(
+                    zp, stacked, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                    & 255).astype(jnp.uint8)
+                out_ref[u * 8 + v, :, pl.ds(base * 16, 16 * size)] = piece
+
+
 def _enc_stereo_kernel(xl_ref, xr_ref, b_ref, a_ref, q_ref,
                        out_ref, *, rounding: str, groups, dtype,
                        halves: int = 1):
@@ -1206,17 +1270,16 @@ def _enc_stereo_panels(img: jax.Array, scales: jax.Array, *, rounding: str,
     BW right-view bytes).  ``view_layout='planar'`` (fast path): the raw
     (2, 64, S, BW) kernel output — views stored separately, NO epilogue.
 
-    The kernel writes one (2, 64, 16, BW) block per panel whose leading
-    indices are VIEW and PLANE — the plane/panel-major reorder happens
-    for free in the BlockSpec, with every store 128-aligned.  The only
-    epilogue left on the interleaved layout is the view interleave (one
-    XLA transpose moving contiguous BW-byte runs, ~40% of the mode's
-    wall).  Writing the (64, S, 2*BW) stream directly from the kernel
-    was measured SLOWER (view 1's BW lane offset is not 128-aligned; the
-    masked stores cost ~2x the whole stack; experiments/
-    stereo_interleave_store.py).  NB a fused-sum checksum lets XLA
-    delete the interleave epilogue — honest walls for the interleaved
-    layout must materialize it (two-dispatch)."""
+    Round 4: the interleaved layout is emitted DIRECTLY from its own
+    kernel as (64, 2S, BW) — both views' plane pieces are computed in
+    the same grid step and zipped on the sublane axis by the constant
+    zip matmul (`_zipmat_np`), so the former XLA-transpose epilogue
+    (~40% of the mode's wall) is gone: 129 vs 154 us/dual-view 4K,
+    byte-identical (experiments/exp_r9_stereo_ilv.py).  Earlier
+    attempts that interleaved on the LANE axis (BW-offset masked
+    stores) measured 2x worse and remain negative results
+    (experiments/stereo_interleave_store.py).  The planar layout keeps
+    the per-view kernel: every store 128-aligned, no zip matmuls."""
     h, w = img.shape
     h2 = h // 2
     assert h2 % 8 == 0 and w % CHUNK == 0
@@ -1232,6 +1295,43 @@ def _enc_stereo_panels(img: jax.Array, scales: jax.Array, *, rounding: str,
     # a block boundary for ANY H2 % 8 == 0, not just panel multiples;
     # the final partial panel relies on Mosaic edge-block masking.
     views = img.reshape(2, h2, w)
+    if view_layout == "interleaved":
+        # round 4: the interleaved stream is emitted directly from the
+        # kernel via the sublane-zip matmul — no transpose epilogue
+        # (129 vs 154 us/dual-view 4K, byte-identical)
+        kernel = functools.partial(_enc_stereo_ilv_kernel,
+                                   rounding=rounding,
+                                   groups=_stereo_groups(w // CHUNK),
+                                   dtype=dtype, halves=halves)
+        grid_spec = pl.GridSpec(
+            grid=(n_pg,),
+            in_specs=[
+                pl.BlockSpec((1, PANEL * halves, w), lambda pg: (0, pg, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, PANEL * halves, w), lambda pg: (1, pg, 0),
+                             memory_space=pltpu.VMEM)] + [
+                pl.BlockSpec((128, 128), lambda pg: (0, 0),
+                             memory_space=pltpu.VMEM)] * 3 + [
+                pl.BlockSpec((32 * halves, 32 * halves),
+                             lambda pg: (0, 0),
+                             memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((64, 32 * halves, bw),
+                                   lambda pg: (0, pg, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((64, 2 * (h2 // 8), bw),
+                                           jnp.uint8),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * 2 * 128 * 128 * w * 2 * halves * n_pg,
+                bytes_accessed=2 * h * w, transcendentals=0),
+            interpret=interpret,
+        )(views, views, jnp.asarray(_row_basis_np()).astype(dtype),
+          jnp.asarray(_stereo_col_basis_np()).astype(dtype),
+          _stereo_q_tile(scales), jnp.asarray(_zipmat_np(halves)))
+        return out.reshape(64, h2 // 8, 2, bw)
     kernel = functools.partial(_enc_stereo_kernel, rounding=rounding,
                                groups=_stereo_groups(w // CHUNK),
                                dtype=dtype, halves=halves)
@@ -1259,9 +1359,7 @@ def _enc_stereo_panels(img: jax.Array, scales: jax.Array, *, rounding: str,
     )(views, views, jnp.asarray(_row_basis_np()).astype(dtype),
       jnp.asarray(_stereo_col_basis_np()).astype(dtype),
       _stereo_q_tile(scales))
-    if view_layout == "planar":
-        return out
-    return out.transpose(1, 2, 0, 3)
+    return out
 
 
 # -- hybrid modes: pallas tile compute + XLA byte-record permute -----------
