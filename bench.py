@@ -305,11 +305,13 @@ def main():
                 return jax.jit(lambda xs: jnp.sum(
                     jax.vmap(one)(xs).astype(jnp.int32)))
 
-            # stereo encode: materialize the planar tensor (two-dispatch)
-            f1 = jax.jit(jax.vmap(
-                lambda v: PK._enc_stereo_panels(v, scales_nq,
-                                                rounding="rne")))
-            f2 = jax.jit(lambda o: jnp.sum(o.astype(jnp.int32)))
+            # stereo interleaved encode: since round 4 the reference-
+            # interleaved stream comes straight out of its own kernel
+            # (sublane-zip matmul, no XLA epilogue), so the fused
+            # checksum is honest like every other pure-pallas row (the
+            # two-dispatch rule existed only for the deleted transpose
+            # epilogue; two-dispatch also pays ~120 us of result
+            # relayout that no fused pipeline consumer pays)
 
             from simd_dct_tpu.kernels import color32 as C32
             from simd_dct_tpu.kernels import color420 as C420
@@ -356,8 +358,9 @@ def main():
                 ("roundtrip32", None, csum(
                     lambda v: PK._roundtrip_panels(v, lut,
                                                    normalize=False))),
-                ("enc_stereo_materialized", (2 * H2, W),
-                 lambda xb: f2(f1(xb))),
+                ("enc_stereo_materialized", (2 * H2, W), csum(
+                    lambda v: PK._enc_stereo_panels(v, scales_nq,
+                                                    rounding="rne"))),
                 # separate-views fast path: single pallas output, no
                 # interleave epilogue -> fused sum is honest
                 ("enc_stereo_planar", (2 * H2, W), csum(
