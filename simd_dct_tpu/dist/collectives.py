@@ -259,3 +259,75 @@ def gather_planes_remote(segments: jax.Array, mesh: Mesh, *,
         fn, mesh=mesh,
         in_specs=P(None, axis_name, None),
         out_specs=P(), check_vma=False)(segments)
+
+
+def remote_dma_selfring_smoke(device=None) -> bool:
+    """Single-chip preflight for ``gather_planes_remote``'s hardware
+    branch: run the SAME prologue + DMA machinery — barrier semaphore
+    signalled with mesh-addressed ``device_id``s, local async copy, one
+    ``make_async_remote_copy`` hop — on a 1-device mesh whose ring
+    neighbor is the chip itself.
+
+    This executes the exact code the interpreter cannot vouch for
+    (Mosaic lowering + runtime execution of ``get_barrier_semaphore``,
+    cross-device-addressed ``semaphore_signal``, remote-DMA
+    descriptors) on ONE real chip; after it passes, the only untested
+    surface of the remote gather is true multi-chip topology (hop
+    ordering over a physical ICI link).  Intended as a deploy-time
+    preflight on real pods and on the single-chip CI ring.
+
+    Returns True when the roundtripped bytes are exact; raises on
+    compile or execution failure.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if device is None:
+        device = jax.devices()[0]
+    mesh = Mesh(np.array([device]), ("strip",))
+    collective_id = next_collective_id()
+    rng = np.random.default_rng(0)
+    seg = jnp.asarray(rng.integers(0, 256, (8, 16, 128), np.uint8))
+
+    def kernel(local_ref, out_ref, send_sem, recv_sem, copy_sem):
+        my_id = lax.axis_index("strip")
+        # n == 1: left == right == self; the barrier prologue and the
+        # remote hop address the chip by its own mesh coordinates
+        barrier = pltpu.get_barrier_semaphore()
+        pltpu.semaphore_signal(barrier, device_id=(my_id,),
+                               device_id_type=pltpu.DeviceIdType.MESH)
+        pltpu.semaphore_signal(barrier, device_id=(my_id,),
+                               device_id_type=pltpu.DeviceIdType.MESH)
+        pltpu.semaphore_wait(barrier, 2)
+        own = pltpu.make_async_copy(
+            local_ref, out_ref.at[:, pl.ds(0, 8), :], copy_sem)
+        own.start()
+        own.wait()
+        rc = pltpu.make_async_remote_copy(
+            src_ref=out_ref.at[:, pl.ds(0, 8), :],
+            dst_ref=out_ref.at[:, pl.ds(8, 8), :],
+            send_sem=send_sem, recv_sem=recv_sem,
+            device_id=(my_id,),
+            device_id_type=pltpu.DeviceIdType.MESH)
+        rc.start()
+        rc.wait()
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, 16, 128), jnp.uint8),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA] * 3,
+        compiler_params=pltpu.CompilerParams(
+            collective_id=collective_id),
+    )
+    out = jax.shard_map(
+        lambda x: call(x[:, :8, :]), mesh=mesh,
+        in_specs=P(None, "strip", None), out_specs=P(),
+        check_vma=False)(seg)
+    got = np.asarray(out)
+    want = np.concatenate([np.asarray(seg)[:, :8, :]] * 2, axis=1)
+    return bool(np.array_equal(got, want))

@@ -229,6 +229,19 @@ def test_use_pallas_rejects_mixed_platform_mesh():
         True, False)
 
 
+@pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="self-ring smoke needs a real TPU chip (tests force CPU); "
+           "run via dist.collectives.remote_dma_selfring_smoke() on "
+           "hardware — executed and passing on v5e, round 4")
+def test_remote_dma_selfring_smoke_hardware():
+    """Real-chip preflight of the remote gather's hardware branch:
+    barrier-semaphore prologue + mesh-addressed remote DMA on a
+    1-device self-ring (docs/STATUS.md hardware checklist #2)."""
+    from simd_dct_tpu.dist import collectives as C
+    assert C.remote_dma_selfring_smoke() is True
+
+
 def test_initialize_distributed_single_process():
     """Bootstrap helper: plain single-process run -> False, no side
     effects (safe to call unconditionally)."""
