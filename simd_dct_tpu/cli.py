@@ -84,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --compress: run-length-code the dominant "
                         "byte before the Huffman pack (better ratio on "
                         "typical records)")
+    p.add_argument("--sparse", action="store_true",
+                   help="with --compress: drop all-127 64-byte blocks "
+                        "on the device before the host pack (SDS1; "
+                        "lifts the pack-bound fps cap on typical "
+                        "content, dense input falls back transparently)")
     p.add_argument("--start-y", type=int, default=0)
     p.add_argument("--end-y", type=int, default=None)
     p.add_argument("--sharded", type=int, default=None, metavar="N",
@@ -224,7 +229,9 @@ def main(argv=None) -> int:
             import time as _t
             from simd_dct_tpu import entropy as E
             t0 = _t.perf_counter()
-            blob = E.compress_records(out, rle=args.rle)
+            blob = (E.compress_sparse(out, rle=args.rle)
+                    if args.sparse
+                    else E.compress_records(out, rle=args.rle))
             dt = _t.perf_counter() - t0
             print(f"{name + ' entropy':<28} | "
                   f"{last_output.size / blob.size:6.2f}x ratio | "
@@ -358,7 +365,8 @@ def main(argv=None) -> int:
             src = rgb_planes if last.startswith("enc-quant32-ycbcr") else img
             C.encode(np.ascontiguousarray(src), last,
                      quality=args.quality, compress=args.compress,
-                     rle=args.rle, start_y=args.start_y,
+                     rle=args.rle, sparse=args.sparse,
+                     start_y=args.start_y,
                      end_y=args.end_y).tofile(args.out_file)
         else:
             last_output.tofile(args.out_file)

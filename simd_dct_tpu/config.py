@@ -164,14 +164,20 @@ class Encoder:
 
     # -- entropy-coded bitstream (north-star extension) -----------------
 
-    def encode_quantize32_compressed(self, image,
-                                     rle: bool = False) -> np.ndarray:
+    def encode_quantize32_compressed(self, image, rle: bool = False,
+                                     sparse: bool = False) -> np.ndarray:
         """Fused mode32 encode + on-device histogram + native 4-stream
         Huffman pack -> self-contained compressed stream (``rle=True``:
-        run-length + Huffman, better ratio on typical records)."""
+        run-length + Huffman, better ratio on typical records;
+        ``sparse=True``: device-side significance compaction first — the
+        host packs only significant 64-byte blocks, lifting the
+        pack-bound fps cap ~1/kept_fraction on typical content; dense
+        inputs fall back to the plain formats transparently)."""
         from . import entropy
-        return entropy.compress_records(self.encode_quantize32(image),
-                                        rle=rle)
+        rec = self.encode_quantize32(image)
+        if sparse:
+            return entropy.compress_sparse(rec, rle=rle)
+        return entropy.compress_records(rec, rle=rle)
 
     def decode_quantize32_compressed(self, blob, size_x: int, size_y: int):
         """Inverse: native Huffman unpack + fused mode32 decode."""
@@ -182,14 +188,16 @@ class Encoder:
     # -- self-describing containers (north-star extension) ---------------
 
     def encode_container(self, image, mode: str = "enc-quant32", *,
-                         compress: bool = True, rle: bool = False):
+                         compress: bool = True, rle: bool = False,
+                         sparse: bool = False):
         """Image -> .sdt container under this config (mode + geometry +
         the exact LUTs travel in the header; see simd_dct_tpu.container)."""
         from . import container
         c = self.config
         return container.encode(image, mode, quality=c.quality,
                                 rounding=c.rounding, compress=compress,
-                                rle=rle, start_y=c.start_y, end_y=c.end_y,
+                                rle=rle, sparse=sparse,
+                                start_y=c.start_y, end_y=c.end_y,
                                 backend=c.backend)
 
     def decode_container(self, blob):
@@ -200,14 +208,17 @@ class Encoder:
                                 compat=self.config.compat)
 
     def encode_video_container(self, frames, mode: str = "enc-quant32", *,
-                               compress: bool = True, rle: bool = False):
+                               compress: bool = True, rle: bool = False,
+                               sparse: bool = False):
         """Frame batch -> .sdtv container (one batched device dispatch,
-        per-frame payloads, shared Huffman table)."""
+        per-frame payloads, shared Huffman table; ``sparse``: per-frame
+        SDS1 device precompaction)."""
         from . import container
         c = self.config
         return container.encode_video(frames, mode, quality=c.quality,
                                       rounding=c.rounding,
                                       compress=compress, rle=rle,
+                                      sparse=sparse,
                                       backend=c.backend)
 
     def decode_video_container(self, blob):

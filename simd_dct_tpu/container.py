@@ -200,11 +200,15 @@ def _encode_records(image, mode: str, quality, rounding: str, backend,
 
 def encode(image, mode: str = "enc-quant32", *, quality: float | None = None,
            rounding: str = "rne", compress: bool = True, rle: bool = False,
+           sparse: bool = False,
            start_y: int = 0, end_y: int | None = None,
            backend: str | None = None,
            view_layout: str = "interleaved") -> np.ndarray:
     """u8 image (or (3,H,W) planes for ycbcr) -> self-contained .sdt
-    container.  ``compress`` wraps the records in the entropy coder.
+    container.  ``compress`` wraps the records in the entropy coder;
+    ``sparse=True`` precompacts all-127 64-byte blocks on the DEVICE
+    first (SDS1 — the host packs only significant blocks; dense inputs
+    fall back transparently and ``decode`` needs no flag).
     ``view_layout='planar'`` (stereo only) stores the two views' plane
     segments separately — the fused kernel's native layout, skipping the
     view-interleave on encode AND decode; the flag travels in the
@@ -217,7 +221,11 @@ def encode(image, mode: str = "enc-quant32", *, quality: float | None = None,
                                         backend, start_y, end_y,
                                         view_layout=view_layout)
     rec = np.asarray(rec).reshape(-1)
-    payload = entropy.compress_records(rec, rle=rle) if compress else rec
+    if compress:
+        payload = (entropy.compress_sparse(rec, rle=rle) if sparse
+                   else entropy.compress_records(rec, rle=rle))
+    else:
+        payload = rec
     meta = FrameMeta(mode=mode, size_x=w, size_y=h, luma_lut=luma,
                      chroma_lut=chroma, rounding=rounding,
                      start_y=start_y, end_y=end_y, packed=compress,
@@ -266,6 +274,7 @@ class VideoMeta:
 def encode_video(frames, mode: str = "enc-quant32", *,
                  quality: float | None = None, rounding: str = "rne",
                  compress: bool = True, rle: bool = False,
+                 sparse: bool = False,
                  backend: str | None = None,
                  view_layout: str = "interleaved") -> np.ndarray:
     """u8 frame batch (B,H,W) — or (B,3,H,W) planes for ycbcr — ->
@@ -291,7 +300,12 @@ def encode_video(frames, mode: str = "enc-quant32", *,
     rec = np.asarray(rec).reshape(b, -1)
 
     if compress:
-        if rle:
+        if sparse:
+            # per-frame SDS1 (each frame's bitmap + kept blocks stay
+            # independently decodable for random access)
+            payloads = [entropy.compress_sparse(rec[i], rle=rle)
+                        for i in range(b)]
+        elif rle:
             payloads = [entropy.compress(rec[i], rle=True) for i in range(b)]
         else:
             # one table from the whole batch's statistics (device-side

@@ -218,6 +218,23 @@ def test_compress_rle_flag(raw_image, capsys, tmp_path):
     np.testing.assert_array_equal(E.decompress(blob), want)
 
 
+def test_compress_sparse_flag(raw_image, capsys, tmp_path):
+    """--compress --sparse writes a decodable stream whose bytes recover
+    exactly (SDS1 on sparse content, transparent fallback otherwise)."""
+    from simd_dct_tpu import entropy as E
+    import simd_dct_tpu as sd
+    path, img = raw_image
+    out = tmp_path / "out.sds"
+    rc = cli.main([str(path), "128", "64", "--runs", "1", "--quality",
+                   "50", "--mode", "enc-quant32", "--compress", "--sparse",
+                   "--to", str(out)])
+    assert rc == 0
+    blob = np.fromfile(out, np.uint8)
+    lut = sd.default_quant_lut(50) * 255.0
+    want = np.asarray(sd.encode_quantize32(img, lut))
+    np.testing.assert_array_equal(E.decompress(blob), want)
+
+
 def test_to_sdt_container(raw_image, capsys, tmp_path):
     """--to file.sdt writes the self-describing container for the last
     mode run; the container module decodes it without any out-of-band

@@ -86,6 +86,10 @@ def test_encoder_compressed_pipeline():
                                 128, 64)
     np.testing.assert_array_equal(np.asarray(dec), np.asarray(ref))
     assert blob.size < 64 * 128 // 2  # smooth content compresses >2x
+    # sparse=True is semantically invisible (round-4 wiring)
+    blob_s = enc.encode_quantize32_compressed(img, sparse=True)
+    dec_s = enc.decode_quantize32_compressed(blob_s, 128, 64)
+    np.testing.assert_array_equal(np.asarray(dec_s), np.asarray(ref))
 
 
 def test_encoder_container_roundtrip():

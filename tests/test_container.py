@@ -210,6 +210,22 @@ class TestVideo:
                            compress=False)))
         np.testing.assert_array_equal(got, ref)
 
+    def test_sparse_payloads_frame_and_video(self):
+        """sparse=True (device SDS1 precompaction) must be semantically
+        invisible: identical decodes for frames and video, including
+        per-frame random access (round-4 wiring)."""
+        frames = np.stack([_img(64, 128, i) for i in range(2)])
+        ref = np.asarray(C.decode_video(
+            C.encode_video(frames, "enc-quant32", quality=50.0,
+                           compress=False)))
+        vb = C.encode_video(frames, "enc-quant32", quality=50.0,
+                            sparse=True)
+        np.testing.assert_array_equal(np.asarray(C.decode_video(vb)), ref)
+        np.testing.assert_array_equal(
+            np.asarray(C.decode_video_frame(vb, 1)), ref[1])
+        fb = C.encode(frames[0], "enc-quant32", quality=50.0, sparse=True)
+        np.testing.assert_array_equal(np.asarray(C.decode(fb)), ref[0])
+
     def test_video_shared_table_beats_or_matches_sizes(self):
         """Compressed video payloads stay decodable and the shared table
         is built once (smoke: ratio sane on smooth frames)."""
