@@ -122,6 +122,13 @@ class TestFrameFeeder:
         for fr, blob in zip(frames, blobs):
             want = np.asarray(sd.encode_quantize32(fr, lut))
             np.testing.assert_array_equal(E.decompress(blob), want)
+        # sparse=True (SDS1 device precompaction) is semantically
+        # invisible per frame (round-4 wiring)
+        sblobs = list(stream_encode32_compressed(iter(frames), lut,
+                                                 depth=2, sparse=True))
+        for fr, blob in zip(frames, sblobs):
+            want = np.asarray(sd.encode_quantize32(fr, lut))
+            np.testing.assert_array_equal(E.decompress(blob), want)
 
     def test_stream_compressed_table_rebuild(self):
         """A frame with symbols absent from the shared table rebuilds
