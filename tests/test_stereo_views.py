@@ -87,6 +87,30 @@ def test_planar_strip_range(img, lut):
     np.testing.assert_array_equal(views, want)
 
 
+def test_interleaved_pad_and_slice_geometry():
+    """W % 128 != 0 rides the W pad-and-slice path through the fused
+    interleave kernel (round 4: the interleaved stream is emitted
+    in-kernel): flat stream and planar tensor must stay exact
+    re-expressions, and decode must agree across layouts."""
+    rng = np.random.default_rng(3)
+    h, w = 128, 136                       # pads W to 256, halves=1
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    lut = default_quant_lut(60)
+    flat = np.asarray(api.encode_quantize_stereo(
+        img, lut, backend="pallas", pallas_interpret=True))
+    views = np.asarray(api.encode_quantize_stereo(
+        img, lut, view_layout="planar",
+        backend="pallas", pallas_interpret=True))
+    want = flat.reshape(64, h // 16, 2, w // 8).transpose(2, 0, 1, 3)
+    np.testing.assert_array_equal(views, want)
+    dec_i = np.asarray(api.decode_quantize_stereo(
+        flat, lut, w, h, backend="pallas", pallas_interpret=True))
+    dec_p = np.asarray(api.decode_quantize_stereo(
+        views, lut, w, h, view_layout="planar",
+        backend="pallas", pallas_interpret=True))
+    np.testing.assert_array_equal(dec_i, dec_p)
+
+
 def test_planar_validation():
     lut = default_quant_lut(60)
     with pytest.raises(sd.InvalidParameterError):
