@@ -301,10 +301,10 @@ def encode_video(frames, mode: str = "enc-quant32", *,
 
     if compress:
         if sparse:
-            # per-frame SDS1 (each frame's bitmap + kept blocks stay
-            # independently decodable for random access)
-            payloads = [entropy.compress_sparse(rec[i], rle=rle)
-                        for i in range(b)]
+            # per-frame SDS1 streams (random access preserved); the
+            # significance counts for the whole batch come from ONE
+            # device dispatch
+            payloads = entropy.compress_sparse_batch(rec, rle=rle)
         elif rle:
             payloads = [entropy.compress(rec[i], rle=True) for i in range(b)]
         else:

@@ -435,16 +435,12 @@ def _sparse_blocks(records):
     return flat.reshape(-1, SPARSE_BLOCK), n
 
 
-def compress_sparse(records, *, rle: bool = False,
-                    max_kept_frac: float = 0.85) -> np.ndarray:
-    """u8 records -> compressed stream, with all-127 64-byte blocks
-    dropped on the DEVICE before the host Huffman pack.  Falls back to
-    the plain ``compress`` formats when more than ``max_kept_frac`` of
-    the blocks are significant (the bitmap would buy nothing), so the
-    result always decodes via ``decompress``."""
-    blocks, n = _sparse_blocks(records)
+def _finish_sparse(blocks, n: int, count: int, rle: bool,
+                   max_kept_frac: float) -> np.ndarray:
+    """Shared tail of the sparse pipelines: compaction gather + header
+    assembly (or the transparent dense fallback) for ONE stream whose
+    significance ``count`` is already known."""
     nblk = blocks.shape[0]
-    count = int(_sparse_count_jit()(blocks))
     if count > max_kept_frac * nblk:
         data = np.asarray(blocks).reshape(-1)[:n]
         return compress(data, rle=rle)
@@ -464,6 +460,55 @@ def compress_sparse(records, *, rle: bool = False,
     out[20:20 + bm.size] = bm
     out[20 + bm.size:] = payload
     return out
+
+
+def compress_sparse(records, *, rle: bool = False,
+                    max_kept_frac: float = 0.85) -> np.ndarray:
+    """u8 records -> compressed stream, with all-127 64-byte blocks
+    dropped on the DEVICE before the host Huffman pack.  Falls back to
+    the plain ``compress`` formats when more than ``max_kept_frac`` of
+    the blocks are significant (the bitmap would buy nothing), so the
+    result always decodes via ``decompress``."""
+    blocks, n = _sparse_blocks(records)
+    count = int(_sparse_count_jit()(blocks))
+    return _finish_sparse(blocks, n, count, rle, max_kept_frac)
+
+
+@functools.cache
+def _sparse_count_batch_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def count(blocks):     # (B, nblk, 64)
+        flags = jnp.any(blocks != jnp.uint8(127), axis=2)
+        return jnp.sum(flags.astype(jnp.int32), axis=1)
+    return count
+
+
+def compress_sparse_batch(records, *, rle: bool = False,
+                          max_kept_frac: float = 0.85) -> list:
+    """(B, N) u8 record batch -> B independently-decodable sparse
+    streams, with the significance counts of ALL frames computed in ONE
+    device dispatch (the per-frame compaction gathers still run per
+    frame; pow2-bucketed caps keep their compile count bounded)."""
+    import jax.numpy as jnp
+    arr = np.asarray(records)
+    if arr.ndim != 2:
+        raise EntropyError("compress_sparse_batch expects a (B, N) batch")
+    b, n = arr.shape
+    if n == 0:
+        raise EntropyError("empty input has no code")
+    unit = 8 * SPARSE_BLOCK
+    pad = (-n) % unit
+    dev = jnp.asarray(arr)
+    if pad:
+        dev = jnp.concatenate(
+            [dev, jnp.full((b, pad), 127, jnp.uint8)], axis=1)
+    blocks = dev.reshape(b, -1, SPARSE_BLOCK)
+    counts = np.asarray(_sparse_count_batch_jit()(blocks))
+    return [_finish_sparse(blocks[i], n, int(counts[i]), rle,
+                           max_kept_frac) for i in range(b)]
 
 
 def _decompress_sparse(data: np.ndarray) -> np.ndarray:

@@ -1172,6 +1172,18 @@ def _zipmat_np(halves: int) -> np.ndarray:
     return p
 
 
+def _stereo_compute_tile(x_ref, h, c, bmat, amat, q_big, rounding, dtype):
+    """One (128,128) quantized stereo Z tile: normalize -> 2 basis
+    matmuls -> quantize (shared by the interleaved and planar stereo
+    encode kernels — keep their pipelines in lockstep)."""
+    x = (x_ref[0, pl.ds(h * PANEL, PANEL), pl.ds(c * CHUNK, CHUNK)]
+         .astype(jnp.int32)
+         .astype(jnp.float32) * jnp.float32(1.0 / 255.0)).astype(dtype)
+    y = jnp.dot(x, amat, preferred_element_type=jnp.float32).astype(dtype)
+    z = jnp.dot(bmat, y, preferred_element_type=jnp.float32)
+    return _quantize_tile(z * q_big, rounding)
+
+
 def _enc_stereo_ilv_kernel(xl_ref, xr_ref, b_ref, a_ref, q_ref, z_ref,
                            out_ref, *, rounding: str, groups, dtype,
                            halves: int):
@@ -1186,18 +1198,10 @@ def _enc_stereo_ilv_kernel(xl_ref, xr_ref, b_ref, a_ref, q_ref, z_ref,
     q_big = q_ref[...]
     zp = z_ref[...]
 
-    def compute_tile(x_ref, h, c):
-        x = (x_ref[0, pl.ds(h * PANEL, PANEL), pl.ds(c * CHUNK, CHUNK)]
-             .astype(jnp.int32)
-             .astype(jnp.float32) * jnp.float32(1.0 / 255.0)).astype(dtype)
-        y = jnp.dot(x, amat, preferred_element_type=jnp.float32) \
-            .astype(dtype)
-        z = jnp.dot(bmat, y, preferred_element_type=jnp.float32)
-        return _quantize_tile(z * q_big, rounding)
-
     for base, size in groups:
-        tiles = {v: [[compute_tile(x_ref, h, base + i) for i in range(size)]
-                     for h in range(halves)]
+        tiles = {v: [[_stereo_compute_tile(x_ref, h, base + i, bmat, amat,
+                                           q_big, rounding, dtype)
+                      for i in range(size)] for h in range(halves)]
                  for v, x_ref in ((0, xl_ref), (1, xr_ref))}
         for u in range(8):
             for v in range(8):
@@ -1229,18 +1233,10 @@ def _enc_stereo_kernel(xl_ref, xr_ref, b_ref, a_ref, q_ref,
     amat = a_ref[...]
     q_big = q_ref[...]
 
-    def compute_tile(x_ref, h, c):
-        x = (x_ref[0, pl.ds(h * PANEL, PANEL), pl.ds(c * CHUNK, CHUNK)]
-             .astype(jnp.int32)
-             .astype(jnp.float32) * jnp.float32(1.0 / 255.0)).astype(dtype)
-        y = jnp.dot(x, amat, preferred_element_type=jnp.float32) \
-            .astype(dtype)
-        z = jnp.dot(bmat, y, preferred_element_type=jnp.float32)
-        return _quantize_tile(z * q_big, rounding)
-
     for view, x_ref in ((0, xl_ref), (1, xr_ref)):
         for base, size in groups:
-            tiles = [[compute_tile(x_ref, h, base + i)
+            tiles = [[_stereo_compute_tile(x_ref, h, base + i, bmat, amat,
+                                           q_big, rounding, dtype)
                       for i in range(size)] for h in range(halves)]
             for u in range(8):
                 for v in range(8):

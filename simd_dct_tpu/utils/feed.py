@@ -97,7 +97,10 @@ def stream_encode32_compressed(frames: Iterable[Any], lut, *,
     precompaction (`entropy.compress_sparse`): the host packs only the
     significant 64-byte blocks, lifting the pack-bound sustained fps by
     ~1/kept_fraction on typical content — the reason this wrapper
-    exists.  Streams decode via the same ``entropy.decompress``."""
+    exists.  Streams decode via the same ``entropy.decompress``.
+    NB ``shared_table`` does not apply on this path: each frame's kept
+    blocks get their own table (kept streams are small, so the
+    per-frame table build is cheap relative to the pack it replaces)."""
     import numpy as np
     import jax.numpy as jnp
     from .. import api, entropy
