@@ -502,6 +502,23 @@ def test_sparse_all_trivial():
     rec = np.full(64 * 64, 127, np.uint8)
     blob = E.compress_sparse(rec)
     assert blob.size < 100
+
+
+def test_sparse_batch_matches_per_frame():
+    """compress_sparse_batch: one batched count dispatch, per-frame
+    streams byte-identical to per-frame compress_sparse; typed errors
+    on bad shapes (round-4 review follow-up)."""
+    recs = np.stack([_sparse_records(nblk=128, active_every=k + 2,
+                                     seed=k) for k in range(3)])
+    got = E.compress_sparse_batch(recs)
+    assert len(got) == 3
+    for i in range(3):
+        np.testing.assert_array_equal(got[i], E.compress_sparse(recs[i]))
+        np.testing.assert_array_equal(E.decompress(got[i]), recs[i])
+    with pytest.raises(E.EntropyError):
+        E.compress_sparse_batch(recs[0])          # 1-D
+    with pytest.raises(E.EntropyError):
+        E.compress_sparse_batch(np.zeros((2, 0), np.uint8))
     np.testing.assert_array_equal(E.decompress(blob), rec)
 
 
