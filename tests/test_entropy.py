@@ -502,6 +502,7 @@ def test_sparse_all_trivial():
     rec = np.full(64 * 64, 127, np.uint8)
     blob = E.compress_sparse(rec)
     assert blob.size < 100
+    np.testing.assert_array_equal(E.decompress(blob), rec)
 
 
 def test_sparse_batch_matches_per_frame():
@@ -519,7 +520,6 @@ def test_sparse_batch_matches_per_frame():
         E.compress_sparse_batch(recs[0])          # 1-D
     with pytest.raises(E.EntropyError):
         E.compress_sparse_batch(np.zeros((2, 0), np.uint8))
-    np.testing.assert_array_equal(E.decompress(blob), rec)
 
 
 def test_sparse_device_expand_matches():
