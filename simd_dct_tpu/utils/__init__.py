@@ -6,7 +6,8 @@ from .profiling import (
 )
 from .debug import interpret_kernels, check_deterministic, compare_backends
 from .feed import (FrameFeeder, stream_roundtrip32,
-                   stream_encode32_compressed)
+                   stream_encode32_compressed,
+                   stream_decode32_compressed)
 from .metrics import psnr, mse
 
 __all__ = [
@@ -14,4 +15,6 @@ __all__ = [
     "RooflineReport", "device_timer", "trace", "measure",
     "interpret_kernels", "check_deterministic", "compare_backends",
     "psnr", "mse",
+    "FrameFeeder", "stream_roundtrip32", "stream_encode32_compressed",
+    "stream_decode32_compressed",
 ]

@@ -132,3 +132,32 @@ def stream_encode32_compressed(frames: Iterable[Any], lut, *,
             lengths = entropy.build_lengths(
                 np.asarray(hist).astype(np.uint64))
             yield entropy.compress(rec_h, lengths)
+
+
+def stream_decode32_compressed(blobs: Iterable[Any], lut, size_x: int,
+                               size_y: int, *, depth: int = 2,
+                               backend: str | None = None) -> Iterator[Any]:
+    """Pipelined inverse of ``stream_encode32_compressed``: the HOST
+    Huffman unpack of blob k+1 overlaps the DEVICE mode32 decode of
+    blob k (device dispatches are async — each decoded frame is fetched
+    only after the next blob's unpack has been issued; ``depth`` bounds
+    the frames in flight).  Accepts any stream ``entropy.decompress``
+    understands (plain/RLE/K-chunk/SDS1 sparse)."""
+    from collections import deque
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from .. import api, entropy
+
+    lut_d = jnp.asarray(lut)
+    pending: "deque" = deque()
+    for blob in blobs:
+        rec = entropy.decompress(blob)            # host unpack
+        fr = api.decode_quantize32(jnp.asarray(rec), lut_d,
+                                   size_x, size_y, backend=backend)
+        pending.append(fr)                        # device decode in flight
+        while len(pending) > depth:
+            yield np.asarray(pending.popleft())
+    while pending:
+        yield np.asarray(pending.popleft())

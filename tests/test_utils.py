@@ -130,6 +130,29 @@ class TestFrameFeeder:
             want = np.asarray(sd.encode_quantize32(fr, lut))
             np.testing.assert_array_equal(E.decompress(blob), want)
 
+    def test_stream_decode32_compressed(self):
+        """Streaming inverse: blobs -> frames equals per-blob direct
+        decode, any payload format incl. sparse (round-4 wiring)."""
+        import simd_dct_tpu as sd
+        from simd_dct_tpu import entropy as E
+        from simd_dct_tpu.utils.feed import (stream_encode32_compressed,
+                                             stream_decode32_compressed)
+        from simd_dct_tpu.core import default_quant_lut
+        yy, xx = np.mgrid[0:32, 0:64]
+        frames = [np.clip(128 + 50 * np.sin((xx + p) / 7), 0,
+                          255).astype(np.uint8) for p in range(3)]
+        lut = default_quant_lut(100) * 255.0
+        for kw in ({}, {"sparse": True}):
+            blobs = list(stream_encode32_compressed(iter(frames), lut,
+                                                    depth=2, **kw))
+            outs = list(stream_decode32_compressed(iter(blobs), lut,
+                                                   64, 32, depth=2))
+            assert len(outs) == 3
+            for blob, out in zip(blobs, outs):
+                ref = np.asarray(sd.decode_quantize32(
+                    E.decompress(blob), lut, 64, 32))
+                np.testing.assert_array_equal(out, ref)
+
     def test_stream_compressed_table_rebuild(self):
         """A frame with symbols absent from the shared table rebuilds
         transparently instead of failing."""
