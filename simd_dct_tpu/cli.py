@@ -89,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "on the device before the host pack (SDS1; "
                         "lifts the pack-bound fps cap on typical "
                         "content, dense input falls back transparently)")
+    p.add_argument("--layout", choices=("scalar", "pair"),
+                   default="scalar",
+                   help="enc-quant byte layout: 'scalar' (block-"
+                        "contiguous, ≙ the reference NoSimd kernel) or "
+                        "'pair' (the SSE4.1 pair-cell layout)")
     p.add_argument("--start-y", type=int, default=0)
     p.add_argument("--end-y", type=int, default=None)
     p.add_argument("--sharded", type=int, default=None, metavar="N",
@@ -256,11 +261,13 @@ def main(argv=None) -> int:
         else:
             run_mode(
                 "enc-quant",
-                lambda: sd.encode_quantize(imgj, lut, args.start_y, end_y),
-                lambda d: sd.decode_quantize(d, lut, w, h),
+                lambda: sd.encode_quantize(imgj, lut, args.start_y, end_y,
+                                           layout=args.layout),
+                lambda d: sd.decode_quantize(d, lut, w, h,
+                                             layout=args.layout),
                 img[: h // 2],
-                enc_one=lambda im: sd.encode_quantize(im, lut, args.start_y,
-                                                      end_y))
+                enc_one=lambda im: sd.encode_quantize(
+                    im, lut, args.start_y, end_y, layout=args.layout))
     if "enc-quant32" in modes:
         if w % 64:
             print(f"{'enc-quant32':<28} | not supported (W % 64 != 0)")
@@ -362,6 +369,9 @@ def main(argv=None) -> int:
             # requested-but-unsupported/skipped modes must not be picked)
             from simd_dct_tpu import container as C
             last = last_mode
+            if last == "enc-quant" and args.layout == "pair":
+                last = "enc-quant-pair"   # container mode string carries
+                # the byte layout so decode needs no side channel
             src = rgb_planes if last.startswith("enc-quant32-ycbcr") else img
             C.encode(np.ascontiguousarray(src), last,
                      quality=args.quality, compress=args.compress,

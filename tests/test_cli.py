@@ -218,6 +218,31 @@ def test_compress_rle_flag(raw_image, capsys, tmp_path):
     np.testing.assert_array_equal(E.decompress(blob), want)
 
 
+def test_layout_pair_flag(raw_image, capsys, tmp_path):
+    """--layout pair benches/dumps the SSE4.1 pair-cell byte layout;
+    a .sdt dump stores mode 'enc-quant-pair' so decode needs no side
+    channel (round-4 CLI parity gap)."""
+    import simd_dct_tpu as sd
+    from simd_dct_tpu import container as C
+    path, img = raw_image
+    out = tmp_path / "pair.raw"
+    rc = cli.main([str(path), "128", "64", "--runs", "1", "--quality",
+                   "50", "--mode", "enc-quant", "--layout", "pair",
+                   "--to", str(out)])
+    assert rc == 0
+    lut = sd.default_quant_lut(50)
+    want = np.asarray(sd.encode_quantize(img, lut, layout="pair"))
+    np.testing.assert_array_equal(np.fromfile(out, np.uint8), want)
+    sdt = tmp_path / "pair.sdt"
+    rc = cli.main([str(path), "128", "64", "--runs", "1", "--quality",
+                   "50", "--mode", "enc-quant", "--layout", "pair",
+                   "--to", str(sdt)])
+    assert rc == 0
+    blob = np.fromfile(sdt, np.uint8)
+    assert C.info(blob).mode == "enc-quant-pair"
+    assert np.asarray(C.decode(blob)).shape == (32, 128)
+
+
 def test_compress_sparse_flag(raw_image, capsys, tmp_path):
     """--compress --sparse writes a decodable stream whose bytes recover
     exactly (SDS1 on sparse content, transparent fallback otherwise)."""
