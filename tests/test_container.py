@@ -225,6 +225,15 @@ class TestVideo:
             np.asarray(C.decode_video_frame(vb, 1)), ref[1])
         fb = C.encode(frames[0], "enc-quant32", quality=50.0, sparse=True)
         np.testing.assert_array_equal(np.asarray(C.decode(fb)), ref[0])
+        # cross-feature: stereo planar layout x sparse payloads
+        sref = np.asarray(C.decode_video(C.encode_video(
+            frames, "enc-quant-stereo", quality=50.0, compress=False,
+            view_layout="planar")))
+        svb = C.encode_video(frames, "enc-quant-stereo", quality=50.0,
+                             sparse=True, view_layout="planar")
+        np.testing.assert_array_equal(np.asarray(C.decode_video(svb)), sref)
+        np.testing.assert_array_equal(
+            np.asarray(C.decode_video_frame(svb, 1)), sref[1])
 
     def test_video_shared_table_beats_or_matches_sizes(self):
         """Compressed video payloads stay decodable and the shared table
