@@ -11,7 +11,8 @@ import numpy as np
 
 import simd_dct_tpu as sd
 from simd_dct_tpu import container
-from simd_dct_tpu.utils.feed import stream_encode32_compressed
+from simd_dct_tpu.utils.feed import (stream_encode32_compressed,
+                                     stream_decode32_compressed)
 
 H, W = 128, 256
 frames = np.stack([
@@ -32,8 +33,17 @@ assert np.array_equal(frame5, batch[5])
 print("random-access frame == batch decode: ok")
 
 # Streaming form: the device encodes frame k+1 while the host Huffman-
-# packs frame k (bounded lookahead, constant memory).
+# packs frame k (bounded lookahead, constant memory).  sparse=True
+# drops all-127 64-byte blocks ON DEVICE first (SDS1) so the host packs
+# only significant content — the pack-bound fps cap scales by
+# ~1/kept_fraction; the streams stay decodable by the same entry.
 lut = sd.default_quant_lut(50) * 255.0
-blobs = list(stream_encode32_compressed(iter(frames), lut))
-print(f"streamed {len(blobs)} compressed frames, "
+blobs = list(stream_encode32_compressed(iter(frames), lut, sparse=True))
+print(f"streamed {len(blobs)} sparse-compressed frames, "
       f"{sum(b.size for b in blobs)} bytes total")
+
+# Streaming inverse: host unpack of blob k+1 overlaps the device decode
+# of blob k.
+outs = list(stream_decode32_compressed(iter(blobs), lut, W, H))
+assert all(o.shape == (H // 2, W) for o in outs)
+print(f"streamed {len(outs)} decoded frames back: ok")
