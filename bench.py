@@ -435,6 +435,12 @@ def main():
         except Exception as exc:      # per-mode extras must never kill
             mode_us["error"] = f"{type(exc).__name__}: {exc}"  # the headline
         try:
+            # `walls` holds the same device batches — drop BOTH or the
+            # ~2 GB stays resident (review finding, round 4)
+            del walls
+        except NameError:
+            pass
+        try:
             del bs_enc      # free ~2 GB of HBM before the entropy stage
         except NameError:
             pass

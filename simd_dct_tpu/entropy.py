@@ -436,14 +436,18 @@ def _sparse_blocks(records):
 
 
 def _finish_sparse(blocks, n: int, count: int, rle: bool,
-                   max_kept_frac: float) -> np.ndarray:
+                   max_kept_frac: float, fallback=None) -> np.ndarray:
     """Shared tail of the sparse pipelines: compaction gather + header
     assembly (or the transparent dense fallback) for ONE stream whose
-    significance ``count`` is already known."""
+    significance ``count`` is already known.  ``fallback``: the
+    original (host) bytes to compress on the dense path — avoids a
+    second full-record device round-trip (review finding, round 4)."""
     nblk = blocks.shape[0]
     if count > max_kept_frac * nblk:
-        data = np.asarray(blocks).reshape(-1)[:n]
-        return compress(data, rle=rle)
+        if fallback is None:
+            fallback = np.asarray(blocks).reshape(-1)[:n]
+        return compress(np.asarray(fallback, np.uint8).reshape(-1),
+                        rle=rle)
     cap = 1
     while cap < max(count, 1):
         cap *= 2
@@ -471,7 +475,13 @@ def compress_sparse(records, *, rle: bool = False,
     result always decodes via ``decompress``."""
     blocks, n = _sparse_blocks(records)
     count = int(_sparse_count_jit()(blocks))
-    return _finish_sparse(blocks, n, count, rle, max_kept_frac)
+    if isinstance(records, (bytes, bytearray, memoryview)):
+        fallback = np.frombuffer(records, np.uint8)
+    elif isinstance(records, np.ndarray):
+        fallback = records.reshape(-1)
+    else:
+        fallback = None         # device array: one D2H either way
+    return _finish_sparse(blocks, n, count, rle, max_kept_frac, fallback)
 
 
 @functools.cache
@@ -508,7 +518,8 @@ def compress_sparse_batch(records, *, rle: bool = False,
     blocks = dev.reshape(b, -1, SPARSE_BLOCK)
     counts = np.asarray(_sparse_count_batch_jit()(blocks))
     return [_finish_sparse(blocks[i], n, int(counts[i]), rle,
-                           max_kept_frac) for i in range(b)]
+                           max_kept_frac, fallback=arr[i])
+            for i in range(b)]
 
 
 def _decompress_sparse(data: np.ndarray) -> np.ndarray:
@@ -530,7 +541,14 @@ def _decompress_sparse(data: np.ndarray) -> np.ndarray:
     if int(flags.sum()) != count:
         raise EntropyError("corrupt sparse stream: bitmap/count mismatch")
     if count:
-        kept = decompress(data[_SPARSE_HDR + bm_bytes:])
+        payload = data[_SPARSE_HDR + bm_bytes:]
+        if payload.size >= 4 and int(np.frombuffer(
+                payload[:4].tobytes(), np.uint32)[0]) == _MAGICS:
+            # legit encoders never nest SDS1; a crafted chain of nested
+            # headers would otherwise recurse to an untyped
+            # RecursionError (review finding, round 4)
+            raise EntropyError("corrupt sparse stream: nested SDS1")
+        kept = decompress(payload)
         if kept.size != count * SPARSE_BLOCK:
             raise EntropyError("corrupt sparse stream: payload size")
     else:

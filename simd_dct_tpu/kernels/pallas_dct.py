@@ -450,8 +450,20 @@ def _roundtrip_panels(view: jax.Array, lut: jax.Array, *, normalize: bool,
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     # 512-row grid steps measured ~20% faster than 128 at 4K (fewer,
     # larger DMAs; exp_r8_s8dct.py); 1024 was marginal and sits at the
-    # 16 MB scoped-VMEM edge once in/out double-buffer.
-    hpanels = 4 if h2 > 2 * PANEL else (2 if h2 > PANEL else 1)
+    # 16 MB scoped-VMEM edge once in/out double-buffer.  Gate on
+    # DIVISIBILITY like the pair/scalar kernels: a magnitude-only gate
+    # would compute up to ~88% pad rows at awkward heights like
+    # h2=544 (review finding, round 4).
+    if h2 % (4 * PANEL) == 0:
+        hpanels = 4
+    elif h2 % (2 * PANEL) == 0:
+        hpanels = 2
+    elif h2 > 2 * PANEL:
+        # non-dividing: prefer the fewest padded rows per frame
+        hpanels = min((1, 2, 4), key=lambda k: -(-h2 // (k * PANEL))
+                      * k * PANEL - h2)
+    else:
+        hpanels = 2 if h2 > PANEL else 1
     rows = PANEL * hpanels
     kernel = functools.partial(_roundtrip_kernel, normalize=normalize,
                                num_chunks=w // CHUNK, dtype=dtype,

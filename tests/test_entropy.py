@@ -505,6 +505,29 @@ def test_sparse_all_trivial():
     np.testing.assert_array_equal(E.decompress(blob), rec)
 
 
+def test_sparse_nested_header_bomb_rejected():
+    """A crafted chain of nested SDS1 headers must raise a typed
+    EntropyError, never an untyped RecursionError (review finding,
+    round 4: each level costs ~21 untrusted bytes)."""
+    def wrap(payload):
+        out = np.empty(21 + payload.size, np.uint8)
+        out[:4] = np.frombuffer(np.uint32(E._MAGICS).tobytes(), np.uint8)
+        out[4:12] = np.frombuffer(np.uint64(512).tobytes(), np.uint8)
+        out[12:16] = np.frombuffer(np.uint32(8).tobytes(), np.uint8)
+        out[16:20] = np.frombuffer(np.uint32(1).tobytes(), np.uint8)
+        out[20] = 1
+        out[21:] = payload
+        return out
+
+    rec = np.full(8 * 64, 127, np.uint8)
+    rec[0] = 1
+    evil = E.compress_sparse(rec)
+    for _ in range(600):
+        evil = wrap(evil)
+    with pytest.raises(E.EntropyError):
+        E.decompress(evil)
+
+
 def test_sparse_batch_matches_per_frame():
     """compress_sparse_batch: one batched count dispatch, per-frame
     streams byte-identical to per-frame compress_sparse; typed errors
