@@ -26,3 +26,32 @@ def test_psnr_gate_detects_regression():
     gate = psnr_gate(h2=128, w=512, interpret=True, bf16_tol_db=0.0,
                      tol_db=-1.0)
     assert not gate["pass"], gate
+
+
+def test_rd_curve_monotone_and_modes():
+    """RD sweep: in the non-clipping regime, larger quality (coarser
+    tables, reference convention) must give monotonically FEWER bits
+    and LOWER PSNR; covered modes produce finite sane points."""
+    import numpy as np
+    from simd_dct_tpu.bench.rd import rd_curve
+    from simd_dct_tpu.api import InvalidParameterError
+    import pytest
+    h, w = 64, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.clip(128 + 40 * np.sin(xx / 17) * np.cos(yy / 13),
+                  0, 255).astype(np.uint8)
+    pts = rd_curve(img, (75, 100, 150))
+    assert [p.quality for p in pts] == [75.0, 100.0, 150.0]
+    bpp = [p.bits_per_px for p in pts]
+    ps = [p.psnr_db for p in pts]
+    assert bpp[0] > bpp[1] > bpp[2]
+    assert ps[0] > ps[1] > ps[2] > 20.0
+    assert all(p.raw_bits_per_px == 8.0 for p in pts)
+    # a color mode end-to-end + bad-mode rejection
+    planes = np.stack([img, (img * 0.8).astype(np.uint8),
+                       (img * 0.6).astype(np.uint8)])
+    (pt,) = rd_curve(planes, (100,), mode="enc-quant32-ycbcr420")
+    # 1.5 record bytes per TOP-view px over 3 source channels = 4 bpp
+    assert pt.raw_bits_per_px == 4.0 and pt.psnr_db > 20.0
+    with pytest.raises(InvalidParameterError):
+        rd_curve(img, (100,), mode="enc-quant64")
