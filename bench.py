@@ -446,6 +446,19 @@ def main():
             pass
 
     # -- host entropy stage (native K-chunk Huffman; TPU-independent) ---
+    # remote-DMA self-ring preflight: executes the gather's hardware
+    # branch (barrier semaphore + mesh-addressed remote copy) on the one
+    # real chip so the claim is DRIVER-verified every round (never
+    # kills the headline; ~1 dispatch)
+    selfring = None
+    if use_pallas:
+        try:
+            from simd_dct_tpu.dist.collectives import \
+                remote_dma_selfring_smoke
+            selfring = bool(remote_dma_selfring_smoke())
+        except Exception as exc:
+            selfring = f"{type(exc).__name__}: {exc}"
+
     entropy_stats = {}
     try:
         from simd_dct_tpu import entropy as E
@@ -580,6 +593,8 @@ def main():
             record["mode_cycles_us"] = mode_cycle_log
     if entropy_stats:
         record["entropy_host"] = entropy_stats
+    if selfring is not None:
+        record["remote_dma_selfring"] = selfring
     spec = hbm_peak_gbps(info.device_kind)
     if spec:
         record["spec_fraction"] = round(gbps / spec, 4)
