@@ -47,11 +47,16 @@ def test_rd_curve_monotone_and_modes():
     assert bpp[0] > bpp[1] > bpp[2]
     assert ps[0] > ps[1] > ps[2] > 20.0
     assert all(p.raw_bits_per_px == 8.0 for p in pts)
-    # a color mode end-to-end + bad-mode rejection
+    # every mode's pipeline produces a sane point at one quality
     planes = np.stack([img, (img * 0.8).astype(np.uint8),
                        (img * 0.6).astype(np.uint8)])
+    for mode in ("enc-quant", "enc-quant-pair", "enc-quant-stereo",
+                 "enc-quant32-ycbcr", "enc-quant32-ycbcr420"):
+        src = planes if mode.startswith("enc-quant32-ycbcr") else img
+        (pt,) = rd_curve(src, (100,), mode=mode)
+        assert pt.psnr_db > 20.0 and 0 < pt.bits_per_px <             pt.raw_bits_per_px, (mode, pt)
+    # 420: 1.5 record bytes per TOP-view px over 3 source channels
     (pt,) = rd_curve(planes, (100,), mode="enc-quant32-ycbcr420")
-    # 1.5 record bytes per TOP-view px over 3 source channels = 4 bpp
-    assert pt.raw_bits_per_px == 4.0 and pt.psnr_db > 20.0
+    assert pt.raw_bits_per_px == 4.0
     with pytest.raises(InvalidParameterError):
         rd_curve(img, (100,), mode="enc-quant64")
