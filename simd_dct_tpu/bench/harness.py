@@ -273,6 +273,9 @@ def config4_video_batch():
             rng.integers(0, 256, (bsz, h, w), np.uint8)),
         sizes=(64, 576), reps=10)   # 1080p frames are ~1 MB: a wide
     # spread is needed for the slope to clear the dispatch jitter
+    if not np.isfinite(per):
+        return {"config": "64-frame 1080p fused round-trip (slope/frame)",
+                "gbps": None, "measurement_noise": True}
     return {"config": "64-frame 1080p fused round-trip (slope/frame)",
             "gbps": round((h // 2) * w * 2 / per / 1e9, 2),
             "frames_per_s": round(1.0 / per, 1)}
