@@ -8,11 +8,26 @@ so the delta is that stage's cost):
 
   full     — shipping kernel (correct bytes)
   no_t23   — stage-2/3 transposes deleted: zq read straight from a_scr
-             (wrong Z layout, same loads/stores/matmuls)
-  no_scr   — a_scr/b_scr deleted entirely: zq is the raw in_ref patch
-             re-used per chunk (wrong bytes, keeps load volume + matmuls)
+  no_scr   — stage 1 deleted too: zq from small masked in_ref reads
+  floor    — everything deleted: zq is an aligned garbage scratch read
+             (pure load/dequant/matmul/store pipeline)
+  floor_nodq / floor_rawstore / floor_noin / floor_2out — micro-
+             variants stripping the dequant chain, the store chain,
+             the in-block DMA, and the 3-D out ref in turn
 
-Run: python experiments/exp_r12_dec_stereo_cost.py
+(the FINAL committed file keeps full/floor/floor_2out in the measure
+list; earlier variants' numbers are recorded below)
+
+Run: python experiments/exp_r12_dec_stereo_cost.py  [HALVES=1|2]
+
+MEASURED (round 4, chip, paired 6-cycle medians, noisy phases):
+  full ~136-156, no_t23 ~121-130, no_scr ~115-132, floor ~115-132,
+  floor_nodq ~124, floor_rawstore ~127, floor_noin ~114,
+  floor_2out ~130.  CONCLUSION: the byte reassembly costs only
+  ~20-35 us; the ~115-130 us "floor" is dominated by the
+  (64, 32, 960) in-block DMA — see the copy probes and the u8
+  minor-dim lesson in docs/STATUS.md, and exp_r13/r14 for the proof
+  that no re-blocking formulation beats it.
 """
 import functools
 import os
