@@ -503,22 +503,28 @@ def compress_sparse_batch(records, *, rle: bool = False,
     device dispatch (the per-frame compaction gathers still run per
     frame; pow2-bucketed caps keep their compile count bounded)."""
     import jax.numpy as jnp
-    arr = np.asarray(records)
-    if arr.ndim != 2:
+    # mirror compress_sparse's host/device handling (advisor finding,
+    # round 4): an already-device-resident batch stays on device — a
+    # full D2H of every frame up front would negate the device-side
+    # compaction; the dense fallback fetches per-frame bytes lazily
+    # inside _finish_sparse only for the frames that need them.
+    host = records if isinstance(records, np.ndarray) else None
+    dev = jnp.asarray(records, jnp.uint8)
+    if dev.ndim != 2:
         raise EntropyError("compress_sparse_batch expects a (B, N) batch")
-    b, n = arr.shape
+    b, n = dev.shape
     if n == 0:
         raise EntropyError("empty input has no code")
     unit = 8 * SPARSE_BLOCK
     pad = (-n) % unit
-    dev = jnp.asarray(arr)
     if pad:
         dev = jnp.concatenate(
             [dev, jnp.full((b, pad), 127, jnp.uint8)], axis=1)
     blocks = dev.reshape(b, -1, SPARSE_BLOCK)
     counts = np.asarray(_sparse_count_batch_jit()(blocks))
     return [_finish_sparse(blocks[i], n, int(counts[i]), rle,
-                           max_kept_frac, fallback=arr[i])
+                           max_kept_frac,
+                           fallback=None if host is None else host[i])
             for i in range(b)]
 
 

@@ -157,7 +157,7 @@ def stream_decode32_compressed(blobs: Iterable[Any], lut, size_x: int,
         fr = api.decode_quantize32(jnp.asarray(rec), lut_d,
                                    size_x, size_y, backend=backend)
         pending.append(fr)                        # device decode in flight
-        while len(pending) > depth:
+        while len(pending) >= depth:
             yield np.asarray(pending.popleft())
     while pending:
         yield np.asarray(pending.popleft())
