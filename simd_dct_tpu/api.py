@@ -128,6 +128,15 @@ def _spill_stereo_image(img, w: int):
     return jnp.concatenate([left, right], axis=-2)
 
 
+def _stereo_native_bwp(size_x: int) -> int:
+    """Padded plane-row length of the TPU-native stereo record format:
+    the kernel's block-column count (W padded to the 128-px chunk)
+    rounded up to a 128-multiple minor dim (the u8 DMA alignment rule —
+    docs/STATUS.md "u8 DMA minor-dim lesson")."""
+    bw_k = (-(-size_x // 128) * 128) // 8
+    return -(-bw_k // 128) * 128
+
+
 def _maybe_batch(arr, fn_one, numpy_tier: bool, base_ndim: int = 2):
     """Apply a per-item function over an optional leading batch axis.
 
@@ -269,6 +278,16 @@ def encode_quantize_stereo(image, lut, start_y: int = 0,
     ``decode_quantize_stereo(view_layout='planar')`` consumes the tensor
     directly).  The default stays reference parity.
 
+    ``view_layout='native'`` (round 5) returns (2, 64, S, BWP) with
+    BWP = ceil(W/8 / 128) * 128: the planar tensor with every plane
+    row lane-padded to a 128-multiple minor dim using quantized-zero
+    bytes (127) — the TPU-native record format (the reference-geometry
+    480-byte plane rows DMA at ~1/3 speed; see docs/STATUS.md "u8 DMA
+    minor-dim lesson").  Pad columns hold 127 inside the encoded strip
+    range and 0 in excluded strips (the whole strip row is zeroed,
+    like the other layouts).  ``decode_quantize_stereo(
+    view_layout='native')`` consumes it without any slice pass.
+
     ``spill=True`` accepts H % 16 == 8 with the reference's spill
     semantics where they are defined: the reference validates only
     H % 8 == 0 (src/simd_dct.cpp:75-76) and its strip loop (:1073) then
@@ -276,9 +295,9 @@ def encode_quantize_stereo(image, lut, start_y: int = 0,
     right eye (in-bounds and deterministic — reproduced exactly) and
     whose RIGHT-eye rows read past the caller's buffer (undefined even
     in C++ — substituted with zero rows here, documented divergence)."""
-    if view_layout not in ("interleaved", "planar"):
+    if view_layout not in ("interleaved", "planar", "native"):
         raise InvalidParameterError(
-            f"view_layout must be 'interleaved' or 'planar', "
+            f"view_layout must be 'interleaved', 'planar' or 'native', "
             f"got {view_layout!r}")
     img, lut_arr, h, w = _validate(image, lut, allow_spill=spill)
     if spill and h % 16:
@@ -290,8 +309,23 @@ def encode_quantize_stereo(image, lut, start_y: int = 0,
 
     def _views(flat):
         from .layout import reorder as _reorder
-        return _reorder.stereo_interleaved_to_views(
+        v = _reorder.stereo_interleaved_to_views(
             jnp.asarray(flat), h // 16, w // 8)
+        if view_layout != "native":
+            return v
+        # tier-parity native form: 127-pad the plane rows, then re-zero
+        # excluded strips so pad bytes match the fused kernel's range
+        # semantics byte-for-byte
+        pad = _stereo_native_bwp(w) - v.shape[-1]
+        if pad:
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, pad)),
+                        constant_values=np.uint8(127))
+        if not (start_y == 0 and ey >= h):
+            s = np.arange(h // 16)
+            mask = (s * 16 >= start_y) & (s * 16 <= ey)
+            v = jnp.where(jnp.asarray(mask)[None, None, :, None],
+                          v, jnp.uint8(0))
+        return v
 
     if tier == "numpy":
         out = _maybe_batch(
@@ -299,7 +333,7 @@ def encode_quantize_stereo(image, lut, start_y: int = 0,
                 np.asarray(im), lut_arr, start_y, ey, rounding=rounding,
                 compat=compat),
             numpy_tier=True)
-        if view_layout == "planar":
+        if view_layout in ("planar", "native"):
             return _maybe_batch(jnp.asarray(out), _views, numpy_tier=False,
                                 base_ndim=1)
         return out
@@ -309,7 +343,7 @@ def encode_quantize_stereo(image, lut, start_y: int = 0,
             img, lambda im: _compat.encode_quantize_stereo(
                 im, lut_arr, int(start_y), ey, rounding),
             numpy_tier=False)
-        if view_layout == "planar":
+        if view_layout in ("planar", "native"):
             return _maybe_batch(out, _views, numpy_tier=False, base_ndim=1)
         return out
     if tier == "pallas":
@@ -324,7 +358,7 @@ def encode_quantize_stereo(image, lut, start_y: int = 0,
         img, lambda im: _xla.encode_quantize_stereo(
             im, jnp.asarray(lut_arr), int(start_y), ey, rounding),
         numpy_tier=False)
-    if view_layout == "planar":
+    if view_layout in ("planar", "native"):
         return _maybe_batch(out, _views, numpy_tier=False, base_ndim=1)
     return out
 
@@ -465,11 +499,43 @@ def decode_quantize_stereo(data, lut, size_x: int, size_y: int, *,
     """``view_layout='planar'`` consumes the (2, 64, S, W/8) separate-
     views tensor from ``encode_quantize_stereo(view_layout='planar')``
     directly (the pallas tier reads it with fully aligned loads; other
-    tiers convert to the interleaved stream first)."""
-    if view_layout not in ("interleaved", "planar"):
+    tiers convert to the interleaved stream first).
+
+    ``view_layout='native'`` consumes the (2, 64, S, BWP) 128-multiple
+    padded tensor from ``encode_quantize_stereo(view_layout='native')``:
+    the pallas tier reads the padded planes at full DMA speed and never
+    touches the pad lanes (no slice pass); other tiers drop the pad
+    columns and take the planar route."""
+    if view_layout not in ("interleaved", "planar", "native"):
         raise InvalidParameterError(
-            f"view_layout must be 'interleaved' or 'planar', "
+            f"view_layout must be 'interleaved', 'planar' or 'native', "
             f"got {view_layout!r}")
+    if view_layout == "native":
+        dv = jnp.asarray(data)
+        bwp = _stereo_native_bwp(size_x)
+        expect = (2, 64, size_y // 16, bwp)
+        if not (dv.ndim >= 4 and dv.shape[-4:] == expect):
+            raise InvalidParameterError(
+                f"native stereo data must have shape (..., 2, 64, "
+                f"{size_y // 16}, {bwp}), got {dv.shape}")
+        tier0 = select_backend(backend, pallas_interpret=pallas_interpret)
+        if tier0 == "pallas" and not compat:
+            from .kernels import pallas_dct as _pl
+            if _pl.supports_mode("dec_quant_stereo", size_y, size_x):
+                if dv.dtype != jnp.uint8:
+                    raise InvalidParameterError(
+                        f"record streams must be uint8, got {dv.dtype}")
+                lut_arr = np.asarray(lut, np.float32).reshape(-1)
+                if lut_arr.size != 64:
+                    raise InvalidParameterError("lut must have 64 entries")
+                return _maybe_batch(
+                    dv, lambda vv: _pl.decode_quantize_stereo(
+                        vv, jnp.asarray(lut_arr), size_x, size_y,
+                        interpret=pallas_interpret, view_layout="native"),
+                    numpy_tier=False, base_ndim=4)
+        # other tiers: drop the pad columns and take the planar route
+        data = dv[..., : size_x // 8]
+        view_layout = "planar"
     if view_layout == "planar":
         dv = jnp.asarray(data)
         planar_ok = dv.ndim >= 4 and dv.shape[-4:] == (

@@ -89,6 +89,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "on the device before the host pack (SDS1; "
                         "lifts the pack-bound fps cap on typical "
                         "content, dense input falls back transparently)")
+    p.add_argument("--stereo-layout",
+                   choices=("interleaved", "planar", "native"),
+                   default="interleaved",
+                   help="enc-quant-stereo record layout: 'interleaved' "
+                        "(reference byte stream), 'planar' (separate "
+                        "views), 'native' (128-multiple padded plane "
+                        "rows — the TPU fast-DMA format)")
     p.add_argument("--layout", choices=("scalar", "pair"),
                    default="scalar",
                    help="enc-quant byte layout: 'scalar' (block-"
@@ -303,14 +310,16 @@ def main(argv=None) -> int:
                 img,
                 nbytes=2 * img.size)   # both views in + H*W records out
         else:
+            vl = args.stereo_layout
             run_mode(
                 "enc-quant-stereo",
                 lambda: sd.encode_quantize_stereo(imgj, lut, args.start_y,
-                                                  end_y),
-                lambda d: sd.decode_quantize_stereo(d, lut, w, h),
+                                                  end_y, view_layout=vl),
+                lambda d: sd.decode_quantize_stereo(d, lut, w, h,
+                                                    view_layout=vl),
                 img,
                 enc_one=lambda im: sd.encode_quantize_stereo(
-                    im, lut, args.start_y, end_y),
+                    im, lut, args.start_y, end_y, view_layout=vl),
                 nbytes=2 * img.size)   # both views in + H*W records out
 
     if "enc-quant32-ycbcr" in modes:
@@ -376,8 +385,10 @@ def main(argv=None) -> int:
             C.encode(np.ascontiguousarray(src), last,
                      quality=args.quality, compress=args.compress,
                      rle=args.rle, sparse=args.sparse,
-                     start_y=args.start_y,
-                     end_y=args.end_y).tofile(args.out_file)
+                     start_y=args.start_y, end_y=args.end_y,
+                     view_layout=(args.stereo_layout
+                                  if last == "enc-quant-stereo"
+                                  else "interleaved")).tofile(args.out_file)
         else:
             last_output.tofile(args.out_file)
     return 0

@@ -45,10 +45,14 @@ _ROUNDINGS = ("rne", "scalar", "clamp_first")
 _FLAG_PACKED = 1
 _FLAG_CHROMA = 2
 # stereo payload stores the two views' plane segments SEPARATELY
-# ((2, 64, S, W/8) row-major) — the fused kernel's native layout, which
-# skips the view-interleave epilogue on encode AND decode; bit unset =
-# the reference's interleaved plane stream (compat default)
+# ((2, 64, S, W/8) row-major) — the separate-views layout, which skips
+# the view-interleave epilogue on encode AND decode; bit unset = the
+# reference's interleaved plane stream (compat default)
 _FLAG_STEREO_PLANAR = 4
+# stereo payload is the TPU-native record format: (2, 64, S, BWP)
+# row-major with BWP = ceil(W/8/128)*128 and 127-valued pad columns —
+# plane rows DMA at full speed (128-multiple minor dim; round 5)
+_FLAG_STEREO_NATIVE = 8
 
 _FIXED = struct.Struct("<4sHBBIIIIB3x")
 
@@ -70,6 +74,7 @@ class FrameMeta:
     end_y: int | None = None
     packed: bool = False                  # payload is an entropy stream
     stereo_planar: bool = False           # stereo views stored separately
+    stereo_native: bool = False           # 128-multiple padded plane rows
 
 
 def pack(payload, meta: FrameMeta) -> np.ndarray:
@@ -82,11 +87,15 @@ def pack(payload, meta: FrameMeta) -> np.ndarray:
     if luma.size != 64:
         raise ContainerError("luma_lut must have 64 entries")
     flags = (_FLAG_PACKED if meta.packed else 0)
-    if meta.stereo_planar:
+    if meta.stereo_planar and meta.stereo_native:
+        raise ContainerError(
+            "stereo_planar and stereo_native are mutually exclusive")
+    if meta.stereo_planar or meta.stereo_native:
         if meta.mode != "enc-quant-stereo":
             raise ContainerError(
-                "stereo_planar only applies to enc-quant-stereo")
-        flags |= _FLAG_STEREO_PLANAR
+                "stereo view layouts only apply to enc-quant-stereo")
+        flags |= (_FLAG_STEREO_PLANAR if meta.stereo_planar
+                  else _FLAG_STEREO_NATIVE)
     chroma = b""
     if meta.chroma_lut is not None:
         c = np.ascontiguousarray(meta.chroma_lut, np.float32).reshape(-1)
@@ -141,7 +150,10 @@ def unpack(blob) -> tuple[np.ndarray, FrameMeta]:
                      rounding=_ROUNDINGS[rounding_i],
                      start_y=start_y, end_y=end_y,
                      packed=bool(flags & _FLAG_PACKED),
-                     stereo_planar=bool(flags & _FLAG_STEREO_PLANAR))
+                     stereo_planar=bool(flags & _FLAG_STEREO_PLANAR),
+                     stereo_native=bool(flags & _FLAG_STEREO_NATIVE))
+    if meta.stereo_planar and meta.stereo_native:
+        raise ContainerError("corrupt container: both stereo layout bits")
     # copy: the slice would otherwise alias the caller's blob (mutable
     # bytearray input -> later caller mutation silently corrupts the
     # payload; bytes input -> read-only array surprises mutating callers)
@@ -220,16 +232,20 @@ def encode(image, mode: str = "enc-quant32", *, quality: float | None = None,
     rec, luma, chroma = _encode_records(image, mode, quality, rounding,
                                         backend, start_y, end_y,
                                         view_layout=view_layout)
-    rec = np.asarray(rec).reshape(-1)
-    if compress:
-        payload = (entropy.compress_sparse(rec, rle=rle) if sparse
-                   else entropy.compress_records(rec, rle=rle))
+    if compress and sparse:
+        # keep device-resident records on device: the SDS1 compaction
+        # gathers run there, so only the kept blocks (plus bitmap) cross
+        # the host boundary — not the full record stream
+        payload = entropy.compress_sparse(rec.reshape(-1), rle=rle)
     else:
-        payload = rec
+        rec = np.asarray(rec).reshape(-1)
+        payload = entropy.compress_records(rec, rle=rle) if compress \
+            else rec
     meta = FrameMeta(mode=mode, size_x=w, size_y=h, luma_lut=luma,
                      chroma_lut=chroma, rounding=rounding,
                      start_y=start_y, end_y=end_y, packed=compress,
-                     stereo_planar=(view_layout == "planar"))
+                     stereo_planar=(view_layout == "planar"),
+                     stereo_native=(view_layout == "native"))
     return pack(payload, meta)
 
 
@@ -269,6 +285,7 @@ class VideoMeta:
     rounding: str = "rne"
     packed: bool = False
     stereo_planar: bool = False
+    stereo_native: bool = False
 
 
 def encode_video(frames, mode: str = "enc-quant32", *,
@@ -297,14 +314,17 @@ def encode_video(frames, mode: str = "enc-quant32", *,
     h, w = int(arr.shape[-2]), int(arr.shape[-1])
     rec, luma, chroma = _encode_records(arr, mode, quality, rounding,
                                         backend, view_layout=view_layout)
-    rec = np.asarray(rec).reshape(b, -1)
-
-    if compress:
-        if sparse:
-            # per-frame SDS1 streams (random access preserved); the
-            # significance counts for the whole batch come from ONE
-            # device dispatch
-            payloads = entropy.compress_sparse_batch(rec, rle=rle)
+    if compress and sparse:
+        # per-frame SDS1 streams (random access preserved); the
+        # significance counts for the whole batch come from ONE device
+        # dispatch, and device-resident records STAY on device through
+        # the compaction gathers — only kept blocks cross to the host
+        payloads = entropy.compress_sparse_batch(rec.reshape(b, -1),
+                                                 rle=rle)
+    else:
+        rec = np.asarray(rec).reshape(b, -1)
+        if not compress:
+            payloads = [rec[i] for i in range(b)]
         elif rle:
             payloads = [entropy.compress(rec[i], rle=True) for i in range(b)]
         else:
@@ -314,11 +334,10 @@ def encode_video(frames, mode: str = "enc-quant32", *,
             k = entropy.default_chunks(rec[0].size)
             payloads = [entropy.compress(rec[i], lengths, streams=k)
                         for i in range(b)]
-    else:
-        payloads = [rec[i] for i in range(b)]
 
     flags = (_FLAG_PACKED if compress else 0) \
-        | (_FLAG_STEREO_PLANAR if view_layout == "planar" else 0)
+        | (_FLAG_STEREO_PLANAR if view_layout == "planar" else 0) \
+        | (_FLAG_STEREO_NATIVE if view_layout == "native" else 0)
     parts = [_FIXED_V.pack(MAGIC_V, VERSION, MODES.index(mode),
                            _ROUNDINGS.index(rounding), w, h, b, flags
                            | (_FLAG_CHROMA if chroma is not None else 0)),
@@ -377,7 +396,10 @@ def _parse_video(blob):
                      n_frames=n_frames, luma_lut=luma, chroma_lut=chroma,
                      rounding=_ROUNDINGS[rounding_i],
                      packed=bool(flags & _FLAG_PACKED),
-                     stereo_planar=bool(flags & _FLAG_STEREO_PLANAR))
+                     stereo_planar=bool(flags & _FLAG_STEREO_PLANAR),
+                     stereo_native=bool(flags & _FLAG_STEREO_NATIVE))
+    if meta.stereo_planar and meta.stereo_native:
+        raise ContainerError("corrupt container: both stereo layout bits")
     return data, offs, meta
 
 
@@ -399,13 +421,22 @@ def _decode_records(rec, m, backend, compat):
         return api.decode_quantize32(rec, m.luma_lut, m.size_x, m.size_y,
                                      **kw)
     if m.mode == "enc-quant-stereo":
-        if getattr(m, "stereo_planar", False):
-            s, bw = m.size_y // 16, m.size_x // 8
+        planar = getattr(m, "stereo_planar", False)
+        native = getattr(m, "stereo_native", False)
+        if planar or native:
+            s = m.size_y // 16
+            bw = (api._stereo_native_bwp(m.size_x) if native
+                  else m.size_x // 8)
             arr = np.asarray(rec)
+            want = 2 * 64 * s * bw
+            if arr.ndim == 1 and arr.size != want:
+                raise ContainerError(
+                    f"corrupt container: stereo payload size {arr.size} "
+                    f"!= {want}")
             shape = (2, 64, s, bw) if arr.ndim == 1 else (-1, 2, 64, s, bw)
             return api.decode_quantize_stereo(
                 arr.reshape(shape), m.luma_lut, m.size_x, m.size_y,
-                view_layout="planar", **kw)
+                view_layout="native" if native else "planar", **kw)
         return api.decode_quantize_stereo(rec, m.luma_lut, m.size_x,
                                           m.size_y, **kw)
     if m.mode == "enc-quant32-ycbcr420":
@@ -466,18 +497,26 @@ def _main(argv=None) -> int:
     blob = np.fromfile(args.file, np.uint8)
     is_video = blob.size >= 4 and blob[:4].tobytes() == MAGIC_V
     if args.cmd == "info":
+        def _layout(m):
+            if m.stereo_native:
+                return " stereo_layout=native"
+            if m.stereo_planar:
+                return " stereo_layout=planar"
+            return ""
         if is_video:
             m = video_info(blob)
             print(f"video mode={m.mode} size={m.size_x}x{m.size_y} "
                   f"frames={m.n_frames} rounding={m.rounding} "
                   f"packed={m.packed} "
-                  f"chroma={'yes' if m.chroma_lut is not None else 'no'}")
+                  f"chroma={'yes' if m.chroma_lut is not None else 'no'}"
+                  + _layout(m))
         else:
             m = info(blob)
             print(f"mode={m.mode} size={m.size_x}x{m.size_y} "
                   f"rounding={m.rounding} strips=[{m.start_y},{m.end_y}) "
                   f"packed={m.packed} "
-                  f"chroma={'yes' if m.chroma_lut is not None else 'no'}")
+                  f"chroma={'yes' if m.chroma_lut is not None else 'no'}"
+                  + _layout(m))
         return 0
     out = np.asarray(decode_video(blob) if is_video else decode(blob))
     out.tofile(args.out)

@@ -1067,21 +1067,33 @@ def _dec_stereo_kernel(in_ref, b_ref, a_ref, qi_ref, out_ref,
                         px.astype(jnp.int32).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
+@functools.partial(jax.jit, static_argnames=("interpret", "precision",
+                                             "true_bw"))
 def _dec_stereo_panels(planar: jax.Array, inv_scales: jax.Array, *,
                        interpret: bool = False,
-                       precision: str = "bf16") -> jax.Array:
+                       precision: str = "bf16",
+                       true_bw: int | None = None) -> jax.Array:
     """(64, S, 2, BW) u8 planar tensor (reference interleaved layout) OR
     (2, 64, S, BW) separate-views tensor -> (H, W) u8 dual-view image
     (any S; final partial panel via edge-block masking).  The separate-
     views form reads every plane patch at a 128-aligned lane offset
-    (the interleaved form's view-1 loads are masked, ~10% dearer)."""
+    (the interleaved form's view-1 loads are masked, ~10% dearer).
+
+    ``true_bw`` (native-format input, round 5): the tensor's minor dim
+    is the 128-multiple padded BWP, but only the first ``true_bw``
+    block columns carry data — the decode reads the padded planes at
+    full DMA speed and simply never touches the pad lanes, writing the
+    true-width image directly (no post-slice pass)."""
     views_input = planar.ndim == 4 and planar.shape[0] == 2 \
         and planar.shape[1] == 64
     if views_input:
         _, _, s, bw = planar.shape
     else:
         _, s, _, bw = planar.shape
+    bw_in = bw
+    if true_bw is not None:
+        assert views_input and true_bw <= bw and true_bw % 16 == 0
+        bw = true_bw
     h2, w = s * 8, bw * 8
     assert w % CHUNK == 0
     halves = 2 if h2 > PANEL else 1
@@ -1093,7 +1105,7 @@ def _dec_stereo_panels(planar: jax.Array, inv_scales: jax.Array, *,
                                halves=halves)
     if views_input:
         flat = planar
-        in_spec = pl.BlockSpec((2, 64, 16 * halves, bw),
+        in_spec = pl.BlockSpec((2, 64, 16 * halves, bw_in),
                                lambda pg: (0, 0, pg, 0))
     else:
         # pure reshape (no data movement): one (64, 16h, 2*BW) block/panel
@@ -1236,14 +1248,21 @@ def _enc_stereo_ilv_kernel(xl_ref, xr_ref, b_ref, a_ref, q_ref, z_ref,
 
 def _enc_stereo_kernel(xl_ref, xr_ref, b_ref, a_ref, q_ref,
                        out_ref, *, rounding: str, groups, dtype,
-                       halves: int = 1):
+                       halves: int = 1, pad_bw: int = 0):
     # Up to two 128-row panels per grid step: each plane's strip piece is
     # 16 sublanes, below the (32, 128) u8 min store tile — pairing the
     # two halves' pieces makes every store 32-sublane aligned (the same
     # trick as the enc32/pair kernels' halves=2).
+    #
+    # ``pad_bw`` (the TPU-native stereo record format, round 5): the
+    # last group's piece is lane-extended with quantized-zero bytes
+    # (127) to close the plane row out to a 128-multiple minor dim —
+    # pad_bw > 0 only when a tail group exists, and tail*16 + pad_bw is
+    # exactly 128, so the final store stays lane-aligned.
     bmat = b_ref[...]
     amat = a_ref[...]
     q_big = q_ref[...]
+    last_base = groups[-1][0]
 
     for view, x_ref in ((0, xl_ref), (1, xr_ref)):
         for base, size in groups:
@@ -1258,8 +1277,14 @@ def _enc_stereo_kernel(xl_ref, xr_ref, b_ref, a_ref, q_ref,
                         for row in tiles]
                     piece = (pieces[0] if halves == 1
                              else jnp.concatenate(pieces, axis=0))
+                    width = 16 * size
+                    if pad_bw and base == last_base:
+                        piece = jnp.concatenate(
+                            [piece, jnp.full((16 * halves, pad_bw), 127,
+                                             jnp.uint8)], axis=1)
+                        width += pad_bw
                     out_ref[view, u * 8 + v, :,
-                            pl.ds(base * 16, 16 * size)] = piece
+                            pl.ds(base * 16, width)] = piece
 
 
 @functools.partial(jax.jit, static_argnames=("rounding", "interpret",
@@ -1340,9 +1365,21 @@ def _enc_stereo_panels(img: jax.Array, scales: jax.Array, *, rounding: str,
           jnp.asarray(_stereo_col_basis_np()).astype(dtype),
           _stereo_q_tile(scales), jnp.asarray(_zipmat_np(halves)))
         return out.reshape(64, h2 // 8, 2, bw)
+    # 'planar' keeps the raw (2, 64, S, BW) kernel output; 'native'
+    # (round 5, the format the round-4 u8-DMA minor-dim analysis
+    # demands) lane-pads every plane row with quantized-zero bytes
+    # (127) to BWP = ceil(BW/128)*128 INSIDE the kernel — the output
+    # block's minor dim becomes a 128 multiple, so the store DMA runs
+    # at full speed instead of the ~1/3-speed masked path the
+    # reference-geometry 480-byte rows force (docs/STATUS.md "u8 DMA
+    # minor-dim lesson"; copy probe: (64,32,960) 368 GB/s vs
+    # (64,16,1920) 1121 GB/s).  The pad rides the tail store group
+    # (tail*16 + pad == 128), costing no extra stores.
+    bw_out = _ceil_to(bw, 128) if view_layout == "native" else bw
     kernel = functools.partial(_enc_stereo_kernel, rounding=rounding,
                                groups=_stereo_groups(w // CHUNK),
-                               dtype=dtype, halves=halves)
+                               dtype=dtype, halves=halves,
+                               pad_bw=bw_out - bw)
     grid_spec = pl.GridSpec(
         grid=(n_pg,),
         in_specs=[
@@ -1352,14 +1389,15 @@ def _enc_stereo_panels(img: jax.Array, scales: jax.Array, *, rounding: str,
                          memory_space=pltpu.VMEM)] + [
             pl.BlockSpec((128, 128), lambda pg: (0, 0),
                          memory_space=pltpu.VMEM)] * 3,
-        out_specs=pl.BlockSpec((2, 64, 16 * halves, bw),
+        out_specs=pl.BlockSpec((2, 64, 16 * halves, bw_out),
                                lambda pg: (0, 0, pg, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((2, 64, h2 // 8, bw), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((2, 64, h2 // 8, bw_out),
+                                       jnp.uint8),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * 128 * 128 * w * 2 * halves * n_pg,
             bytes_accessed=2 * h * w, transcendentals=0),
@@ -1431,17 +1469,26 @@ def encode_quantize_stereo(img, lut, start_y=0, end_y=1 << 30,
     ``view_layout='planar'`` returns the (2, 64, S, BW) separate-views
     tensor — the kernel's native output, NO interleave epilogue (the
     reference byte stream is recoverable via
-    ``layout.reorder.stereo_views_to_interleaved``)."""
+    ``layout.reorder.stereo_views_to_interleaved``).
+
+    ``view_layout='native'`` (round 5) returns (2, 64, S, BWP) with
+    BWP = ceil(BW/128)*128 and all block columns >= BW holding
+    quantized-zero bytes (127): the TPU-native record format whose
+    plane rows DMA at full speed (128-multiple minor dim) — the pad is
+    emitted in-kernel, no extra HBM pass in either direction."""
     h, w = img.shape
     h2, bw = h // 2, w // 8
     wp = _ceil_to(w, CHUNK)
     if wp != w:   # W padding pads both stacked views row-wise at once
+        # zero pad pixels encode to exactly 127 records (all-zero
+        # coefficients + bias), so for the native layout the [bw, wp/8)
+        # columns already match the pad definition — no slice needed
         img = jnp.pad(img, ((0, 0), (0, wp - w)))
     planar = _enc_stereo_panels(img, quant_scales(lut), rounding=rounding,
                                 interpret=interpret, precision=precision,
                                 view_layout=view_layout)
-    if view_layout == "planar":
-        if wp != w:
+    if view_layout in ("planar", "native"):
+        if wp != w and view_layout == "planar":
             planar = planar[..., :bw]
         if not (start_y == 0 and end_y >= h):
             s = np.arange(h // 16)
@@ -1465,8 +1512,21 @@ def decode_quantize_stereo(data, lut, size_x, size_y, interpret=False,
     """Fast path for the stereo inverse: fully in-kernel (the exact
     inverse of the fused plane-patch encode).  ``view_layout='planar'``
     consumes the (2, 64, S, BW) separate-views tensor with every plane-
-    patch load 128-aligned."""
+    patch load 128-aligned; ``view_layout='native'`` consumes the
+    (2, 64, S, BWP) 128-multiple-padded tensor, reading it at full DMA
+    speed and never touching the pad lanes (no slice pass)."""
     h2 = size_y // 2
+    if view_layout == "native":
+        bw_k = _ceil_to(size_x, CHUNK) // 8     # kernel block columns
+        bwp = _ceil_to(bw_k, 128)               # stored minor dim
+        planar = jnp.asarray(data).reshape(2, 64, h2 // 8, bwp)
+        out = _dec_stereo_panels(planar, dequant_scales(lut),
+                                 interpret=interpret, precision=precision,
+                                 true_bw=bw_k)
+        if bw_k * 8 != size_x:
+            out = out.reshape(2, h2, bw_k * 8)[:, :, :size_x] \
+                .reshape(size_y, size_x)
+        return out
     if view_layout == "planar":
         planar = jnp.asarray(data).reshape(2, 64, h2 // 8, size_x // 8)
         pad_axes = ((0, 0), (0, 0), (0, 0))
