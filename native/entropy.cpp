@@ -25,6 +25,10 @@
 #include <thread>
 #include <vector>
 
+#if defined(__SSE2__)
+#include <emmintrin.h>   // x86-64 ABI baseline; guarded for other ISAs
+#endif
+
 extern "C" {
 
 static const uint32_t kMagic = 0x31454453u;  // "SDE1"
@@ -1514,6 +1518,356 @@ long long entropy_decode_rle_g(const uint8_t* in, size_t n_comp,
   }
   if (run_quads(0, quads) < 0) return -3;
   if (run_tail() < 0) return -3;
+  return (long long)n;
+}
+
+// ---------------------------------------------------------------------------
+// SDN1 nibble-split format (round 5): the DENSE-content fast path.
+//
+// Quantized DCT records are 127-centered by construction (+127 bias);
+// on dense-but-smooth statistics (e.g. sigma~5 gaussians) ~90% of
+// bytes land in the 16-value window [119, 134].  SDN1 splits each byte
+// into a 4-bit delta (d = byte - 119, packed two per byte) plus an
+// escape bitmap and a compacted escape stream — only the escapes go
+// through the Huffman pack, so the host cost drops from
+// Huffman-on-every-byte (~0.5 GB/s) to one vectorizable split pass
+// (memcpy-class) plus Huffman on the ~10% escape fraction.  Exact
+// recovery; trades a little ratio for ~3-5x pack rate (the plain pack
+// remains the ratio-optimal choice and the automatic fallback when
+// escapes exceed max_escapes).
+//
+// Stream format (little-endian):
+//   u32 "SDN1" | u64 n | u64 esc_count |
+//   bitmap ceil(n/8)  (LSB-first within each byte; bit set = escape) |
+//   nibbles ceil(n/2) (low nibble = even index; escaped positions 0) |
+//   escape payload    (only when esc_count > 0: one SDE0-stored or
+//                      SDEG K-chunk stream of exactly esc_count bytes)
+// ---------------------------------------------------------------------------
+
+static const uint32_t kMagicN = 0x314E4453u;   // "SDN1"
+static const uint32_t kMagicStored = 0x30454453u;  // "SDE0"
+static const uint32_t kMagicGv = 0x47454453u;  // "SDEG"
+static const int kNibBase = 119;               // window [119, 134]
+
+size_t entropy_encode_nib_bound(size_t n) {
+  return 4 + 8 + 8 + (n + 7) / 8 + (n + 1) / 2
+      + entropy_encode_g_bound(n, 128) + 12;
+}
+
+long long entropy_encode_nib(const uint8_t* in, size_t n, uint8_t* out,
+                             size_t out_cap, uint64_t max_escapes) {
+  if (n == 0) return -4;
+  const size_t bm_sz = (n + 7) / 8, nib_sz = (n + 1) / 2;
+  const size_t hdr = 4 + 8 + 8;
+  if (out_cap < hdr + bm_sz + nib_sz) return -3;
+  uint8_t* bitmap = out + hdr;
+  uint8_t* nib = bitmap + bm_sz;
+  // chunks on 8-byte boundaries so bitmap AND nibble bytes never
+  // straddle a thread boundary
+  unsigned hw = std::thread::hardware_concurrency();
+  int T = (n >= (1u << 20) && hw >= 2) ? (int)std::min(hw, 16u) : 1;
+  size_t chunk = ((n / (size_t)T) + 7) & ~(size_t)7;
+  if (chunk == 0) chunk = 8;
+  int K = (int)((n + chunk - 1) / chunk);
+  std::vector<uint64_t> esc_cnt((size_t)K, 0);
+
+  // Fused branchless SWAR split, 8 bytes per iteration, no scratch
+  // planes (a scratch-plane formulation paid 33 MB of zeroing + page
+  // faults per call; a per-byte register version didn't vectorize —
+  // both measured ~0.5 GB/s end-to-end).  All byte lanes stay
+  // independent: the subtract is the Hacker's Delight borrow-masked
+  // form, the in-byte smears shift by < 8 over zeroed low nibbles, and
+  // the bit-gather multiply's residues mod 8 are distinct (no carries).
+  const uint64_t Hb = 0x8080808080808080ULL;
+  const uint64_t B119 = 0x7777777777777777ULL;   // kNibBase per byte
+  auto split8 = [&](uint64_t x, uint64_t& d_out, uint64_t& e01_out) {
+    // per-byte d = x - 119 (mod 256), no cross-byte borrow
+    // (Hacker's Delight 2-2: the borrow correction XORs with x ^ NOT y)
+    uint64_t d = ((x | Hb) - (B119 & ~Hb)) ^ ((x ^ ~B119) & Hb);
+    uint64_t f = d & 0xF0F0F0F0F0F0F0F0ULL;      // high nibble -> escape
+    uint64_t t1 = f | (f >> 2);
+    uint64_t t2 = t1 | (t1 >> 1);                // any-of-4 at bit 4
+    d_out = d;
+    e01_out = (t2 >> 4) & 0x0101010101010101ULL; // 0/1 per byte
+  };
+
+  auto split_range = [&](int s) {
+    size_t lo = std::min(n, (size_t)s * chunk);
+    size_t hi = std::min(n, (size_t)(s + 1) * chunk);
+    uint64_t cnt = 0;
+    size_t i = lo;
+#if defined(__SSE2__)
+    // x86-64 ABI guarantees SSE2, so this stays portable across the
+    // hosts that share the cached .so; 16 bytes/iteration: byte sub,
+    // saturating window test, in-lane nibble fold, movemask bitmap
+    const __m128i vbase = _mm_set1_epi8((char)kNibBase);
+    const __m128i v15 = _mm_set1_epi8(15);
+    const __m128i vzero = _mm_setzero_si128();
+    const __m128i vlane = _mm_set1_epi16(0x00FF);
+    for (; i + 16 <= hi; i += 16) {
+      __m128i x = _mm_loadu_si128((const __m128i*)(in + i));
+      __m128i d = _mm_sub_epi8(x, vbase);
+      // 0xFF where d <= 15 (in window): unsigned saturating d-15 == 0
+      __m128i inwin = _mm_cmpeq_epi8(_mm_subs_epu8(d, v15), vzero);
+      unsigned bits16 = (unsigned)_mm_movemask_epi8(
+          _mm_andnot_si128(inwin, _mm_set1_epi8((char)0x80)));
+      __m128i nb = _mm_and_si128(d, inwin);   // <= 15 kept, escapes 0
+      // fold odd bytes' nibbles down: (a0|a1<<4) in even bytes
+      __m128i v = _mm_and_si128(
+          _mm_or_si128(nb, _mm_srli_epi16(nb, 4)), vlane);
+      __m128i p = _mm_packus_epi16(v, v);     // 8 packed nibble-bytes
+      _mm_storel_epi64((__m128i*)(nib + (i >> 1)), p);
+      bitmap[i >> 3] = (uint8_t)bits16;
+      bitmap[(i >> 3) + 1] = (uint8_t)(bits16 >> 8);
+      cnt += (unsigned)__builtin_popcount(bits16);
+    }
+#endif
+    for (; i + 8 <= hi; i += 8) {
+      uint64_t x, d, e01;
+      std::memcpy(&x, in + i, 8);
+      split8(x, d, e01);
+      uint64_t m = e01 | (e01 << 1);
+      m |= m << 2;
+      m |= m << 4;                                // 0xFF where escaped
+      uint64_t nb = d & 0x0F0F0F0F0F0F0F0FULL & ~m;
+      // nibble pack: fold odd bytes' low nibbles into even bytes' high
+      uint64_t v = (nb | (nb >> 4)) & 0x00FF00FF00FF00FFULL;
+      v = (v | (v >> 8)) & 0x0000FFFF0000FFFFULL;
+      v = (v | (v >> 16)) & 0x00000000FFFFFFFFULL;
+      uint32_t packed = (uint32_t)v;
+      std::memcpy(nib + (i >> 1), &packed, 4);
+      unsigned bits = (unsigned)((e01 * 0x0102040810204080ULL) >> 56);
+      bitmap[i >> 3] = (uint8_t)bits;
+      cnt += (unsigned)__builtin_popcount(bits);
+    }
+    if (i < hi) {                       // sub-8 tail (last chunk only)
+      unsigned bits = 0;
+      uint8_t packed[4] = {0, 0, 0, 0};
+      for (size_t j = i; j < hi; j++) {
+        unsigned dd = (unsigned)in[j] - kNibBase;
+        unsigned e = dd > 15u;
+        bits |= e << (j - i);
+        if (!e) packed[(j - i) >> 1] |=
+            (uint8_t)((dd & 15u) << (((j - i) & 1) * 4));
+        cnt += e;
+      }
+      bitmap[i >> 3] = (uint8_t)bits;
+      std::memcpy(nib + (i >> 1), packed, (hi - i + 1) / 2);
+    }
+    esc_cnt[s] = cnt;
+  };
+  if (T > 1) {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < T; t++)
+      ts.emplace_back([&, t] {
+        for (int s = t; s < K; s += T) split_range(s);
+      });
+    for (auto& th : ts) th.join();
+  } else {
+    for (int s = 0; s < K; s++) split_range(s);
+  }
+
+  uint64_t esc_total = 0;
+  std::vector<uint64_t> esc_off((size_t)K, 0);
+  for (int s = 0; s < K; s++) {
+    esc_off[s] = esc_total;
+    esc_total += esc_cnt[s];
+  }
+  if (esc_total > max_escapes) return -6;   // caller falls back to plain
+
+  std::memcpy(out, &kMagicN, 4);
+  uint64_t n64 = n;
+  std::memcpy(out + 4, &n64, 8);
+  std::memcpy(out + 12, &esc_total, 8);
+  if (esc_total == 0) return (long long)(hdr + bm_sz + nib_sz);
+
+  // pass 2: compact the escape bytes (parallel, per-chunk offsets)
+  std::vector<uint8_t> esc((size_t)esc_total);
+  auto gather_range = [&](int s) {
+    // bit-scan the set bits only: cost scales with escapes, not n
+    size_t lo = std::min(n, (size_t)s * chunk);
+    size_t hi = std::min(n, (size_t)(s + 1) * chunk);
+    uint64_t k = esc_off[s];
+    for (size_t b = lo >> 3; b < (hi + 7) >> 3; b++) {
+      unsigned bits = bitmap[b];
+      if ((b << 3) + 8 > hi)
+        bits &= (1u << (hi - (b << 3))) - 1u;
+      while (bits) {
+        int t = __builtin_ctz(bits);
+        bits &= bits - 1;
+        esc[k++] = in[(b << 3) + t];
+      }
+    }
+  };
+  if (T > 1) {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < T; t++)
+      ts.emplace_back([&, t] {
+        for (int s = t; s < K; s += T) gather_range(s);
+      });
+    for (auto& th : ts) th.join();
+  } else {
+    for (int s = 0; s < K; s++) gather_range(s);
+  }
+
+  // escape payload: Huffman (SDEG) with the stored escape (SDE0) when
+  // the pack would not win
+  uint8_t* pay = out + hdr + bm_sz + nib_sz;
+  size_t pay_cap = out_cap - (hdr + bm_sz + nib_sz);
+  uint64_t hist[256];
+  uint8_t lengths[256];
+  entropy_histogram(esc.data(), esc.size(), hist);
+  long long pn = -1;
+  if (entropy_build_lengths(hist, lengths) == 0) {
+    uint64_t est_bits = 0;
+    for (int s2 = 0; s2 < 256; s2++) est_bits += hist[s2] * lengths[s2];
+    if (est_bits / 8 + 300 < esc.size()) {   // pack only when it wins
+      unsigned hw2 = std::thread::hardware_concurrency();
+      int kg = esc.size() >= (1u << 20)
+          ? (int)std::min<unsigned>(128u, 4u * (hw2 ? hw2 : 1u)) : 4;
+      pn = entropy_encode_g(esc.data(), esc.size(), lengths, kg, pay,
+                            pay_cap);
+    }
+  }
+  if (pn < 0 || (size_t)pn >= 12 + esc.size()) {   // stored escape
+    if (pay_cap < 12 + esc.size()) return -3;
+    std::memcpy(pay, &kMagicStored, 4);
+    uint64_t e64 = esc_total;
+    std::memcpy(pay + 4, &e64, 8);
+    std::memcpy(pay + 12, esc.data(), esc.size());
+    pn = (long long)(12 + esc.size());
+  }
+  return (long long)(hdr + bm_sz + nib_sz + (size_t)pn);
+}
+
+long long entropy_decode_nib(const uint8_t* in, size_t n_comp,
+                             uint8_t* out, size_t out_cap) {
+  const size_t hdr = 4 + 8 + 8;
+  if (n_comp < hdr) return -1;
+  uint32_t magic;
+  std::memcpy(&magic, in, 4);
+  if (magic != kMagicN) return -1;
+  uint64_t n, esc_total;
+  std::memcpy(&n, in + 4, 8);
+  std::memcpy(&esc_total, in + 12, 8);
+  if (n == 0 || n > out_cap || esc_total > n) return -1;
+  const size_t bm_sz = ((size_t)n + 7) / 8, nib_sz = ((size_t)n + 1) / 2;
+  if (n_comp < hdr + bm_sz + nib_sz) return -1;
+  const uint8_t* bitmap = in + hdr;
+  const uint8_t* nib = bitmap + bm_sz;
+  const uint8_t* pay = nib + nib_sz;
+  size_t pay_sz = n_comp - (hdr + bm_sz + nib_sz);
+
+  std::vector<uint8_t> esc((size_t)esc_total);
+  if (esc_total > 0) {
+    if (pay_sz < 4) return -1;
+    uint32_t pm;
+    std::memcpy(&pm, pay, 4);
+    long long r;
+    if (pm == kMagicStored) {
+      if (pay_sz < 12) return -1;
+      uint64_t sn;
+      std::memcpy(&sn, pay + 4, 8);
+      if (sn != esc_total || pay_sz != 12 + (size_t)sn) return -1;
+      std::memcpy(esc.data(), pay + 12, (size_t)sn);
+      r = (long long)sn;
+    } else if (pm == kMagicGv) {
+      r = entropy_decode_g(pay, pay_sz, esc.data(), esc.size());
+    } else {
+      return -1;   // only stored/SDEG payloads are valid inside SDN1
+    }
+    if (r != (long long)esc_total) return -1;
+  } else if (pay_sz != 0) {
+    return -1;
+  }
+
+  // per-chunk popcount prepass -> escape offsets; total must match the
+  // header (corrupt bitmaps yield a typed error, never a bad index)
+  unsigned hw = std::thread::hardware_concurrency();
+  int T = (n >= (1u << 20) && hw >= 2) ? (int)std::min(hw, 16u) : 1;
+  size_t chunk = (((size_t)n / (size_t)T) + 7) & ~(size_t)7;
+  if (chunk == 0) chunk = 8;
+  int K = (int)(((size_t)n + chunk - 1) / chunk);
+  std::vector<uint64_t> cnt((size_t)K, 0);
+  auto pop_range = [&](int s) {
+    size_t lo = std::min((size_t)n, (size_t)s * chunk);
+    size_t hi = std::min((size_t)n, (size_t)(s + 1) * chunk);
+    uint64_t c = 0;
+    size_t i = lo;
+    for (; i + 8 <= hi && (i & 7) == 0; i += 8)
+      c += __builtin_popcount((unsigned)bitmap[i >> 3]);
+    for (; i < hi; i++) c += bitmap[i >> 3] >> (i & 7) & 1;
+    cnt[s] = c;
+  };
+  {
+    std::vector<std::thread> ts;
+    if (T > 1) {
+      for (int t = 0; t < T; t++)
+        ts.emplace_back([&, t] {
+          for (int s = t; s < K; s += T) pop_range(s);
+        });
+      for (auto& th : ts) th.join();
+    } else {
+      for (int s = 0; s < K; s++) pop_range(s);
+    }
+  }
+  std::vector<uint64_t> off((size_t)K, 0);
+  uint64_t total = 0;
+  for (int s = 0; s < K; s++) {
+    off[s] = total;
+    total += cnt[s];
+  }
+  if (total != esc_total) return -1;
+
+  auto fill_range = [&](int s) {
+    size_t lo = std::min((size_t)n, (size_t)s * chunk);
+    size_t hi = std::min((size_t)n, (size_t)(s + 1) * chunk);
+    // bulk nibble expansion first: SWAR spread of 4 packed bytes into
+    // 8 output bytes + one carry-free per-byte base add (each byte
+    // <= 15 + 119 = 134 < 256) ...
+    size_t i = lo;
+    for (; i + 8 <= hi; i += 8) {
+      uint32_t x;
+      std::memcpy(&x, nib + (i >> 1), 4);
+      uint64_t t = x;
+      t = (t | (t << 16)) & 0x0000FFFF0000FFFFULL;
+      t = (t | (t << 8)) & 0x00FF00FF00FF00FFULL;
+      uint64_t lo4 = t & 0x000F000F000F000FULL;
+      uint64_t hi4 = (t >> 4) & 0x000F000F000F000FULL;
+      uint64_t o = (lo4 | (hi4 << 8)) + 0x7777777777777777ULL;
+      std::memcpy(out + i, &o, 8);
+    }
+    for (; i + 2 <= hi; i += 2) {
+      uint8_t nb = nib[i >> 1];
+      out[i] = (uint8_t)(kNibBase + (nb & 15));
+      out[i + 1] = (uint8_t)(kNibBase + (nb >> 4));
+    }
+    if (i < hi) out[i] = (uint8_t)(kNibBase + (nib[i >> 1] & 15));
+    // ... then overwrite the escapes by scanning set bits only (the
+    // tail byte is masked so corrupt stray bits past n can never move
+    // the cursor beyond the validated per-chunk count)
+    uint64_t k = off[s];
+    for (size_t b = lo >> 3; b < (hi + 7) >> 3; b++) {
+      unsigned bits = bitmap[b];
+      if ((b << 3) + 8 > hi)
+        bits &= (1u << (hi - (b << 3))) - 1u;
+      while (bits) {
+        int t = __builtin_ctz(bits);
+        bits &= bits - 1;
+        out[(b << 3) + t] = esc[k++];
+      }
+    }
+  };
+  if (T > 1) {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < T; t++)
+      ts.emplace_back([&, t] {
+        for (int s = t; s < K; s += T) fill_range(s);
+      });
+    for (auto& th : ts) th.join();
+  } else {
+    for (int s = 0; s < K; s++) fill_range(s);
+  }
   return (long long)n;
 }
 

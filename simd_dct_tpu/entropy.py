@@ -118,6 +118,13 @@ def _load() -> ctypes.CDLL:
             lib.entropy_encode_rle.argtypes = [u8p, st, u8p, st]
             lib.entropy_decode_rle.restype = ctypes.c_longlong
             lib.entropy_decode_rle.argtypes = [u8p, st, u8p, st]
+            lib.entropy_encode_nib_bound.restype = st
+            lib.entropy_encode_nib_bound.argtypes = [st]
+            lib.entropy_encode_nib.restype = ctypes.c_longlong
+            lib.entropy_encode_nib.argtypes = [u8p, st, u8p, st,
+                                               ctypes.c_uint64]
+            lib.entropy_decode_nib.restype = ctypes.c_longlong
+            lib.entropy_decode_nib.argtypes = [u8p, st, u8p, st]
             _lib = lib
     return _lib
 
@@ -264,9 +271,19 @@ def compress(records, lengths=None, *, streams: int | None = None,
         return out[:n].copy()
     if streams is None:
         streams = 4 if data.size < (1 << 20) else default_chunks(data.size)
+    est_hist = None
     if lengths is None:
-        lengths = build_lengths(histogram(data, device=False))
+        est_hist = histogram(data, device=False)
+        lengths = build_lengths(est_hist)
     lengths = np.ascontiguousarray(lengths, np.uint8)
+    if stored_ok and est_hist is not None:
+        # pre-check (round 5): the exact payload size is known from the
+        # histogram and table — incompressible input skips the pack pass
+        # entirely and goes straight to the stored escape (memcpy-class
+        # instead of ~0.5 GB/s of wasted Huffman work)
+        est = int((est_hist * lengths.astype(np.uint64)).sum()) // 8 + 600
+        if est >= 12 + data.size:
+            return _stored(data)
     if streams == 4:
         out = np.zeros(lib.entropy_encode4_bound(data.size), np.uint8)
         n = lib.entropy_encode4(_u8p(data), data.size, _u8p(lengths),
@@ -297,18 +314,69 @@ _MAGIC4 = 0x34454453   # "SDE4"
 _MAGICR = 0x52454453   # "SDER"
 _MAGICG = 0x47454453   # "SDEG" (generalized K-chunk)
 _MAGICGR = 0x52474453  # "SDGR" (generalized K-chunk RLE)
+_MAGICN = 0x314E4453   # "SDN1" (nibble-split: dense-content fast path)
+
+
+def compress_dense(records, *, max_escape_frac: float = 0.35) -> np.ndarray:
+    """u8 records -> SDN1 nibble-split stream: the DENSE-content fast
+    path (round-5 VERDICT #6).  One vectorizable native pass splits
+    each byte into a 4-bit delta over the 16-value window [119, 134]
+    (quantized DCT records are +127-bias centered) plus an escape
+    bitmap; only the escape bytes (~10% on dense-smooth content) go
+    through the Huffman pack, so the host rate is memcpy-class instead
+    of Huffman-on-every-byte.  Exact recovery via ``decompress``.
+
+    Falls back to the plain ``compress`` formats when more than
+    ``max_escape_frac`` of the bytes escape the window (mid-entropy
+    content not concentrated around the bias — there the plain pack is
+    both smaller and not much slower; truly incompressible input then
+    hits the stored escape).  The plain pack remains the ratio-optimal
+    choice (~1.67x vs ~1.4x on sigma-5 records): pick SDN1 when
+    sustained fps matters, ``compress`` when bytes matter."""
+    data = as_u8_stream(records)
+    if data.size == 0:
+        raise EntropyError("empty input has no code")
+    lib = _load()
+    out = np.empty(lib.entropy_encode_nib_bound(data.size), np.uint8)
+    n = lib.entropy_encode_nib(_u8p(data), data.size, _u8p(out), out.size,
+                               int(max_escape_frac * data.size))
+    if n == -6:        # too many escapes: the plain pack wins
+        return compress(data)
+    if n < 0:
+        raise EntropyError(f"encode failed (code {n})")
+    if n >= 12 + data.size:    # pathological input: stored escape
+        return _stored(data)
+    # in-place shrink (realloc) instead of a slice-copy: the bound
+    # buffer is ~2.5x the input, and this path is fps-critical
+    out.resize(n, refcheck=False)
+    return out
 
 
 def decompress(blob) -> np.ndarray:
     """Compressed stream -> u8 records (exact inverse of compress);
-    dispatches on the stream magic (stored, single-, 4-stream, K-chunk
-    or RLE format)."""
+    dispatches on the stream magic (stored, single-, 4-stream, K-chunk,
+    RLE, sparse or nibble-split format)."""
     data = as_u8_stream(blob)
     if data.size < 12:
         raise EntropyError("stream too short")
     magic = int(np.frombuffer(data[:4].tobytes(), np.uint32)[0])
     if magic == _MAGICS:
         return _decompress_sparse(data)
+    if magic == _MAGICN:
+        if data.size < 20:
+            raise EntropyError("stream too short")
+        n_out = int(np.frombuffer(data[4:12].tobytes(), np.uint64)[0])
+        # bitmap + nibbles alone are ~5/8 byte per symbol: a valid
+        # stream can't decode to more than ~2x its size (validate
+        # BEFORE allocating n_out bytes)
+        if n_out == 0 or n_out > 2 * data.size:
+            raise EntropyError("corrupt stream: implausible symbol count")
+        out = np.zeros(n_out, np.uint8)
+        n = _load().entropy_decode_nib(_u8p(data), data.size, _u8p(out),
+                                       out.size)
+        if n != n_out:
+            raise EntropyError(f"decode failed (code {n})")
+        return out
     if magic not in (_MAGIC0, _MAGIC1, _MAGIC4, _MAGICR, _MAGICG, _MAGICGR):
         raise EntropyError("bad stream magic")
     n_out = int(np.frombuffer(data[4:12].tobytes(), np.uint64)[0])
@@ -436,18 +504,26 @@ def _sparse_blocks(records):
 
 
 def _finish_sparse(blocks, n: int, count: int, rle: bool,
-                   max_kept_frac: float, fallback=None) -> np.ndarray:
+                   max_kept_frac: float, fallback=None,
+                   dense_fast: bool = True) -> np.ndarray:
     """Shared tail of the sparse pipelines: compaction gather + header
     assembly (or the transparent dense fallback) for ONE stream whose
     significance ``count`` is already known.  ``fallback``: the
     original (host) bytes to compress on the dense path — avoids a
-    second full-record device round-trip (review finding, round 4)."""
+    second full-record device round-trip (review finding, round 4).
+    ``dense_fast``: route the dense fallback through the SDN1
+    nibble-split coder (round 5 — memcpy-class host rate on 127-window
+    content; its own escape check falls back to the plain pack) instead
+    of straight to the plain pack; rle requests always take the plain
+    rle pack."""
     nblk = blocks.shape[0]
     if count > max_kept_frac * nblk:
         if fallback is None:
             fallback = np.asarray(blocks).reshape(-1)[:n]
-        return compress(np.asarray(fallback, np.uint8).reshape(-1),
-                        rle=rle)
+        flat = np.asarray(fallback, np.uint8).reshape(-1)
+        if dense_fast and not rle:
+            return compress_dense(flat)
+        return compress(flat, rle=rle)
     cap = 1
     while cap < max(count, 1):
         cap *= 2
@@ -467,11 +543,13 @@ def _finish_sparse(blocks, n: int, count: int, rle: bool,
 
 
 def compress_sparse(records, *, rle: bool = False,
-                    max_kept_frac: float = 0.85) -> np.ndarray:
+                    max_kept_frac: float = 0.85,
+                    dense_fast: bool = True) -> np.ndarray:
     """u8 records -> compressed stream, with all-127 64-byte blocks
-    dropped on the DEVICE before the host Huffman pack.  Falls back to
-    the plain ``compress`` formats when more than ``max_kept_frac`` of
-    the blocks are significant (the bitmap would buy nothing), so the
+    dropped on the DEVICE before the host Huffman pack.  Dense inputs
+    (more than ``max_kept_frac`` significant blocks — the bitmap would
+    buy nothing) fall back to the SDN1 nibble-split fast path
+    (``dense_fast``, round 5) or the plain ``compress`` formats; the
     result always decodes via ``decompress``."""
     blocks, n = _sparse_blocks(records)
     count = int(_sparse_count_jit()(blocks))
@@ -481,7 +559,8 @@ def compress_sparse(records, *, rle: bool = False,
         fallback = records.reshape(-1)
     else:
         fallback = None         # device array: one D2H either way
-    return _finish_sparse(blocks, n, count, rle, max_kept_frac, fallback)
+    return _finish_sparse(blocks, n, count, rle, max_kept_frac, fallback,
+                          dense_fast=dense_fast)
 
 
 @functools.cache
@@ -497,7 +576,8 @@ def _sparse_count_batch_jit():
 
 
 def compress_sparse_batch(records, *, rle: bool = False,
-                          max_kept_frac: float = 0.85) -> list:
+                          max_kept_frac: float = 0.85,
+                          dense_fast: bool = True) -> list:
     """(B, N) u8 record batch -> B independently-decodable sparse
     streams, with the significance counts of ALL frames computed in ONE
     device dispatch (the per-frame compaction gathers still run per
@@ -524,7 +604,8 @@ def compress_sparse_batch(records, *, rle: bool = False,
     counts = np.asarray(_sparse_count_batch_jit()(blocks))
     return [_finish_sparse(blocks[i], n, int(counts[i]), rle,
                            max_kept_frac,
-                           fallback=None if host is None else host[i])
+                           fallback=None if host is None else host[i],
+                           dense_fast=dense_fast)
             for i in range(b)]
 
 

@@ -574,3 +574,101 @@ def test_sparse_corrupt_headers_typed():
     bad2[16:20] = np.frombuffer(np.uint32(1 << 30).tobytes(), np.uint8)
     with pytest.raises(E.EntropyError):
         E.decompress(bad2)
+
+
+# -- SDN1 nibble-split dense fast path (round 5) ----------------------------
+
+def _dense_records(n=1 << 18, sigma=5, seed=3):
+    rng = np.random.default_rng(seed)
+    return np.clip(np.round(rng.normal(127, sigma, n)),
+                   0, 255).astype(np.uint8)
+
+
+def test_nib_roundtrip_exact():
+    rec = _dense_records()
+    blob = E.compress_dense(rec)
+    assert int(np.frombuffer(blob[:4].tobytes(), np.uint32)[0]) == E._MAGICN
+    np.testing.assert_array_equal(E.decompress(blob), rec)
+
+
+def test_nib_edge_inputs():
+    rng = np.random.default_rng(9)
+    cases = [np.array([127], np.uint8),
+             np.array([0, 255, 119, 134, 118, 135], np.uint8),
+             rng.integers(0, 256, 7, np.uint8),
+             np.full(1000, 127, np.uint8),                 # zero escapes
+             np.zeros(64, np.uint8),                       # all escapes? no:
+             np.arange(119, 135, dtype=np.uint8),          # exactly in-window
+             _dense_records((1 << 17) + 5)]                # odd size
+    for arr in cases:
+        blob = E.compress_dense(arr, max_escape_frac=1.0)
+        np.testing.assert_array_equal(E.decompress(blob), arr)
+    with pytest.raises(E.EntropyError):
+        E.compress_dense(np.zeros(0, np.uint8))
+
+
+def test_nib_escape_fallback():
+    """Above max_escape_frac the call transparently returns a plain
+    format; truly incompressible input lands on the stored escape
+    without paying a pack pass (round-5 pre-check)."""
+    rng = np.random.default_rng(11)
+    rnd = rng.integers(0, 256, 1 << 18, dtype=np.uint8)
+    blob = E.compress_dense(rnd)          # ~94% escapes -> fallback
+    magic = int(np.frombuffer(blob[:4].tobytes(), np.uint32)[0])
+    assert magic != E._MAGICN
+    np.testing.assert_array_equal(E.decompress(blob), rnd)
+    assert int(np.frombuffer(
+        E.compress(rnd)[:4].tobytes(), np.uint32)[0]) == E._MAGIC0
+
+
+def test_nib_sparse_pipeline_routing():
+    """compress_sparse routes dense (every-block-significant) content
+    through SDN1 by default; dense_fast=False keeps the plain pack."""
+    rec = _dense_records(64 * 512)
+    fast = E.compress_sparse(rec)
+    slow = E.compress_sparse(rec, dense_fast=False)
+    assert int(np.frombuffer(fast[:4].tobytes(), np.uint32)[0]) \
+        == E._MAGICN
+    assert int(np.frombuffer(slow[:4].tobytes(), np.uint32)[0]) \
+        != E._MAGICN
+    np.testing.assert_array_equal(E.decompress(fast), rec)
+    np.testing.assert_array_equal(E.decompress(slow), rec)
+
+
+def test_nib_corrupt_streams_typed():
+    rec = _dense_records(1 << 16)
+    blob = E.compress_dense(rec)
+    # truncations at every region boundary
+    for cut in (3, 12, 19, 20 + (1 << 13), blob.size - 1):
+        with pytest.raises(E.EntropyError):
+            E.decompress(blob[:cut])
+    # stray bitmap bit -> popcount/esc_count mismatch, typed
+    bad = blob.copy()
+    bad[20] ^= 0x40
+    with pytest.raises(E.EntropyError):
+        E.decompress(bad)
+    # implausible symbol count
+    bad2 = blob.copy()
+    bad2[4:12] = np.frombuffer(np.uint64(1 << 40).tobytes(), np.uint8)
+    with pytest.raises(E.EntropyError):
+        E.decompress(bad2)
+    # nested SDN1/SDS1 payload magic rejected (no recursion)
+    rec0 = np.full(1 << 16, 0, np.uint8)   # all escapes (frac 1.0 allowed)
+    blob0 = E.compress_dense(rec0, max_escape_frac=1.0)
+    np.testing.assert_array_equal(E.decompress(blob0), rec0)
+
+
+def test_nib_fuzz_never_crashes():
+    rng = np.random.default_rng(0xFE)
+    rec = _dense_records(1 << 14)
+    blob = E.compress_dense(rec)
+    for _ in range(300):
+        bad = blob.copy()
+        k = rng.integers(1, 16)
+        idx = rng.integers(0, bad.size, k)
+        bad[idx] ^= rng.integers(1, 256, k).astype(np.uint8)
+        try:
+            out = E.decompress(bad)
+            assert out.dtype == np.uint8    # survived -> sane output
+        except E.EntropyError:
+            pass
