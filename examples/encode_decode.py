@@ -35,3 +35,13 @@ print(f"container: {blob.size} bytes "
 roundtrip = np.asarray(enc.decode_container(blob))
 assert np.array_equal(roundtrip, decoded)
 print("container decode == direct decode: ok")
+
+# Stereo mode with the TPU-native record layout (round 5): plane rows
+# padded to a 128-multiple minor dim — the format the u8 DMA rule
+# demands (docs/LESSONS.md); decode reads it at ~0.75x copy on chip.
+nat = sd.api.encode_quantize_stereo(img, lut, view_layout="native")
+print(f"stereo native tensor: {nat.shape} "
+      f"(pad columns >= {W // 8} hold 127)")
+both = np.asarray(sd.api.decode_quantize_stereo(
+    nat, lut, W, H, view_layout="native"))
+print(f"stereo native round-trip: PSNR {psnr(both, img):.2f} dB")
