@@ -286,7 +286,7 @@ def main():
             floor_s = floor_us_for(logical_bytes) * 1e-6
 
             def _phys(name):
-                ok = [v for v in cycles[name] if v >= floor_s]
+                ok = [v for v in cycles[name] if v > 0 and v >= floor_s]
                 rej = len(cycles[name]) - len(ok)
                 if rej:
                     headline_noise[name] = rej
@@ -309,7 +309,8 @@ def main():
             copy_s = probe_med[fastest]
             enc_s = statistics.median(enc_tries)
             ratios = [c / e for c, e in zip(cycles[fastest], cycles["enc"])
-                      if c >= floor_s and e >= floor_s]
+                      if c > 0 and e > 0 and c >= floor_s
+                      and e >= floor_s]
             paired_fraction = statistics.median(ratios) if ratios else None
             tier = "pallas_bf16"
         except Exception:
@@ -459,7 +460,7 @@ def main():
                 ("dec_stereo_planar", (2, 64, H2 // 8, W // 8), csum(
                     lambda p: PK._dec_stereo_panels(p, inv_nq))),
                 ("dec_stereo_native",
-                 (2, 64, H2 // 8, -(-(W // 8) // 128) * 128), csum(
+                 (2, 64, H2 // 8, PK.native_stereo_bwp(W)), csum(
                      lambda p: PK._dec_stereo_panels(p, inv_nq,
                                                      true_bw=W // 8))),
                 # 3-plane frames are 23.6 MB: smaller batches keep the
@@ -504,7 +505,7 @@ def main():
                 # 4.7 us 4K 420 encode was recorded silently)
                 floor_m = floor_us_for(bytes_for(name))
                 floor_c = floor_us_for(logical_bytes)
-                pos = [v for v in m_cyc if v >= floor_m]
+                pos = [v for v in m_cyc if v > 0 and v >= floor_m]
                 rej_m = len(m_cyc) - len(pos)
                 rej_c = sum(1 for c in c_cyc if c < floor_c)
                 if rej_m or rej_c:
@@ -517,7 +518,8 @@ def main():
                     continue
                 mode_us[name] = _st.median(pos)
                 ratios = [(c / m) for m, c in zip(m_cyc, c_cyc)
-                          if m >= floor_m and c >= floor_c]
+                          if m > 0 and c > 0 and m >= floor_m
+                          and c >= floor_c]
                 if ratios:
                     # copy probe moves 2 logical bytes/px of (H2, W);
                     # the byte-accounting scale is applied when the
@@ -661,6 +663,7 @@ def main():
     # pin down the end-to-end dispatch path and the blob sizes.
     container_stats = {}
     stream_stats = {}
+    frames_sm = frames_dn = None
     if use_pallas and time.time() - bench_t0 < 900:
         try:
             from simd_dct_tpu import container as CT
@@ -714,6 +717,9 @@ def main():
         except Exception as exc:
             container_stats["error"] = f"{type(exc).__name__}: {exc}"
         try:
+            if frames_sm is None or frames_dn is None:
+                raise RuntimeError("container stage failed before "
+                                   "building the frame batches")
             from simd_dct_tpu.utils import feed as FD
             lut_np = np.asarray(default_quant_lut(100)) * 255.0
             for tag, stack in (("smooth", frames_sm), ("dense", frames_dn)):

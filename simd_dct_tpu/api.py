@@ -129,12 +129,10 @@ def _spill_stereo_image(img, w: int):
 
 
 def _stereo_native_bwp(size_x: int) -> int:
-    """Padded plane-row length of the TPU-native stereo record format:
-    the kernel's block-column count (W padded to the 128-px chunk)
-    rounded up to a 128-multiple minor dim (the u8 DMA alignment rule —
-    docs/STATUS.md "u8 DMA minor-dim lesson")."""
-    bw_k = (-(-size_x // 128) * 128) // 8
-    return -(-bw_k // 128) * 128
+    """Padded plane-row length of the TPU-native stereo record format
+    (the single definition lives in pallas_dct.native_stereo_bwp)."""
+    from .kernels.pallas_dct import native_stereo_bwp
+    return native_stereo_bwp(size_x)
 
 
 def _maybe_batch(arr, fn_one, numpy_tier: bool, base_ndim: int = 2):

@@ -106,7 +106,11 @@ def rd_curve(img, qualities=(50, 75, 100, 150, 200), *,
             flat = np.concatenate([np.asarray(r).reshape(-1) for r in rec])
         else:
             flat = np.asarray(rec).reshape(-1)
-        packed = (entropy.compress_sparse(flat, rle=rle) if sparse
+        # RD curves report the ratio-optimal coding: keep the plain
+        # pack on dense points (dense_fast trades ~20% ratio for pack
+        # fps, which an RD sweep must not silently fold in)
+        packed = (entropy.compress_sparse(flat, rle=rle,
+                                          dense_fast=False) if sparse
                   else entropy.compress_records(flat, rle=rle))
         npx = src.size
         out.append(RDPoint(

@@ -556,6 +556,16 @@ def supports_mode(mode: str, h: int, w: int) -> bool:
 # For aligned geometries every helper is a no-op, so the fast path is
 # untouched.
 
+def native_stereo_bwp(size_x: int) -> int:
+    """Padded plane-row length (block columns) of the TPU-native stereo
+    record format: the kernel's block-column count (W padded to the
+    128-px chunk) rounded up to a 128-multiple minor dim (the u8 DMA
+    alignment rule — docs/LESSONS.md).  The single definition shared by
+    the api validation, the decode wrapper, and bench.py."""
+    bw_k = _ceil_to(size_x, CHUNK) // 8
+    return _ceil_to(bw_k, 128)
+
+
 def _ceil_to(n: int, m: int) -> int:
     return -(-n // m) * m
 
@@ -1518,7 +1528,7 @@ def decode_quantize_stereo(data, lut, size_x, size_y, interpret=False,
     h2 = size_y // 2
     if view_layout == "native":
         bw_k = _ceil_to(size_x, CHUNK) // 8     # kernel block columns
-        bwp = _ceil_to(bw_k, 128)               # stored minor dim
+        bwp = native_stereo_bwp(size_x)         # stored minor dim
         planar = jnp.asarray(data).reshape(2, 64, h2 // 8, bwp)
         out = _dec_stereo_panels(planar, dequant_scales(lut),
                                  interpret=interpret, precision=precision,

@@ -672,3 +672,24 @@ def test_nib_fuzz_never_crashes():
             assert out.dtype == np.uint8    # survived -> sane output
         except E.EntropyError:
             pass
+
+
+def test_nib_threaded_large_inputs():
+    """>= 1 MB inputs take the MULTITHREADED chunked split/gather/
+    popcount/fill paths in native/entropy.cpp (per-chunk escape
+    offsets, 8-aligned chunk boundaries) — production 4K records are
+    ~8 MB, so the threaded path is the shipping path; pin it at odd
+    sizes that land chunk tails on every alignment."""
+    rng = np.random.default_rng(0x51)
+    for n in ((1 << 20) + 7, (1 << 21) - 3, 2 * 1024 * 1024 + 129):
+        rec = np.clip(np.round(rng.normal(127, 5, n)),
+                      0, 255).astype(np.uint8)
+        blob = E.compress_dense(rec)
+        assert int(np.frombuffer(blob[:4].tobytes(), np.uint32)[0]) \
+            == E._MAGICN, n
+        np.testing.assert_array_equal(E.decompress(blob), rec)
+    # threaded zero-escape and all-escape extremes at >= 1 MB
+    for fill in (127, 0):
+        rec = np.full((1 << 20) + 11, fill, np.uint8)
+        blob = E.compress_dense(rec, max_escape_frac=1.0)
+        np.testing.assert_array_equal(E.decompress(blob), rec)
