@@ -116,14 +116,26 @@ def decode_quantize32_sharded(records: jax.Array, lut, size_x: int,
 def encode_quantize_stereo_sharded(img: jax.Array, lut, mesh: Mesh, *,
                                    axis_name: str = DATA_AXIS,
                                    rounding: str = "rne",
-                                   gather: bool = False) -> jax.Array:
+                                   gather: bool = False,
+                                   view_layout: str = "interleaved"
+                                   ) -> jax.Array:
     """Stereo planar encode, strips sharded; both views stay local to the
     shard that owns their strip range.
 
-    Returns plane segments shaped (64, S, W/4) with the strip axis
-    sharded; flattening axis order (plane, strip, segment-byte) equals the
-    reference byte stream.  ``gather=True`` replicates the full planes
-    (the only collective in the framework — an all-gather over ICI)."""
+    ``view_layout='interleaved'`` returns plane segments shaped
+    (64, S, W/4) with the strip axis sharded; flattening axis order
+    (plane, strip, segment-byte) equals the reference byte stream.
+    ``view_layout='native'`` (round 5) returns the TPU-native
+    (2, 64, S, BWP) tensor, strip axis sharded — each shard's plane
+    rows already sit at the 128-multiple minor dim, so the per-shard
+    stores AND any later gather move at full DMA speed.
+    ``gather=True`` replicates the full planes (the only collective in
+    the framework — an all-gather over ICI)."""
+    if view_layout not in ("interleaved", "native"):
+        from ..api import InvalidParameterError
+        raise InvalidParameterError(
+            f"sharded stereo supports view_layout 'interleaved' or "
+            f"'native', got {view_layout!r}")
     h, w = img.shape
     n = _num_shards(mesh, axis_name)
     assert (h // 2) % (n * 8) == 0
@@ -135,20 +147,34 @@ def encode_quantize_stereo_sharded(img: jax.Array, lut, mesh: Mesh, *,
     def shard_fn(local_views, lut_r):
         # local_views: (2, H2/n, W) — this shard's strip range of BOTH views.
         local = local_views.reshape(-1, w)
+        s_local = local_views.shape[1] // 8
         if use_pl:
             from ..kernels import pallas_dct as PK
-            flat = PK.encode_quantize_stereo(local, lut_r, 0, 1 << 30,
-                                             rounding)
-        else:
-            flat = X.encode_quantize_stereo(local, lut_r, 0, 1 << 30,
-                                            rounding)
-        s_local = local_views.shape[1] // 8
+            out_l = PK.encode_quantize_stereo(local, lut_r, 0, 1 << 30,
+                                              rounding,
+                                              view_layout=view_layout)
+            if view_layout == "native":
+                return out_l                 # (2, 64, s_local, BWP)
+            return out_l.reshape(64, s_local, w // 4)
+        flat = X.encode_quantize_stereo(local, lut_r, 0, 1 << 30,
+                                        rounding)
+        if view_layout == "native":
+            from ..kernels.pallas_dct import native_stereo_bwp
+            from ..layout import reorder as _reorder
+            v = _reorder.stereo_interleaved_to_views(flat, s_local, w // 8)
+            pad = native_stereo_bwp(w) - w // 8
+            if pad:
+                v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, pad)),
+                            constant_values=127)
+            return v
         return flat.reshape(64, s_local, w // 4)
 
+    native = view_layout == "native"
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(None, axis_name, None), P()),
-        out_specs=P(None, axis_name, None), check_vma=False)
+        out_specs=(P(None, None, axis_name, None) if native
+                   else P(None, axis_name, None)), check_vma=False)
     out = fn(views, lut)
     if gather:
         out = jax.lax.with_sharding_constraint(
@@ -158,28 +184,57 @@ def encode_quantize_stereo_sharded(img: jax.Array, lut, mesh: Mesh, *,
 
 def decode_quantize_stereo_sharded(planes: jax.Array, lut, size_x: int,
                                    size_y: int, mesh: Mesh, *,
-                                   axis_name: str = DATA_AXIS) -> jax.Array:
-    """Inverse: (64, S, W/4) plane segments (strip-sharded) -> (H, W) image
-    as (2, H/2, W) views stacked, rows sharded within each view."""
+                                   axis_name: str = DATA_AXIS,
+                                   view_layout: str = "interleaved"
+                                   ) -> jax.Array:
+    """Inverse: (64, S, W/4) plane segments (strip-sharded) — or the
+    (2, 64, S, BWP) native tensor for ``view_layout='native'`` ->
+    (H, W) image as (2, H/2, W) views stacked, rows sharded within each
+    view."""
+    if view_layout not in ("interleaved", "native"):
+        from ..api import InvalidParameterError
+        raise InvalidParameterError(
+            f"sharded stereo supports view_layout 'interleaved' or "
+            f"'native', got {view_layout!r}")
     lut = jnp.asarray(lut, jnp.float32)
     w = size_x
+    native = view_layout == "native"
 
     def shard_fn(local_planes, lut_r):
-        s_local = local_planes.shape[1]
-        flat = local_planes.reshape(-1)
-        if _use_pallas(mesh, s_local * 8, w):
-            from ..kernels import pallas_dct as PK
-            local = PK.decode_quantize_stereo(flat, lut_r, w, s_local * 16)
-        else:
+        s_local = local_planes.shape[2 if native else 1]
+        if native and not _use_pallas(mesh, s_local * 8, w):
+            # fallback tiers consume the planar route: drop pad columns
+            local_planes = local_planes[..., : w // 8]
+            flat = _views_to_flat(local_planes, s_local, w)
             local = X.decode_quantize_stereo(flat, lut_r, w, s_local * 16)
+        elif native:
+            from ..kernels import pallas_dct as PK
+            local = PK.decode_quantize_stereo(
+                local_planes, lut_r, w, s_local * 16, view_layout="native")
+        else:
+            flat = local_planes.reshape(-1)
+            if _use_pallas(mesh, s_local * 8, w):
+                from ..kernels import pallas_dct as PK
+                local = PK.decode_quantize_stereo(flat, lut_r, w,
+                                                  s_local * 16)
+            else:
+                local = X.decode_quantize_stereo(flat, lut_r, w,
+                                                 s_local * 16)
         return local.reshape(2, s_local * 8, w)
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(None, axis_name, None), P()),
+        in_specs=((P(None, None, axis_name, None) if native
+                   else P(None, axis_name, None)), P()),
         out_specs=P(None, axis_name, None), check_vma=False)
     views = fn(planes, lut)
     return views.reshape(size_y, size_x)
+
+
+def _views_to_flat(v, s: int, w: int):
+    """(2, 64, S, BW) separate-views tensor -> the reference interleaved
+    byte stream (plane, strip, view, b) as a flat array."""
+    return v.transpose(1, 2, 0, 3).reshape(-1)
 
 
 # ---------------------------------------------------------------------------

@@ -456,3 +456,35 @@ def test_remote_gather_with_compute_kernel():
 
     got = np.asarray(jax.jit(prog)(seg))
     np.testing.assert_array_equal(got, np.asarray(seg) + 1)
+
+
+def test_stereo_sharded_native(img, mesh):
+    """Round 5: the native (2, 64, S, BWP) layout shards on the strip
+    axis; per-shard output must equal the single-chip native tensor,
+    and the sharded native decode must equal the sharded interleaved
+    decode byte-for-byte."""
+    from simd_dct_tpu import api
+
+    lut = default_quant_lut(50)
+    nat = dist.encode_quantize_stereo_sharded(jnp.asarray(img), lut, mesh,
+                                              view_layout="native")
+    h, w = img.shape
+    bwp = api._stereo_native_bwp(w)
+    assert nat.shape == (2, 64, h // 16, bwp)
+    single = np.asarray(api.encode_quantize_stereo(
+        img, lut, view_layout="native", backend="xla"))
+    np.testing.assert_array_equal(np.asarray(nat), single)
+
+    dec = dist.decode_quantize_stereo_sharded(nat, lut, w, h, mesh,
+                                              view_layout="native")
+    seg = dist.encode_quantize_stereo_sharded(jnp.asarray(img), lut, mesh)
+    dec_ref = dist.decode_quantize_stereo_sharded(seg, lut, w, h, mesh)
+    np.testing.assert_array_equal(np.asarray(dec), np.asarray(dec_ref))
+
+
+def test_stereo_sharded_native_validation(img, mesh):
+    lut = default_quant_lut(50)
+    from simd_dct_tpu.api import InvalidParameterError
+    with pytest.raises(InvalidParameterError):
+        dist.encode_quantize_stereo_sharded(jnp.asarray(img), lut, mesh,
+                                            view_layout="planar")
