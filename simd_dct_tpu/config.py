@@ -24,6 +24,10 @@ class EncoderConfig:
         applies its declared default 50 only when --quality is passed).
     rounding: 'rne' (SSE4.1/AVX compat, default) / 'scalar' / 'clamp_first'.
     layout: enc-quant byte layout, 'scalar' or 'pair'.
+    stereo_layout: enc-quant-stereo record layout — 'interleaved'
+        (reference byte stream, default), 'planar' (separate views) or
+        'native' (128-multiple padded plane rows, the TPU fast-DMA
+        format).
     backend: explicit tier or None for the capability cascade.
     start_y/end_y: reference strip-range contract.
     compat: strict-IEEE butterfly engine — encode output byte-identical
@@ -36,6 +40,7 @@ class EncoderConfig:
     start_y: int = 0
     end_y: int | None = None
     compat: bool = False
+    stereo_layout: str = "interleaved"
 
     def __post_init__(self):
         if self.rounding not in ROUNDING_MODES:
@@ -43,6 +48,9 @@ class EncoderConfig:
         if self.layout not in ("scalar", "pair", "pair_as_written"):
             raise ValueError(
                 "layout must be 'scalar', 'pair' or 'pair_as_written'")
+        if self.stereo_layout not in ("interleaved", "planar", "native"):
+            raise ValueError("stereo_layout must be 'interleaved', "
+                             "'planar' or 'native'")
         if self.backend is not None and self.backend not in TIERS:
             raise ValueError(f"backend must be one of {TIERS} or None")
 
@@ -92,7 +100,9 @@ class Encoder:
         c = self.config
         return api.encode_quantize_stereo(image, self._lut, c.start_y,
                                           c.end_y, rounding=c.rounding,
-                                          compat=c.compat, **self._kw())
+                                          compat=c.compat,
+                                          view_layout=c.stereo_layout,
+                                          **self._kw())
 
     def decode_quantize(self, data, size_x: int, size_y: int):
         from . import api
@@ -110,7 +120,8 @@ class Encoder:
         from . import api
         return api.decode_quantize_stereo(data, self._lut, size_x, size_y,
                                           compat=self.config.compat,
-                                          **self._kw())
+                                          view_layout=self.config
+                                          .stereo_layout, **self._kw())
 
     def roundtrip_quantize32(self, image):
         from . import api
@@ -201,7 +212,10 @@ class Encoder:
                                 rounding=c.rounding, compress=compress,
                                 rle=rle, sparse=sparse,
                                 start_y=c.start_y, end_y=c.end_y,
-                                backend=c.backend)
+                                backend=c.backend,
+                                view_layout=(c.stereo_layout
+                                             if mode == "enc-quant-stereo"
+                                             else "interleaved"))
 
     def decode_container(self, blob):
         """.sdt container -> decoded image (self-describing: the header's
@@ -222,7 +236,11 @@ class Encoder:
                                       rounding=c.rounding,
                                       compress=compress, rle=rle,
                                       sparse=sparse,
-                                      backend=c.backend)
+                                      backend=c.backend,
+                                      view_layout=(c.stereo_layout
+                                                   if mode
+                                                   == "enc-quant-stereo"
+                                                   else "interleaved"))
 
     def decode_video_container(self, blob):
         from . import container

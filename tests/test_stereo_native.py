@@ -198,3 +198,20 @@ def test_native_layout_rejected_for_other_modes(img):
                                            luma_lut=np.ones(64, np.float32),
                                            stereo_planar=True,
                                            stereo_native=True))
+
+
+def test_encoder_facade_stereo_layout(img, lut):
+    import simd_dct_tpu as sd
+    enc = sd.Encoder(sd.EncoderConfig(quality=60, stereo_layout="native",
+                                      backend="xla"))
+    h, w = img.shape
+    nat = np.asarray(enc.encode_quantize_stereo(img))
+    assert nat.shape == (2, 64, h // 16, api._stereo_native_bwp(w))
+    dec = np.asarray(enc.decode_quantize_stereo(nat, w, h))
+    assert dec.shape == (h, w)
+    blob = enc.encode_container(img, "enc-quant-stereo")
+    assert container.info(blob).stereo_native
+    np.testing.assert_array_equal(np.asarray(enc.decode_container(blob)),
+                                  dec)
+    with pytest.raises(ValueError):
+        sd.EncoderConfig(stereo_layout="nativ")
