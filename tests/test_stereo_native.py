@@ -215,3 +215,19 @@ def test_encoder_facade_stereo_layout(img, lut):
                                   dec)
     with pytest.raises(ValueError):
         sd.EncoderConfig(stereo_layout="nativ")
+
+
+def test_native_with_spill(lut):
+    """spill=True (H % 16 == 8) composes with the native layout: the
+    synthetic dual-view geometry encodes like any other, per tier."""
+    rng = np.random.default_rng(21)
+    h, w = 72, 128                      # H2 = 36 -> spilled to 40 rows
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    outs = []
+    for kw in TIERS:
+        nat = np.asarray(api.encode_quantize_stereo(
+            img, lut, spill=True, view_layout="native", **kw))
+        assert nat.shape[0:2] == (2, 64) and nat.shape[-1] == _bwp(w), kw
+        assert (nat[..., w // 8:] == 127).all(), kw
+        outs.append(nat.astype(np.int16))
+    assert np.abs(outs[0] - outs[2]).max() <= 1   # cross-tier contract
