@@ -123,6 +123,9 @@ def _load() -> ctypes.CDLL:
             lib.entropy_encode_nib.restype = ctypes.c_longlong
             lib.entropy_encode_nib.argtypes = [u8p, st, u8p, st,
                                                ctypes.c_uint64]
+            lib.entropy_encode_nib_parts.restype = ctypes.c_longlong
+            lib.entropy_encode_nib_parts.argtypes = [
+                u8p, u8p, u8p, ctypes.c_uint64, ctypes.c_uint64, u8p, st]
             lib.entropy_decode_nib.restype = ctypes.c_longlong
             lib.entropy_decode_nib.argtypes = [u8p, st, u8p, st]
             _lib = lib
@@ -317,6 +320,87 @@ _MAGICGR = 0x52474453  # "SDGR" (generalized K-chunk RLE)
 _MAGICN = 0x314E4453   # "SDN1" (nibble-split: dense-content fast path)
 
 
+_NIB_BASE = 119            # window [119, 134]; must match native kNibBase
+
+
+@functools.cache
+def _nib_count_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def count(flat):                   # (n8,) u8, n8 % 8 == 0
+        d = flat.astype(jnp.int16) - _NIB_BASE
+        esc = (d < 0) | (d > 15)
+        return jnp.sum(esc.astype(jnp.int32))
+    return count
+
+
+@functools.cache
+def _nib_split_jit(cap: int):
+    """Device-side SDN1 split (round 5): escape bitmap (LSB-first),
+    packed nibbles and the compacted escape bytes in one dispatch —
+    bit/byte-identical to the native host split, so only ~0.625n +
+    escapes bytes ever cross the host boundary."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def split(flat):                   # (n8,) u8, n8 % 8 == 0
+        d = flat.astype(jnp.int16) - _NIB_BASE
+        esc = (d < 0) | (d > 15)
+        nibv = jnp.where(esc, 0, d).astype(jnp.uint8)
+        pairs = nibv.reshape(-1, 2)
+        packed = pairs[:, 0] | (pairs[:, 1] << 4)
+        weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
+        bitmap = (esc.reshape(-1, 8).astype(jnp.int32) @ weights) \
+            .astype(jnp.uint8)
+        idx = jnp.nonzero(esc, size=cap, fill_value=0)[0]
+        return packed, bitmap, flat[idx]
+    return split
+
+
+def _compress_dense_device(records, max_escape_frac: float) -> np.ndarray:
+    """Device-resident records -> SDN1 via the on-device split: the
+    host receives the bitmap + packed nibbles + compacted escapes and
+    only assembles the stream + Huffman-packs the escapes (the same
+    native payload policy as the host split — byte-identical streams)."""
+    import jax.numpy as jnp
+    flat = jnp.asarray(records, jnp.uint8).reshape(-1)
+    n = int(flat.size)
+    if n == 0:
+        raise EntropyError("empty input has no code")
+    pad = (-n) % 8
+    if pad:
+        # pad with the window base (delta 0): pad nibbles are 0 and pad
+        # bits clear, exactly like the native encoder's sub-8 tail
+        flat = jnp.concatenate(
+            [flat, jnp.full(pad, _NIB_BASE, jnp.uint8)])
+    count = int(_nib_count_jit()(flat))
+    if count > max_escape_frac * n:
+        # wide distribution: the plain pack is both smaller and the
+        # honest fallback — one full fetch either way
+        return compress(np.asarray(flat)[:n])
+    cap = 1
+    while cap < max(count, 1):
+        cap *= 2
+    cap = min(cap, int(flat.size))
+    packed, bitmap, kept = _nib_split_jit(cap)(flat)
+    pk = np.ascontiguousarray(np.asarray(packed)[: (n + 1) // 2])
+    bm = np.ascontiguousarray(np.asarray(bitmap))
+    esc = np.ascontiguousarray(np.asarray(kept)[:count])
+    lib = _load()
+    out = np.empty(lib.entropy_encode_nib_bound(n), np.uint8)
+    r = lib.entropy_encode_nib_parts(_u8p(bm), _u8p(pk), _u8p(esc),
+                                     n, count, _u8p(out), out.size)
+    if r < 0:
+        raise EntropyError(f"encode failed (code {r})")
+    if r >= 12 + n:                # pathological: stored escape
+        return _stored(np.asarray(flat)[:n])
+    out.resize(r, refcheck=False)
+    return out
+
+
 def compress_dense(records, *, max_escape_frac: float = 0.35) -> np.ndarray:
     """u8 records -> SDN1 nibble-split stream: the DENSE-content fast
     path (round-5 VERDICT #6).  One vectorizable native pass splits
@@ -332,7 +416,16 @@ def compress_dense(records, *, max_escape_frac: float = 0.35) -> np.ndarray:
     both smaller and not much slower; truly incompressible input then
     hits the stored escape).  The plain pack remains the ratio-optimal
     choice (~1.67x vs ~1.4x on sigma-5 records): pick SDN1 when
-    sustained fps matters, ``compress`` when bytes matter."""
+    sustained fps matters, ``compress`` when bytes matter.
+
+    DEVICE-resident records take the on-device split (one elementwise
+    dispatch + a static-size gather): only the bitmap + packed nibbles
+    + compacted escapes cross the host boundary (~0.625n + escapes
+    bytes instead of n) and the host does just the assembly + escape
+    Huffman — byte-identical streams to the host split."""
+    if not isinstance(records, (bytes, bytearray, memoryview,
+                                np.ndarray)):
+        return _compress_dense_device(records, max_escape_frac)
     data = as_u8_stream(records)
     if data.size == 0:
         raise EntropyError("empty input has no code")
@@ -518,12 +611,17 @@ def _finish_sparse(blocks, n: int, count: int, rle: bool,
     rle pack."""
     nblk = blocks.shape[0]
     if count > max_kept_frac * nblk:
+        if dense_fast and not rle:
+            if fallback is not None:
+                return compress_dense(
+                    np.asarray(fallback, np.uint8).reshape(-1))
+            # device-resident blocks: stay on device — the SDN1 split
+            # runs there and only its parts cross to the host
+            return compress_dense(blocks.reshape(-1)[:n])
         if fallback is None:
             fallback = np.asarray(blocks).reshape(-1)[:n]
-        flat = np.asarray(fallback, np.uint8).reshape(-1)
-        if dense_fast and not rle:
-            return compress_dense(flat)
-        return compress(flat, rle=rle)
+        return compress(np.asarray(fallback, np.uint8).reshape(-1),
+                        rle=rle)
     cap = 1
     while cap < max(count, 1):
         cap *= 2
