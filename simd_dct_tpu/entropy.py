@@ -628,8 +628,18 @@ def _finish_sparse(blocks, n: int, count: int, rle: bool,
     cap = min(cap, nblk)
     bitmap, kept = _precompact_jit(cap)(blocks)
     bm = np.asarray(bitmap)
-    kb = np.ascontiguousarray(np.asarray(kept)[:count]).reshape(-1)
-    payload = compress(kb, rle=rle) if count else np.zeros(0, np.uint8)
+    if count and dense_fast and not rle:
+        # the kept blocks are still 127-centered (only some of their 64
+        # coefficients are significant), so the payload rides the SDN1
+        # fast path too — and stays ON DEVICE through the nibble split,
+        # composing both device pre-passes (round 5: smooth-content
+        # host work drops to the escape Huffman of the kept fraction)
+        payload = compress_dense(kept[:count].reshape(-1))
+    elif count:
+        kb = np.ascontiguousarray(np.asarray(kept)[:count]).reshape(-1)
+        payload = compress(kb, rle=rle)
+    else:
+        payload = np.zeros(0, np.uint8)
     out = np.empty(_SPARSE_HDR + bm.size + payload.size, np.uint8)
     out[:4] = np.frombuffer(np.uint32(_MAGICS).tobytes(), np.uint8)
     out[4:12] = np.frombuffer(np.uint64(n).tobytes(), np.uint8)
