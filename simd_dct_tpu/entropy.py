@@ -717,7 +717,10 @@ def compress_sparse_batch(records, *, rle: bool = False,
             for i in range(b)]
 
 
-def _decompress_sparse(data: np.ndarray) -> np.ndarray:
+def _parse_sparse(data: np.ndarray):
+    """Validated SDS1 parse -> (n, nblk, count, flags, kept) with the
+    escape payload host-decoded (shared by the host reconstruction and
+    the device expansion route)."""
     if data.size < _SPARSE_HDR:
         raise EntropyError("stream too short")
     n = int(np.frombuffer(data[4:12].tobytes(), np.uint64)[0])
@@ -748,6 +751,11 @@ def _decompress_sparse(data: np.ndarray) -> np.ndarray:
             raise EntropyError("corrupt sparse stream: payload size")
     else:
         kept = np.zeros(0, np.uint8)
+    return n, nblk, count, flags, kept
+
+
+def _decompress_sparse(data: np.ndarray) -> np.ndarray:
+    n, nblk, count, flags, kept = _parse_sparse(data)
     out = np.full((nblk, SPARSE_BLOCK), 127, np.uint8)
     out[flags] = kept.reshape(count, SPARSE_BLOCK)
     return out.reshape(-1)[:n]
@@ -781,6 +789,97 @@ def expand_sparse_device(bitmap, kept, n_bytes: int):
     kb = jnp.asarray(kept, jnp.uint8).reshape(-1, SPARSE_BLOCK)
     out = _expand_jit(kb.shape[0])(flags, kb)
     return out.reshape(-1)[:n_bytes]
+
+
+@functools.cache
+def _nib_expand_jit(cap: int):
+    """Device-side SDN1 reconstruction: nibble expand + escape scatter
+    in one dispatch (the decode twin of the device split)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def expand(flags, nib_bytes, esc):
+        lo = nib_bytes & jnp.uint8(0x0F)
+        hi = nib_bytes >> 4
+        base = (jnp.stack([lo, hi], axis=1).reshape(-1)
+                + jnp.uint8(_NIB_BASE))
+        pad = flags.shape[0] - base.shape[0]
+        if pad > 0:
+            base = jnp.concatenate([base, jnp.zeros(pad, jnp.uint8)])
+        slot = jnp.clip(jnp.cumsum(flags.astype(jnp.int32)) - 1, 0,
+                        cap - 1)
+        return jnp.where(flags, jnp.take(esc, slot),
+                         base[:flags.shape[0]]).astype(jnp.uint8)
+    return expand
+
+
+def expand_nib_device(bitmap, nibbles, escapes, n_bytes: int):
+    """SDN1 parts -> flat u8 records ON DEVICE: upload ~0.625n + escape
+    bytes and reconstruct there (window base + nibble, escapes
+    scattered by the bitmap)."""
+    import jax.numpy as jnp
+    bm = jnp.asarray(bitmap, jnp.uint8)
+    flags = jnp.unpackbits(bm, bitorder="little").astype(bool)
+    nb = jnp.asarray(nibbles, jnp.uint8).reshape(-1)
+    esc = np.asarray(escapes, np.uint8).reshape(-1)
+    if esc.size == 0:
+        esc = np.zeros(1, np.uint8)
+    out = _nib_expand_jit(int(esc.size))(flags, nb, jnp.asarray(esc))
+    return out[:n_bytes]
+
+
+def decompress_to_device(blob):
+    """Compressed stream -> flat u8 records ON DEVICE, minimizing both
+    host decode work and host->device bytes: SDN1 and SDS1 streams ship
+    only their parts (bitmap + nibbles/kept + decoded escapes) and
+    expand on device; every other format host-decodes then uploads.
+    Same validation (and typed errors) as ``decompress``."""
+    import jax.numpy as jnp
+    data = as_u8_stream(blob)
+    if data.size < 12:
+        raise EntropyError("stream too short")
+    magic = int(np.frombuffer(data[:4].tobytes(), np.uint32)[0])
+    if magic == _MAGICS:
+        n, nblk, count, flags, kept = _parse_sparse(data)
+        return expand_sparse_device(
+            data[_SPARSE_HDR:_SPARSE_HDR + nblk // 8],
+            kept.reshape(max(count, 1) if count else 1, -1)
+            if count else np.full((1, SPARSE_BLOCK), 127, np.uint8),
+            n)
+    if magic == _MAGICN:
+        hdr = 4 + 8 + 8
+        if data.size < hdr:
+            raise EntropyError("stream too short")
+        n = int(np.frombuffer(data[4:12].tobytes(), np.uint64)[0])
+        esc_count = int(np.frombuffer(data[12:20].tobytes(),
+                                      np.uint64)[0])
+        if n == 0 or n > 2 * data.size or esc_count > n:
+            raise EntropyError("corrupt stream: implausible symbol count")
+        bm_sz, nib_sz = (n + 7) // 8, (n + 1) // 2
+        if data.size < hdr + bm_sz + nib_sz:
+            raise EntropyError("stream too short")
+        bm = data[hdr:hdr + bm_sz]
+        nib = data[hdr + bm_sz:hdr + bm_sz + nib_sz]
+        pay = data[hdr + bm_sz + nib_sz:]
+        if int(np.unpackbits(bm).sum()) != esc_count:
+            raise EntropyError("corrupt stream: bitmap/count mismatch")
+        if esc_count:
+            # same payload rule as the native decoder: only stored/SDEG
+            # escape payloads are valid inside SDN1
+            if pay.size < 4 or int(np.frombuffer(
+                    pay[:4].tobytes(), np.uint32)[0]) not in (_MAGIC0,
+                                                              _MAGICG):
+                raise EntropyError("corrupt stream: bad escape payload")
+            esc = decompress(pay)
+            if esc.size != esc_count:
+                raise EntropyError("corrupt stream: payload size")
+        else:
+            if pay.size:
+                raise EntropyError("corrupt stream: unexpected payload")
+            esc = np.zeros(0, np.uint8)
+        return expand_nib_device(bm, nib, esc, n)
+    return jnp.asarray(decompress(data))
 
 
 # ---------------------------------------------------------------------------

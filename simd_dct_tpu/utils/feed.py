@@ -153,8 +153,11 @@ def stream_decode32_compressed(blobs: Iterable[Any], lut, size_x: int,
     lut_d = jnp.asarray(lut)
     pending: "deque" = deque()
     for blob in blobs:
-        rec = entropy.decompress(blob)            # host unpack
-        fr = api.decode_quantize32(jnp.asarray(rec), lut_d,
+        # host unpack; SDN1/SDS1 streams ship only their parts to the
+        # device and expand there (round 5 — ~0.65x the upload bytes
+        # and the host skips the full reconstruction)
+        rec = entropy.decompress_to_device(blob)
+        fr = api.decode_quantize32(rec, lut_d,
                                    size_x, size_y, backend=backend)
         pending.append(fr)                        # device decode in flight
         while len(pending) >= depth:

@@ -693,3 +693,36 @@ def test_nib_threaded_large_inputs():
         rec = np.full((1 << 20) + 11, fill, np.uint8)
         blob = E.compress_dense(rec, max_escape_frac=1.0)
         np.testing.assert_array_equal(E.decompress(blob), rec)
+
+
+def test_decompress_to_device_matches_host():
+    """decompress_to_device == decompress for every routed format."""
+    rng = np.random.default_rng(0xDD)
+    dense = _dense_records(1 << 16)
+    sparse_rec = _sparse_records(nblk=256, active_every=3)
+    plain = rng.integers(0, 256, 4096, dtype=np.uint8)
+    allq = np.full(8 * 64, 127, np.uint8)
+    blobs = [E.compress_dense(dense),
+             E.compress_sparse(sparse_rec),
+             E.compress_sparse(allq),          # zero kept blocks
+             E.compress(plain),
+             E.compress_dense(np.full(4096, 127, np.uint8))]  # 0 escapes
+    for blob in blobs:
+        host = E.decompress(blob)
+        dev = np.asarray(E.decompress_to_device(blob))
+        np.testing.assert_array_equal(dev, host)
+
+
+def test_decompress_to_device_corrupt_typed():
+    blob = E.compress_dense(_dense_records(1 << 14))
+    for cut in (3, 12, 19, blob.size - 1):
+        with pytest.raises(E.EntropyError):
+            E.decompress_to_device(blob[:cut])
+    bad = blob.copy()
+    bad[20] ^= 0x10                      # stray bitmap bit
+    with pytest.raises(E.EntropyError):
+        E.decompress_to_device(bad)
+    bad2 = blob.copy()
+    bad2[4:12] = np.frombuffer(np.uint64(1 << 40).tobytes(), np.uint8)
+    with pytest.raises(E.EntropyError):
+        E.decompress_to_device(bad2)
