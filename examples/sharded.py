@@ -38,3 +38,14 @@ seg = jax.jit(lambda x: dist.encode_quantize_stereo_sharded(
     x, lut, mesh, gather=True))(img)
 print(f"stereo planar encode + all-gather ok: replicated="
       f"{seg.sharding.is_fully_replicated}")
+
+# TPU-native stereo record layout (round 5): each shard's plane rows
+# already sit at the 128-multiple minor dim, so per-shard stores and
+# any later gather run at full DMA speed.
+nat = jax.jit(lambda x: dist.encode_quantize_stereo_sharded(
+    x, lut, mesh, view_layout="native"))(img)
+ndec = jax.jit(lambda t: dist.decode_quantize_stereo_sharded(
+    t, lut, W, H, mesh, view_layout="native"))(nat)
+jax.block_until_ready(ndec)
+print(f"stereo native sharded encode+decode ok: {nat.shape} -> "
+      f"{np.asarray(ndec).shape}")
