@@ -251,11 +251,18 @@ def encode(image, mode: str = "enc-quant32", *, quality: float | None = None,
 
 def decode(blob, *, backend: str | None = None, compat: bool = False):
     """.sdt container -> decoded u8 image (top view; stereo returns the
-    full dual view, ycbcr returns (3, H/2, W) RGB planes)."""
+    full dual view, ycbcr returns (3, H/2, W) RGB planes).  On device
+    tiers, SDN1/SDS1 payloads expand ON DEVICE (~0.65x the upload
+    bytes; round 5)."""
     from . import entropy
 
     payload, m = unpack(blob)
-    rec = entropy.decompress(payload) if m.packed else payload
+    if not m.packed:
+        rec = payload
+    elif backend == "numpy":
+        rec = entropy.decompress(payload)
+    else:
+        rec = entropy.decompress_to_device(payload)
     return _decode_records(rec, m, backend, compat)
 
 
@@ -427,8 +434,8 @@ def _decode_records(rec, m, backend, compat):
             s = m.size_y // 16
             bw = (api._stereo_native_bwp(m.size_x) if native
                   else m.size_x // 8)
-            arr = np.asarray(rec)
-            want = 2 * 64 * s * bw
+            arr = rec           # np OR device array: reshape works on
+            want = 2 * 64 * s * bw  # both without a host round-trip
             if arr.ndim == 1 and arr.size != want:
                 raise ContainerError(
                     f"corrupt container: stereo payload size {arr.size} "
@@ -459,7 +466,12 @@ def decode_video_frame(blob, index: int, *, backend: str | None = None,
                              f"[0, {m.n_frames})")
     payload = data[offs[index]:offs[index + 1]]
     # .copy(): un-packed payloads must not alias the caller's blob
-    rec = entropy.decompress(payload) if m.packed else payload.copy()
+    if not m.packed:
+        rec = payload.copy()
+    elif backend == "numpy":
+        rec = entropy.decompress(payload)
+    else:
+        rec = entropy.decompress_to_device(payload)
     return _decode_records(rec, m, backend, compat)
 
 
@@ -470,11 +482,21 @@ def decode_video(blob, *, backend: str | None = None,
     from . import entropy
 
     data, offs, m = _parse_video(blob)
+    device = m.packed and backend != "numpy"
     recs = []
     for i in range(m.n_frames):
         payload = data[offs[i]:offs[i + 1]]
-        recs.append(entropy.decompress(payload) if m.packed else payload)
-    batch = np.stack(recs)  # np.stack copies, so raw slices never escape
+        if not m.packed:
+            recs.append(payload)
+        elif device:
+            recs.append(entropy.decompress_to_device(payload))
+        else:
+            recs.append(entropy.decompress(payload))
+    if device:
+        import jax.numpy as jnp
+        batch = jnp.stack(recs)    # device batch, one dispatch to decode
+    else:
+        batch = np.stack(recs)  # copies, so raw slices never escape
     return _decode_records(batch, m, backend, compat)
 
 
