@@ -204,8 +204,9 @@ def decode_quantize_stereo_sharded(planes: jax.Array, lut, size_x: int,
         s_local = local_planes.shape[2 if native else 1]
         if native and not _use_pallas(mesh, s_local * 8, w):
             # fallback tiers consume the planar route: drop pad columns
-            local_planes = local_planes[..., : w // 8]
-            flat = _views_to_flat(local_planes, s_local, w)
+            from ..layout import reorder as _reorder
+            flat = _reorder.stereo_views_to_interleaved(
+                local_planes[..., : w // 8])
             local = X.decode_quantize_stereo(flat, lut_r, w, s_local * 16)
         elif native:
             from ..kernels import pallas_dct as PK
@@ -230,11 +231,6 @@ def decode_quantize_stereo_sharded(planes: jax.Array, lut, size_x: int,
     views = fn(planes, lut)
     return views.reshape(size_y, size_x)
 
-
-def _views_to_flat(v, s: int, w: int):
-    """(2, 64, S, BW) separate-views tensor -> the reference interleaved
-    byte stream (plane, strip, view, b) as a flat array."""
-    return v.transpose(1, 2, 0, 3).reshape(-1)
 
 
 # ---------------------------------------------------------------------------

@@ -360,16 +360,25 @@ def _nib_split_jit(cap: int):
     return split
 
 
-def _compress_dense_device(records, max_escape_frac: float) -> np.ndarray:
-    """Device-resident records -> SDN1 via the on-device split: the
-    host receives the bitmap + packed nibbles + compacted escapes and
-    only assembles the stream + Huffman-packs the escapes (the same
-    native payload policy as the host split — byte-identical streams)."""
+def nib_split_device(records, *, max_escape_frac: float | None = None):
+    """Device (or host) u8 records -> the SDN1 parts, produced ON
+    DEVICE: ``(bitmap, packed_nibbles, escapes, n)`` as host arrays
+    (pads to a multiple of 8 internally; the escape count is
+    ``escapes.size``).  Bit/byte-identical to the native host split —
+    feed the parts to :func:`compress_dense_parts`.  With
+    ``max_escape_frac`` set, returns ``None`` when the escape count
+    exceeds it (checked BEFORE the gather, so the wide-distribution
+    fallback never pays the parts fetch)."""
     import jax.numpy as jnp
     flat = jnp.asarray(records, jnp.uint8).reshape(-1)
     n = int(flat.size)
     if n == 0:
         raise EntropyError("empty input has no code")
+    if n >= (1 << 31):
+        # the on-device flag sum is i32 (like histogram's counts);
+        # beyond 2 GiB a wrapped count could write an undecodable
+        # stream — reject rather than corrupt
+        raise EntropyError("device split supports < 2 GiB per stream")
     pad = (-n) % 8
     if pad:
         # pad with the window base (delta 0): pad nibbles are 0 and pad
@@ -377,27 +386,50 @@ def _compress_dense_device(records, max_escape_frac: float) -> np.ndarray:
         flat = jnp.concatenate(
             [flat, jnp.full(pad, _NIB_BASE, jnp.uint8)])
     count = int(_nib_count_jit()(flat))
-    if count > max_escape_frac * n:
-        # wide distribution: the plain pack is both smaller and the
-        # honest fallback — one full fetch either way
-        return compress(np.asarray(flat)[:n])
+    if max_escape_frac is not None and count > max_escape_frac * n:
+        return None
     cap = 1
     while cap < max(count, 1):
-        cap *= 2
+        cap *= 2                   # pow2 buckets bound the jit compiles
     cap = min(cap, int(flat.size))
     packed, bitmap, kept = _nib_split_jit(cap)(flat)
     pk = np.ascontiguousarray(np.asarray(packed)[: (n + 1) // 2])
     bm = np.ascontiguousarray(np.asarray(bitmap))
     esc = np.ascontiguousarray(np.asarray(kept)[:count])
+    return bm, pk, esc, n
+
+
+def compress_dense_parts(bitmap, nibbles, escapes, n: int) -> np.ndarray:
+    """Assemble an SDN1 stream from precomputed parts (the host portion
+    of the device-split pipeline: header + memcpy + escape Huffman via
+    the same native payload policy as the host split)."""
+    bm = np.ascontiguousarray(bitmap, np.uint8)
+    pk = np.ascontiguousarray(nibbles, np.uint8)
+    esc = np.ascontiguousarray(escapes, np.uint8).reshape(-1)
     lib = _load()
     out = np.empty(lib.entropy_encode_nib_bound(n), np.uint8)
     r = lib.entropy_encode_nib_parts(_u8p(bm), _u8p(pk), _u8p(esc),
-                                     n, count, _u8p(out), out.size)
+                                     n, esc.size, _u8p(out), out.size)
     if r < 0:
         raise EntropyError(f"encode failed (code {r})")
-    if r >= 12 + n:                # pathological: stored escape
-        return _stored(np.asarray(flat)[:n])
     out.resize(r, refcheck=False)
+    return out
+
+
+def _compress_dense_device(records, max_escape_frac: float) -> np.ndarray:
+    """Device-resident records -> SDN1 via the on-device split: the
+    host receives the bitmap + packed nibbles + compacted escapes and
+    only assembles the stream + Huffman-packs the escapes (the same
+    native payload policy as the host split — byte-identical streams)."""
+    parts = nib_split_device(records, max_escape_frac=max_escape_frac)
+    if parts is None:
+        # wide distribution: the plain pack is both smaller and the
+        # honest fallback — one full fetch either way
+        return compress(np.asarray(records, np.uint8).reshape(-1))
+    bm, pk, esc, n = parts
+    out = compress_dense_parts(bm, pk, esc, n)
+    if out.size >= 12 + n:         # pathological: stored escape
+        return _stored(np.asarray(records, np.uint8).reshape(-1))
     return out
 
 
@@ -423,9 +455,10 @@ def compress_dense(records, *, max_escape_frac: float = 0.35) -> np.ndarray:
     + compacted escapes cross the host boundary (~0.625n + escapes
     bytes instead of n) and the host does just the assembly + escape
     Huffman — byte-identical streams to the host split."""
-    if not isinstance(records, (bytes, bytearray, memoryview,
-                                np.ndarray)):
-        return _compress_dense_device(records, max_escape_frac)
+    import jax
+    if isinstance(records, jax.Array):   # positive dispatch: lists /
+        return _compress_dense_device(   # buffer objects stay on the
+            records, max_escape_frac)    # as_u8_stream host path
     data = as_u8_stream(records)
     if data.size == 0:
         raise EntropyError("empty input has no code")
@@ -779,6 +812,21 @@ def _expand_jit(cap: int):
     return expand
 
 
+def _pow2_pad_rows(arr, np_mod):
+    """Pad axis 0 up to the next power of two (zeros): the expand jits
+    cache per static capacity, so pow2 buckets bound the compile count
+    the same way the encode-side gathers do."""
+    rows = arr.shape[0]
+    cap = 1
+    while cap < max(rows, 1):
+        cap *= 2
+    if cap == rows:
+        return arr
+    pad_shape = (cap - rows,) + arr.shape[1:]
+    return np_mod.concatenate(
+        [arr, np_mod.zeros(pad_shape, np_mod.uint8)])
+
+
 def expand_sparse_device(bitmap, kept, n_bytes: int):
     """(bitmap bytes, (count, 64) kept blocks) -> flat u8 records on
     device.  ``kept`` may be padded beyond the true count; the bitmap
@@ -786,7 +834,8 @@ def expand_sparse_device(bitmap, kept, n_bytes: int):
     import jax.numpy as jnp
     bm = jnp.asarray(bitmap, jnp.uint8)
     flags = jnp.unpackbits(bm, bitorder="little").astype(bool)
-    kb = jnp.asarray(kept, jnp.uint8).reshape(-1, SPARSE_BLOCK)
+    kb = _pow2_pad_rows(
+        jnp.asarray(kept, jnp.uint8).reshape(-1, SPARSE_BLOCK), jnp)
     out = _expand_jit(kb.shape[0])(flags, kb)
     return out.reshape(-1)[:n_bytes]
 
@@ -825,6 +874,7 @@ def expand_nib_device(bitmap, nibbles, escapes, n_bytes: int):
     esc = np.asarray(escapes, np.uint8).reshape(-1)
     if esc.size == 0:
         esc = np.zeros(1, np.uint8)
+    esc = _pow2_pad_rows(esc, np)    # bound the per-count jit compiles
     out = _nib_expand_jit(int(esc.size))(flags, nb, jnp.asarray(esc))
     return out[:n_bytes]
 
@@ -844,8 +894,8 @@ def decompress_to_device(blob):
         n, nblk, count, flags, kept = _parse_sparse(data)
         return expand_sparse_device(
             data[_SPARSE_HDR:_SPARSE_HDR + nblk // 8],
-            kept.reshape(max(count, 1) if count else 1, -1)
-            if count else np.full((1, SPARSE_BLOCK), 127, np.uint8),
+            kept.reshape(max(count, 1), -1) if count
+            else np.full((1, SPARSE_BLOCK), 127, np.uint8),
             n)
     if magic == _MAGICN:
         hdr = 4 + 8 + 8
@@ -862,7 +912,14 @@ def decompress_to_device(blob):
         bm = data[hdr:hdr + bm_sz]
         nib = data[hdr + bm_sz:hdr + bm_sz + nib_sz]
         pay = data[hdr + bm_sz + nib_sz:]
-        if int(np.unpackbits(bm).sum()) != esc_count:
+        # count only bits < n, exactly like the native decoder (review
+        # finding: counting pad bits let a crafted last byte trade a
+        # real bit for a pad bit and silently corrupt one record byte;
+        # the expand's cumsum scatter is position-indexed, so set pad
+        # bits past n cannot shift real escapes — same acceptance
+        # envelope as the native decode)
+        nbits = np.unpackbits(bm, bitorder="little")[:n]
+        if int(nbits.sum()) != esc_count:
             raise EntropyError("corrupt stream: bitmap/count mismatch")
         if esc_count:
             # same payload rule as the native decoder: only stored/SDEG

@@ -726,3 +726,52 @@ def test_decompress_to_device_corrupt_typed():
     bad2[4:12] = np.frombuffer(np.uint64(1 << 40).tobytes(), np.uint8)
     with pytest.raises(E.EntropyError):
         E.decompress_to_device(bad2)
+
+
+def test_decompress_to_device_pad_bit_attack():
+    """Crafted last bitmap byte: clearing a real escape bit and setting
+    a PAD bit keeps the whole-byte popcount but must be a typed error
+    on both decode routes (review finding — the device route counted
+    pad bits and silently corrupted one record byte)."""
+    n = 4097                     # one byte past an 8-multiple
+    rec = np.full(n, 127, np.uint8)
+    rec[4096] = 250              # single escape in the final bitmap byte
+    blob = E.compress_dense(rec, max_escape_frac=1.0)
+    hdr = 20
+    bm_sz = (n + 7) // 8
+    last = hdr + bm_sz - 1
+    assert blob[last] == 0x01    # escape at bit 0 of the last byte
+    bad = blob.copy()
+    bad[last] = 0x80             # real bit -> pad bit, popcount preserved
+    with pytest.raises(E.EntropyError):
+        E.decompress(bad)
+    with pytest.raises(E.EntropyError):
+        E.decompress_to_device(bad)
+    # and the pristine stream round-trips on both routes
+    np.testing.assert_array_equal(E.decompress(blob), rec)
+    np.testing.assert_array_equal(
+        np.asarray(E.decompress_to_device(blob)), rec)
+
+
+def test_compress_dense_list_input():
+    """Non-array inputs stay on the as_u8_stream host path (review
+    finding: a negative isinstance check routed lists to jax)."""
+    blob = E.compress_dense([127] * 64, max_escape_frac=1.0)
+    np.testing.assert_array_equal(E.decompress(blob),
+                                  np.full(64, 127, np.uint8))
+
+
+def test_expand_jit_pow2_bucketing():
+    """Expansion jits must bucket their static capacity (review
+    finding: per-count traces leaked one compile per distinct escape
+    count)."""
+    base = _dense_records(1 << 12)
+    before = E._nib_expand_jit.cache_info().currsize
+    for k in (100, 101, 102, 103):
+        rec = base.copy()
+        rec[:k] = 0              # k escapes
+        blob = E.compress_dense(rec, max_escape_frac=1.0)
+        np.testing.assert_array_equal(
+            np.asarray(E.decompress_to_device(blob)), rec)
+    after = E._nib_expand_jit.cache_info().currsize
+    assert after - before <= 1   # all four counts share the 128-cap trace
