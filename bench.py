@@ -675,11 +675,13 @@ def main():
                 blocks = rec_sm.reshape(-1, 64)
                 kept_mask = (blocks != 127).any(axis=1)
                 kept = blocks[kept_mask].reshape(-1)
-                # the pipeline's payload coder is now SDN1-on-kept
-                # (round 5): measure the same host work the sparse
-                # pipeline actually does per frame
-                blob_s = E.compress_dense(kept)
-                tps = _best_of(lambda: E.compress_dense(kept), 3)
+                # default pipeline payload: the ratio-optimal plain
+                # pack on the kept bytes (the SDN1-on-kept variant
+                # measured 914 fps but caps the ratio at ~3.4x vs 10x+
+                # — rejected as default, see LESSONS.md)
+                lengths_s = E.build_lengths(E.histogram(kept, device=False))
+                blob_s = E.compress(kept, lengths_s)
+                tps = _best_of(lambda: E.compress(kept, lengths_s), 3)
                 # exact recovery through the full sparse stream (device
                 # compaction forced onto the host CPU backend so the
                 # check never rides the tunnel)

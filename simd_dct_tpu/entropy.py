@@ -631,7 +631,8 @@ def _sparse_blocks(records):
 
 def _finish_sparse(blocks, n: int, count: int, rle: bool,
                    max_kept_frac: float, fallback=None,
-                   dense_fast: bool = True) -> np.ndarray:
+                   dense_fast: bool = True,
+                   payload_fast: bool = False) -> np.ndarray:
     """Shared tail of the sparse pipelines: compaction gather + header
     assembly (or the transparent dense fallback) for ONE stream whose
     significance ``count`` is already known.  ``fallback``: the
@@ -641,7 +642,8 @@ def _finish_sparse(blocks, n: int, count: int, rle: bool,
     nibble-split coder (round 5 — memcpy-class host rate on 127-window
     content; its own escape check falls back to the plain pack) instead
     of straight to the plain pack; rle requests always take the plain
-    rle pack."""
+    rle pack.  ``payload_fast``: opt-in SDN1 coding of the KEPT blocks
+    (fps over bytes — see the in-line note)."""
     nblk = blocks.shape[0]
     if count > max_kept_frac * nblk:
         if dense_fast and not rle:
@@ -661,12 +663,14 @@ def _finish_sparse(blocks, n: int, count: int, rle: bool,
     cap = min(cap, nblk)
     bitmap, kept = _precompact_jit(cap)(blocks)
     bm = np.asarray(bitmap)
-    if count and dense_fast and not rle:
-        # the kept blocks are still 127-centered (only some of their 64
-        # coefficients are significant), so the payload rides the SDN1
-        # fast path too — and stays ON DEVICE through the nibble split,
-        # composing both device pre-passes (round 5: smooth-content
-        # host work drops to the escape Huffman of the kept fraction)
+    if count and payload_fast and not rle:
+        # OPT-IN fps-over-bytes payload: SDN1 on the kept blocks,
+        # staying on device through the nibble split (measured 914 vs
+        # 533 fps/4K view on smooth content) — but SDN1's ~0.63 B/sym
+        # floor CAPS the stream ratio at ~3.4x where the plain payload
+        # reaches 10x+ on the same content, so the ratio-optimal plain
+        # pack stays the default (measured round 5; the sparse path
+        # exists for compressible content)
         payload = compress_dense(kept[:count].reshape(-1))
     elif count:
         kb = np.ascontiguousarray(np.asarray(kept)[:count]).reshape(-1)
@@ -685,7 +689,8 @@ def _finish_sparse(blocks, n: int, count: int, rle: bool,
 
 def compress_sparse(records, *, rle: bool = False,
                     max_kept_frac: float = 0.85,
-                    dense_fast: bool = True) -> np.ndarray:
+                    dense_fast: bool = True,
+                    payload_fast: bool = False) -> np.ndarray:
     """u8 records -> compressed stream, with all-127 64-byte blocks
     dropped on the DEVICE before the host Huffman pack.  Dense inputs
     (more than ``max_kept_frac`` significant blocks — the bitmap would
@@ -701,7 +706,8 @@ def compress_sparse(records, *, rle: bool = False,
     else:
         fallback = None         # device array: one D2H either way
     return _finish_sparse(blocks, n, count, rle, max_kept_frac, fallback,
-                          dense_fast=dense_fast)
+                          dense_fast=dense_fast,
+                          payload_fast=payload_fast)
 
 
 @functools.cache
@@ -718,7 +724,8 @@ def _sparse_count_batch_jit():
 
 def compress_sparse_batch(records, *, rle: bool = False,
                           max_kept_frac: float = 0.85,
-                          dense_fast: bool = True) -> list:
+                          dense_fast: bool = True,
+                          payload_fast: bool = False) -> list:
     """(B, N) u8 record batch -> B independently-decodable sparse
     streams, with the significance counts of ALL frames computed in ONE
     device dispatch (the per-frame compaction gathers still run per
@@ -746,7 +753,8 @@ def compress_sparse_batch(records, *, rle: bool = False,
     return [_finish_sparse(blocks[i], n, int(counts[i]), rle,
                            max_kept_frac,
                            fallback=None if host is None else host[i],
-                           dense_fast=dense_fast)
+                           dense_fast=dense_fast,
+                           payload_fast=payload_fast)
             for i in range(b)]
 
 
