@@ -1783,6 +1783,318 @@ long long entropy_encode_nib_parts(const uint8_t* bitmap,
   return (long long)(hdr + bm_sz + nib_sz + (size_t)pn);
 }
 
+// ---------------------------------------------------------------------------
+// SDN2: the 32-value-window sibling of SDN1 (round 5).  Mid-entropy
+// dense content (e.g. sigma ~8-16 gaussians) escapes SDN1's 16-value
+// window too often but fits [111, 142]: d = byte - 111 in [0, 31],
+// stored as the SDN1 nibble plane (low 4 bits) PLUS a fifth-bit plane
+// — both planes reuse the SDN1 SIMD machinery, trading ratio
+// (~1.2x vs the plain pack's ~1.4x on sigma-10) for 2-3x pack rate.
+//
+// Stream format (little-endian):
+//   u32 "SDN2" | u64 n | u64 esc_count |
+//   esc bitmap ceil(n/8) | bit4 plane ceil(n/8) (LSB-first; bit =
+//   d >> 4 of an IN-WINDOW byte, 0 at escapes) |
+//   nibbles ceil(n/2) (d & 15; escaped positions 0) | [escape payload]
+// ---------------------------------------------------------------------------
+
+static const uint32_t kMagicN2 = 0x324E4453u;  // "SDN2"
+static const int kNib2Base = 111;              // window [111, 142]
+
+size_t entropy_encode_nib2_bound(size_t n) {
+  return 4 + 8 + 8 + 2 * ((n + 7) / 8) + (n + 1) / 2
+      + entropy_encode_g_bound(n, 128) + 12;
+}
+
+long long entropy_encode_nib2(const uint8_t* in, size_t n, uint8_t* out,
+                              size_t out_cap, uint64_t max_escapes) {
+  if (n == 0) return -4;
+  const size_t bm_sz = (n + 7) / 8, nib_sz = (n + 1) / 2;
+  const size_t hdr = 4 + 8 + 8;
+  if (out_cap < hdr + 2 * bm_sz + nib_sz) return -3;
+  uint8_t* bitmap = out + hdr;
+  uint8_t* bit4 = bitmap + bm_sz;
+  uint8_t* nib = bit4 + bm_sz;
+  unsigned hw = std::thread::hardware_concurrency();
+  int T = (n >= (1u << 20) && hw >= 2) ? (int)std::min(hw, 16u) : 1;
+  size_t chunk = ((n / (size_t)T) + 7) & ~(size_t)7;
+  if (chunk == 0) chunk = 8;
+  int K = (int)((n + chunk - 1) / chunk);
+  std::vector<uint64_t> esc_cnt((size_t)K, 0);
+
+  const uint64_t Hb2 = 0x8080808080808080ULL;
+  const uint64_t B111 = 0x6F6F6F6F6F6F6F6FULL;  // kNib2Base per byte
+
+  auto split_range = [&](int s) {
+    size_t lo = std::min(n, (size_t)s * chunk);
+    size_t hi = std::min(n, (size_t)(s + 1) * chunk);
+    uint64_t cnt = 0;
+    size_t i = lo;
+#if defined(__SSE2__)
+    const __m128i vbase = _mm_set1_epi8((char)kNib2Base);
+    const __m128i v31 = _mm_set1_epi8(31);
+    const __m128i v16 = _mm_set1_epi8(16);
+    const __m128i vzero = _mm_setzero_si128();
+    const __m128i vlane = _mm_set1_epi16(0x00FF);
+    const __m128i vf = _mm_set1_epi8(0x0F);
+    for (; i + 16 <= hi; i += 16) {
+      __m128i x = _mm_loadu_si128((const __m128i*)(in + i));
+      __m128i d = _mm_sub_epi8(x, vbase);
+      __m128i inwin = _mm_cmpeq_epi8(_mm_subs_epu8(d, v31), vzero);
+      unsigned ebits = (unsigned)_mm_movemask_epi8(
+          _mm_andnot_si128(inwin, _mm_set1_epi8((char)0x80)));
+      // fifth bit of in-window deltas -> bit 7 -> movemask
+      __m128i b4 = _mm_and_si128(_mm_and_si128(d, v16), inwin);
+      unsigned bbits = (unsigned)_mm_movemask_epi8(
+          _mm_slli_epi16(b4, 3));
+      __m128i nbv = _mm_and_si128(_mm_and_si128(d, vf), inwin);
+      __m128i v = _mm_and_si128(
+          _mm_or_si128(nbv, _mm_srli_epi16(nbv, 4)), vlane);
+      __m128i p = _mm_packus_epi16(v, v);
+      _mm_storel_epi64((__m128i*)(nib + (i >> 1)), p);
+      bitmap[i >> 3] = (uint8_t)ebits;
+      bitmap[(i >> 3) + 1] = (uint8_t)(ebits >> 8);
+      bit4[i >> 3] = (uint8_t)bbits;
+      bit4[(i >> 3) + 1] = (uint8_t)(bbits >> 8);
+      cnt += (unsigned)__builtin_popcount(ebits);
+    }
+#endif
+    for (; i + 8 <= hi; i += 8) {
+      uint64_t x;
+      std::memcpy(&x, in + i, 8);
+      // per-byte d = x - 111 (borrow-masked), escape = d > 31
+      uint64_t d = ((x | Hb2) - (B111 & ~Hb2)) ^ ((x ^ ~B111) & Hb2);
+      uint64_t f = d & 0xE0E0E0E0E0E0E0E0ULL;
+      uint64_t t = f | (f >> 1);
+      t |= t >> 2;                                  // any-of-3 at bit 5
+      uint64_t e01 = (t >> 5) & 0x0101010101010101ULL;
+      uint64_t m = e01 | (e01 << 1);
+      m |= m << 2;
+      m |= m << 4;                                  // 0xFF where escaped
+      uint64_t dm = d & ~m;
+      uint64_t b401 = (dm >> 4) & 0x0101010101010101ULL;
+      uint64_t nb = dm & 0x0F0F0F0F0F0F0F0FULL;
+      uint64_t v = (nb | (nb >> 4)) & 0x00FF00FF00FF00FFULL;
+      v = (v | (v >> 8)) & 0x0000FFFF0000FFFFULL;
+      v = (v | (v >> 16)) & 0x00000000FFFFFFFFULL;
+      uint32_t packed = (uint32_t)v;
+      std::memcpy(nib + (i >> 1), &packed, 4);
+      unsigned ebits = (unsigned)((e01 * 0x0102040810204080ULL) >> 56);
+      unsigned bbits = (unsigned)((b401 * 0x0102040810204080ULL) >> 56);
+      bitmap[i >> 3] = (uint8_t)ebits;
+      bit4[i >> 3] = (uint8_t)bbits;
+      cnt += (unsigned)__builtin_popcount(ebits);
+    }
+    if (i < hi) {                       // sub-8 tail (last chunk only)
+      unsigned ebits = 0, bbits = 0;
+      uint8_t packed[4] = {0, 0, 0, 0};
+      for (size_t j = i; j < hi; j++) {
+        unsigned dd = (unsigned)in[j] - kNib2Base;
+        unsigned e = dd > 31u;
+        ebits |= e << (j - i);
+        if (!e) {
+          bbits |= ((dd >> 4) & 1u) << (j - i);
+          packed[(j - i) >> 1] |=
+              (uint8_t)((dd & 15u) << (((j - i) & 1) * 4));
+        }
+        cnt += e;
+      }
+      bitmap[i >> 3] = (uint8_t)ebits;
+      bit4[i >> 3] = (uint8_t)bbits;
+      std::memcpy(nib + (i >> 1), packed, (hi - i + 1) / 2);
+    }
+    esc_cnt[s] = cnt;
+  };
+  if (T > 1) {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < T; t++)
+      ts.emplace_back([&, t] {
+        for (int s = t; s < K; s += T) split_range(s);
+      });
+    for (auto& th : ts) th.join();
+  } else {
+    for (int s = 0; s < K; s++) split_range(s);
+  }
+
+  uint64_t esc_total = 0;
+  std::vector<uint64_t> esc_off((size_t)K, 0);
+  for (int s = 0; s < K; s++) {
+    esc_off[s] = esc_total;
+    esc_total += esc_cnt[s];
+  }
+  if (esc_total > max_escapes) return -6;
+
+  std::memcpy(out, &kMagicN2, 4);
+  uint64_t n64 = n;
+  std::memcpy(out + 4, &n64, 8);
+  std::memcpy(out + 12, &esc_total, 8);
+  if (esc_total == 0) return (long long)(hdr + 2 * bm_sz + nib_sz);
+
+  std::vector<uint8_t> esc((size_t)esc_total);
+  auto gather_range = [&](int s) {
+    size_t lo = std::min(n, (size_t)s * chunk);
+    size_t hi = std::min(n, (size_t)(s + 1) * chunk);
+    uint64_t k = esc_off[s];
+    for (size_t b = lo >> 3; b < (hi + 7) >> 3; b++) {
+      unsigned bits = bitmap[b];
+      if ((b << 3) + 8 > hi)
+        bits &= (1u << (hi - (b << 3))) - 1u;
+      while (bits) {
+        int t = __builtin_ctz(bits);
+        bits &= bits - 1;
+        esc[k++] = in[(b << 3) + t];
+      }
+    }
+  };
+  if (T > 1) {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < T; t++)
+      ts.emplace_back([&, t] {
+        for (int s = t; s < K; s += T) gather_range(s);
+      });
+    for (auto& th : ts) th.join();
+  } else {
+    for (int s = 0; s < K; s++) gather_range(s);
+  }
+
+  long long pn = nib_escape_payload(
+      esc.data(), esc.size(), out + hdr + 2 * bm_sz + nib_sz,
+      out_cap - (hdr + 2 * bm_sz + nib_sz));
+  if (pn < 0) return pn;
+  return (long long)(hdr + 2 * bm_sz + nib_sz + (size_t)pn);
+}
+
+long long entropy_decode_nib2(const uint8_t* in, size_t n_comp,
+                              uint8_t* out, size_t out_cap) {
+  const size_t hdr = 4 + 8 + 8;
+  if (n_comp < hdr) return -1;
+  uint32_t magic;
+  std::memcpy(&magic, in, 4);
+  if (magic != kMagicN2) return -1;
+  uint64_t n, esc_total;
+  std::memcpy(&n, in + 4, 8);
+  std::memcpy(&esc_total, in + 12, 8);
+  if (n == 0 || n > out_cap || esc_total > n) return -1;
+  const size_t bm_sz = ((size_t)n + 7) / 8, nib_sz = ((size_t)n + 1) / 2;
+  if (n_comp < hdr + 2 * bm_sz + nib_sz) return -1;
+  const uint8_t* bitmap = in + hdr;
+  const uint8_t* bit4 = bitmap + bm_sz;
+  const uint8_t* nib = bit4 + bm_sz;
+  const uint8_t* pay = nib + nib_sz;
+  size_t pay_sz = n_comp - (hdr + 2 * bm_sz + nib_sz);
+
+  std::vector<uint8_t> esc((size_t)esc_total);
+  if (esc_total > 0) {
+    if (pay_sz < 4) return -1;
+    uint32_t pm;
+    std::memcpy(&pm, pay, 4);
+    long long r;
+    if (pm == kMagicStored) {
+      if (pay_sz < 12) return -1;
+      uint64_t sn;
+      std::memcpy(&sn, pay + 4, 8);
+      if (sn != esc_total || pay_sz != 12 + (size_t)sn) return -1;
+      std::memcpy(esc.data(), pay + 12, (size_t)sn);
+      r = (long long)sn;
+    } else if (pm == kMagicGv) {
+      r = entropy_decode_g(pay, pay_sz, esc.data(), esc.size());
+    } else {
+      return -1;
+    }
+    if (r != (long long)esc_total) return -1;
+  } else if (pay_sz != 0) {
+    return -1;
+  }
+
+  unsigned hw = std::thread::hardware_concurrency();
+  int T = (n >= (1u << 20) && hw >= 2) ? (int)std::min(hw, 16u) : 1;
+  size_t chunk = (((size_t)n / (size_t)T) + 7) & ~(size_t)7;
+  if (chunk == 0) chunk = 8;
+  int K = (int)(((size_t)n + chunk - 1) / chunk);
+  std::vector<uint64_t> cnt((size_t)K, 0);
+  auto pop_range = [&](int s) {
+    size_t lo = std::min((size_t)n, (size_t)s * chunk);
+    size_t hi = std::min((size_t)n, (size_t)(s + 1) * chunk);
+    uint64_t c = 0;
+    size_t i = lo;
+    for (; i + 8 <= hi && (i & 7) == 0; i += 8)
+      c += __builtin_popcount((unsigned)bitmap[i >> 3]);
+    for (; i < hi; i++) c += bitmap[i >> 3] >> (i & 7) & 1;
+    cnt[s] = c;
+  };
+  {
+    std::vector<std::thread> ts;
+    if (T > 1) {
+      for (int t = 0; t < T; t++)
+        ts.emplace_back([&, t] {
+          for (int s = t; s < K; s += T) pop_range(s);
+        });
+      for (auto& th : ts) th.join();
+    } else {
+      for (int s = 0; s < K; s++) pop_range(s);
+    }
+  }
+  std::vector<uint64_t> off((size_t)K, 0);
+  uint64_t total = 0;
+  for (int s = 0; s < K; s++) {
+    off[s] = total;
+    total += cnt[s];
+  }
+  if (total != esc_total) return -1;
+
+  auto fill_range = [&](int s) {
+    size_t lo = std::min((size_t)n, (size_t)s * chunk);
+    size_t hi = std::min((size_t)n, (size_t)(s + 1) * chunk);
+    // bulk: base + nibble + fifth-bit plane (SWAR bit-to-byte spread;
+    // all adds carry-free: 111 + 15 + 16 = 142 < 256)
+    size_t i = lo;
+    for (; i + 8 <= hi; i += 8) {
+      uint32_t x;
+      std::memcpy(&x, nib + (i >> 1), 4);
+      uint64_t t = x;
+      t = (t | (t << 16)) & 0x0000FFFF0000FFFFULL;
+      t = (t | (t << 8)) & 0x00FF00FF00FF00FFULL;
+      uint64_t lo4 = t & 0x000F000F000F000FULL;
+      uint64_t hi4 = (t >> 4) & 0x000F000F000F000FULL;
+      uint64_t o = (lo4 | (hi4 << 8)) + 0x6F6F6F6F6F6F6F6FULL;
+      uint64_t bits = bit4[i >> 3];
+      uint64_t s8 = (bits * 0x0101010101010101ULL)
+          & 0x8040201008040201ULL;          // byte j nonzero iff bit j
+      uint64_t nz = (((s8 & 0x7F7F7F7F7F7F7F7FULL)
+                      + 0x7F7F7F7F7F7F7F7FULL) | s8)
+          & 0x8080808080808080ULL;
+      o += nz >> 3;                          // +16 where bit4 set
+      std::memcpy(out + i, &o, 8);
+    }
+    for (; i < hi; i++)
+      out[i] = (uint8_t)(kNib2Base + (((nib[i >> 1] >> ((i & 1) * 4))
+                                       & 15))
+                         + ((bit4[i >> 3] >> (i & 7) & 1) << 4));
+    uint64_t k = off[s];
+    for (size_t b = lo >> 3; b < (hi + 7) >> 3; b++) {
+      unsigned bits = bitmap[b];
+      if ((b << 3) + 8 > hi)
+        bits &= (1u << (hi - (b << 3))) - 1u;
+      while (bits) {
+        int t2 = __builtin_ctz(bits);
+        bits &= bits - 1;
+        out[(b << 3) + t2] = esc[k++];
+      }
+    }
+  };
+  if (T > 1) {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < T; t++)
+      ts.emplace_back([&, t] {
+        for (int s = t; s < K; s += T) fill_range(s);
+      });
+    for (auto& th : ts) th.join();
+  } else {
+    for (int s = 0; s < K; s++) fill_range(s);
+  }
+  return (long long)n;
+}
+
 long long entropy_decode_nib(const uint8_t* in, size_t n_comp,
                              uint8_t* out, size_t out_cap) {
   const size_t hdr = 4 + 8 + 8;

@@ -128,6 +128,13 @@ def _load() -> ctypes.CDLL:
                 u8p, u8p, u8p, ctypes.c_uint64, ctypes.c_uint64, u8p, st]
             lib.entropy_decode_nib.restype = ctypes.c_longlong
             lib.entropy_decode_nib.argtypes = [u8p, st, u8p, st]
+            lib.entropy_encode_nib2_bound.restype = st
+            lib.entropy_encode_nib2_bound.argtypes = [st]
+            lib.entropy_encode_nib2.restype = ctypes.c_longlong
+            lib.entropy_encode_nib2.argtypes = [u8p, st, u8p, st,
+                                                ctypes.c_uint64]
+            lib.entropy_decode_nib2.restype = ctypes.c_longlong
+            lib.entropy_decode_nib2.argtypes = [u8p, st, u8p, st]
             _lib = lib
     return _lib
 
@@ -318,6 +325,7 @@ _MAGICR = 0x52454453   # "SDER"
 _MAGICG = 0x47454453   # "SDEG" (generalized K-chunk)
 _MAGICGR = 0x52474453  # "SDGR" (generalized K-chunk RLE)
 _MAGICN = 0x314E4453   # "SDN1" (nibble-split: dense-content fast path)
+_MAGICN2 = 0x324E4453  # "SDN2" (32-value window: mid-entropy dense)
 
 
 _NIB_BASE = 119            # window [119, 134]; must match native kNibBase
@@ -423,9 +431,10 @@ def _compress_dense_device(records, max_escape_frac: float) -> np.ndarray:
     native payload policy as the host split — byte-identical streams)."""
     parts = nib_split_device(records, max_escape_frac=max_escape_frac)
     if parts is None:
-        # wide distribution: the plain pack is both smaller and the
-        # honest fallback — one full fetch either way
-        return compress(np.asarray(records, np.uint8).reshape(-1))
+        # wide distribution: one full fetch, then the host ladder
+        # (SDN2 wider window, else the plain pack)
+        return compress_dense(np.asarray(records, np.uint8).reshape(-1),
+                              max_escape_frac=max_escape_frac)
     bm, pk, esc, n = parts
     out = compress_dense_parts(bm, pk, esc, n)
     if out.size >= 12 + n:         # pathological: stored escape
@@ -442,13 +451,15 @@ def compress_dense(records, *, max_escape_frac: float = 0.35) -> np.ndarray:
     through the Huffman pack, so the host rate is memcpy-class instead
     of Huffman-on-every-byte.  Exact recovery via ``decompress``.
 
-    Falls back to the plain ``compress`` formats when more than
-    ``max_escape_frac`` of the bytes escape the window (mid-entropy
-    content not concentrated around the bias — there the plain pack is
-    both smaller and not much slower; truly incompressible input then
-    hits the stored escape).  The plain pack remains the ratio-optimal
-    choice (~1.67x vs ~1.4x on sigma-5 records): pick SDN1 when
-    sustained fps matters, ``compress`` when bytes matter.
+    Fallback ladder when more than ``max_escape_frac`` of the bytes
+    escape the 16-value window: SDN2 — the 32-value-window sibling
+    [111, 142] (nibble plane + fifth-bit plane; mid-entropy content
+    like sigma ~8-16 records, ~2-3x the plain pack rate at ~1.2x
+    ratio) — then the plain ``compress`` formats (whose own
+    histogram pre-check sends incompressible input to the stored
+    escape).  The plain pack remains the ratio-optimal choice: pick
+    the SDN coders when sustained fps matters, ``compress`` when
+    bytes matter.
 
     DEVICE-resident records take the on-device split (one elementwise
     dispatch + a static-size gather): only the bitmap + packed nibbles
@@ -466,8 +477,13 @@ def compress_dense(records, *, max_escape_frac: float = 0.35) -> np.ndarray:
     out = np.empty(lib.entropy_encode_nib_bound(data.size), np.uint8)
     n = lib.entropy_encode_nib(_u8p(data), data.size, _u8p(out), out.size,
                                int(max_escape_frac * data.size))
-    if n == -6:        # too many escapes: the plain pack wins
-        return compress(data)
+    if n == -6:        # too many escapes: try the wider window
+        out = np.empty(lib.entropy_encode_nib2_bound(data.size), np.uint8)
+        n = lib.entropy_encode_nib2(_u8p(data), data.size, _u8p(out),
+                                    out.size,
+                                    int(max_escape_frac * data.size))
+        if n == -6:    # still too wide: the plain pack wins
+            return compress(data)
     if n < 0:
         raise EntropyError(f"encode failed (code {n})")
     if n >= 12 + data.size:    # pathological input: stored escape
@@ -488,7 +504,7 @@ def decompress(blob) -> np.ndarray:
     magic = int(np.frombuffer(data[:4].tobytes(), np.uint32)[0])
     if magic == _MAGICS:
         return _decompress_sparse(data)
-    if magic == _MAGICN:
+    if magic in (_MAGICN, _MAGICN2):
         if data.size < 20:
             raise EntropyError("stream too short")
         n_out = int(np.frombuffer(data[4:12].tobytes(), np.uint64)[0])
@@ -498,8 +514,10 @@ def decompress(blob) -> np.ndarray:
         if n_out == 0 or n_out > 2 * data.size:
             raise EntropyError("corrupt stream: implausible symbol count")
         out = np.zeros(n_out, np.uint8)
-        n = _load().entropy_decode_nib(_u8p(data), data.size, _u8p(out),
-                                       out.size)
+        lib = _load()
+        fn = (lib.entropy_decode_nib if magic == _MAGICN
+              else lib.entropy_decode_nib2)
+        n = fn(_u8p(data), data.size, _u8p(out), out.size)
         if n != n_out:
             raise EntropyError(f"decode failed (code {n})")
         return out

@@ -775,3 +775,73 @@ def test_expand_jit_pow2_bucketing():
             np.asarray(E.decompress_to_device(blob)), rec)
     after = E._nib_expand_jit.cache_info().currsize
     assert after - before <= 1   # all four counts share the 128-cap trace
+
+
+# -- SDN2 wider-window sibling (round 5) ------------------------------------
+
+def test_nib2_ladder_selection():
+    """compress_dense ladder: SDN1 for 127±8 content, SDN2 for ±16,
+    plain formats beyond."""
+    rng = np.random.default_rng(0x52)
+    n = 1 << 18
+    for sigma, magic in ((5, E._MAGICN), (10, E._MAGICN2)):
+        rec = np.clip(np.round(rng.normal(127, sigma, n)),
+                      0, 255).astype(np.uint8)
+        blob = E.compress_dense(rec)
+        assert int(np.frombuffer(blob[:4].tobytes(), np.uint32)[0]) \
+            == magic, sigma
+        np.testing.assert_array_equal(E.decompress(blob), rec)
+    wide = rng.integers(0, 256, n, dtype=np.uint8)
+    blob = E.compress_dense(wide)
+    assert int(np.frombuffer(blob[:4].tobytes(), np.uint32)[0]) \
+        not in (E._MAGICN, E._MAGICN2)
+    np.testing.assert_array_equal(E.decompress(blob), wide)
+
+
+def test_nib2_edges_and_threaded():
+    rng = np.random.default_rng(0x53)
+    cases = [np.array([111, 142, 110, 143, 127, 126], np.uint8),
+             np.array([126], np.uint8),
+             rng.integers(0, 256, 7, dtype=np.uint8),
+             np.full(1000, 130, np.uint8),
+             np.clip(np.round(rng.normal(127, 10, (1 << 20) + 9)),
+                     0, 255).astype(np.uint8),      # threaded, odd size
+             np.arange(111, 143, dtype=np.uint8)]   # exactly in-window
+    lib = E._load()
+    for arr in cases:
+        out = np.empty(lib.entropy_encode_nib2_bound(arr.size), np.uint8)
+        r = lib.entropy_encode_nib2(E._u8p(arr), arr.size, E._u8p(out),
+                                    out.size, arr.size)
+        assert r > 0, arr[:8]
+        out.resize(r, refcheck=False)
+        np.testing.assert_array_equal(E.decompress(out), arr)
+
+
+def test_nib2_corrupt_and_fuzz():
+    rng = np.random.default_rng(0x54)
+    rec = np.clip(np.round(rng.normal(127, 10, 1 << 14)),
+                  0, 255).astype(np.uint8)
+    blob = E.compress_dense(rec)
+    assert int(np.frombuffer(blob[:4].tobytes(), np.uint32)[0]) \
+        == E._MAGICN2
+    for cut in (3, 12, 19, blob.size - 1):
+        with pytest.raises(E.EntropyError):
+            E.decompress(blob[:cut])
+    bad = blob.copy()
+    bad[20] ^= 0x08                      # stray escape-bitmap bit
+    with pytest.raises(E.EntropyError):
+        E.decompress(bad)
+    bad2 = blob.copy()
+    bad2[4:12] = np.frombuffer(np.uint64(1 << 40).tobytes(), np.uint8)
+    with pytest.raises(E.EntropyError):
+        E.decompress(bad2)
+    for _ in range(300):
+        m = blob.copy()
+        k = rng.integers(1, 16)
+        idx = rng.integers(0, m.size, k)
+        m[idx] ^= rng.integers(1, 256, k).astype(np.uint8)
+        try:
+            out = E.decompress(m)
+            assert out.dtype == np.uint8
+        except E.EntropyError:
+            pass
