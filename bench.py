@@ -637,6 +637,18 @@ def main():
             # assembly + the escape Huffman (measured here with the
             # parts prefetched, same methodology as the sparse row;
             # the parts are also ~0.65x the bytes over the host link)
+            # SDN2 wider-window row: a sigma-10 record escapes SDN1's
+            # window and ladders to the 32-value coder
+            rec2 = np.clip(np.round(np.random.default_rng(4).normal(
+                127, 10, rec.size)), 0, 255).astype(np.uint8)
+            blob2 = E.compress_dense(rec2)
+            ok2 = (int(np.frombuffer(blob2[:4].tobytes(),
+                                     np.uint32)[0]) == E._MAGICN2
+                   and bool(np.array_equal(E.decompress(blob2), rec2)))
+            tp2 = _best_of(lambda: E.compress_dense(rec2), 3)
+            entropy_stats["dense2_fps_exact"] = [
+                round(rec2.size / tp2 / (H2 * W)), ok2]
+            del rec2, blob2
             if use_pallas and time.time() - bench_t0 < 1400:
                 # public device-split pipeline: parts produced on
                 # device once, then time exactly the per-frame HOST
