@@ -1964,6 +1964,32 @@ long long entropy_encode_nib2(const uint8_t* in, size_t n, uint8_t* out,
   return (long long)(hdr + 2 * bm_sz + nib_sz + (size_t)pn);
 }
 
+// SDN2 from DEVICE-precomputed parts (the nib_parts twin: two planes)
+long long entropy_encode_nib2_parts(const uint8_t* bitmap,
+                                    const uint8_t* bit4,
+                                    const uint8_t* nib,
+                                    const uint8_t* esc, uint64_t n,
+                                    uint64_t esc_count, uint8_t* out,
+                                    size_t out_cap) {
+  if (n == 0) return -4;
+  if (esc_count > n) return -5;
+  const size_t bm_sz = ((size_t)n + 7) / 8, nib_sz = ((size_t)n + 1) / 2;
+  const size_t hdr = 4 + 8 + 8;
+  if (out_cap < hdr + 2 * bm_sz + nib_sz) return -3;
+  std::memcpy(out, &kMagicN2, 4);
+  std::memcpy(out + 4, &n, 8);
+  std::memcpy(out + 12, &esc_count, 8);
+  std::memcpy(out + hdr, bitmap, bm_sz);
+  std::memcpy(out + hdr + bm_sz, bit4, bm_sz);
+  std::memcpy(out + hdr + 2 * bm_sz, nib, nib_sz);
+  if (esc_count == 0) return (long long)(hdr + 2 * bm_sz + nib_sz);
+  long long pn = nib_escape_payload(esc, esc_count,
+                                    out + hdr + 2 * bm_sz + nib_sz,
+                                    out_cap - (hdr + 2 * bm_sz + nib_sz));
+  if (pn < 0) return pn;
+  return (long long)(hdr + 2 * bm_sz + nib_sz + (size_t)pn);
+}
+
 long long entropy_decode_nib2(const uint8_t* in, size_t n_comp,
                               uint8_t* out, size_t out_cap) {
   const size_t hdr = 4 + 8 + 8;

@@ -135,6 +135,10 @@ def _load() -> ctypes.CDLL:
                                                 ctypes.c_uint64]
             lib.entropy_decode_nib2.restype = ctypes.c_longlong
             lib.entropy_decode_nib2.argtypes = [u8p, st, u8p, st]
+            lib.entropy_encode_nib2_parts.restype = ctypes.c_longlong
+            lib.entropy_encode_nib2_parts.argtypes = [
+                u8p, u8p, u8p, u8p, ctypes.c_uint64, ctypes.c_uint64,
+                u8p, st]
             _lib = lib
     return _lib
 
@@ -407,6 +411,97 @@ def nib_split_device(records, *, max_escape_frac: float | None = None):
     return bm, pk, esc, n
 
 
+_NIB2_BASE = 111           # window [111, 142]; must match kNib2Base
+
+
+@functools.cache
+def _nib2_count_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def count(flat):
+        d = flat.astype(jnp.int16) - _NIB2_BASE
+        esc = (d < 0) | (d > 31)
+        return jnp.sum(esc.astype(jnp.int32))
+    return count
+
+
+@functools.cache
+def _nib2_split_jit(cap: int):
+    """Device-side SDN2 split: escape bitmap + fifth-bit plane + packed
+    nibbles + compacted escapes, bit/byte-identical to the native host
+    split."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def split(flat):
+        d = flat.astype(jnp.int16) - _NIB2_BASE
+        esc = (d < 0) | (d > 31)
+        dm = jnp.where(esc, 0, d)
+        nibv = (dm & 15).astype(jnp.uint8)
+        pairs = nibv.reshape(-1, 2)
+        packed = pairs[:, 0] | (pairs[:, 1] << 4)
+        weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
+        bitmap = (esc.reshape(-1, 8).astype(jnp.int32) @ weights) \
+            .astype(jnp.uint8)
+        b4 = ((dm >> 4) & 1).astype(jnp.int32)
+        bit4 = (b4.reshape(-1, 8) @ weights).astype(jnp.uint8)
+        idx = jnp.nonzero(esc, size=cap, fill_value=0)[0]
+        return packed, bitmap, bit4, flat[idx]
+    return split
+
+
+def nib2_split_device(records, *, max_escape_frac: float | None = None):
+    """Device (or host) u8 records -> the SDN2 parts on host:
+    ``(bitmap, bit4_plane, packed_nibbles, escapes, n)``; ``None`` when
+    ``max_escape_frac`` is set and exceeded (checked before the
+    gather).  Feed the parts to :func:`compress_dense_parts2`."""
+    import jax.numpy as jnp
+    flat = jnp.asarray(records, jnp.uint8).reshape(-1)
+    n = int(flat.size)
+    if n == 0:
+        raise EntropyError("empty input has no code")
+    if n >= (1 << 31):
+        raise EntropyError("device split supports < 2 GiB per stream")
+    pad = (-n) % 8
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.full(pad, _NIB2_BASE, jnp.uint8)])
+    count = int(_nib2_count_jit()(flat))
+    if max_escape_frac is not None and count > max_escape_frac * n:
+        return None
+    cap = 1
+    while cap < max(count, 1):
+        cap *= 2
+    cap = min(cap, int(flat.size))
+    packed, bitmap, bit4, kept = _nib2_split_jit(cap)(flat)
+    pk = np.ascontiguousarray(np.asarray(packed)[: (n + 1) // 2])
+    bm = np.ascontiguousarray(np.asarray(bitmap))
+    b4 = np.ascontiguousarray(np.asarray(bit4))
+    esc = np.ascontiguousarray(np.asarray(kept)[:count])
+    return bm, b4, pk, esc, n
+
+
+def compress_dense_parts2(bitmap, bit4, nibbles, escapes,
+                          n: int) -> np.ndarray:
+    """Assemble an SDN2 stream from precomputed parts."""
+    bm = np.ascontiguousarray(bitmap, np.uint8)
+    b4 = np.ascontiguousarray(bit4, np.uint8)
+    pk = np.ascontiguousarray(nibbles, np.uint8)
+    esc = np.ascontiguousarray(escapes, np.uint8).reshape(-1)
+    lib = _load()
+    out = np.empty(lib.entropy_encode_nib2_bound(n), np.uint8)
+    r = lib.entropy_encode_nib2_parts(_u8p(bm), _u8p(b4), _u8p(pk),
+                                      _u8p(esc), n, esc.size,
+                                      _u8p(out), out.size)
+    if r < 0:
+        raise EntropyError(f"encode failed (code {r})")
+    out.resize(r, refcheck=False)
+    return out
+
+
 def compress_dense_parts(bitmap, nibbles, escapes, n: int) -> np.ndarray:
     """Assemble an SDN1 stream from precomputed parts (the host portion
     of the device-split pipeline: header + memcpy + escape Huffman via
@@ -431,10 +526,17 @@ def _compress_dense_device(records, max_escape_frac: float) -> np.ndarray:
     native payload policy as the host split — byte-identical streams)."""
     parts = nib_split_device(records, max_escape_frac=max_escape_frac)
     if parts is None:
-        # wide distribution: one full fetch, then the host ladder
-        # (SDN2 wider window, else the plain pack)
-        return compress_dense(np.asarray(records, np.uint8).reshape(-1),
-                              max_escape_frac=max_escape_frac)
+        # wider window on device before giving up the device split
+        p2 = nib2_split_device(records, max_escape_frac=max_escape_frac)
+        if p2 is None:
+            # both windows too narrow: one full fetch + the plain pack
+            # (the host ladder would reject both windows identically)
+            return compress(np.asarray(records, np.uint8).reshape(-1))
+        bm2, b42, pk2, esc2, n2 = p2
+        out2 = compress_dense_parts2(bm2, b42, pk2, esc2, n2)
+        if out2.size >= 12 + n2:
+            return _stored(np.asarray(records, np.uint8).reshape(-1))
+        return out2
     bm, pk, esc, n = parts
     out = compress_dense_parts(bm, pk, esc, n)
     if out.size >= 12 + n:         # pathological: stored escape

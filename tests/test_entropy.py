@@ -845,3 +845,26 @@ def test_nib2_corrupt_and_fuzz():
             assert out.dtype == np.uint8
         except E.EntropyError:
             pass
+
+
+def test_nib2_device_split_byte_identical():
+    """The SDN2 device split matches the native host split byte-for-byte
+    and the ladder routes device arrays through it."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0x55)
+    for n, want_n2 in (((1 << 18) + 5, True), (4096, True),
+                       (63, False)):     # tiny: stored escape wins
+        rec = np.clip(np.round(rng.normal(127, 10, n)),
+                      0, 255).astype(np.uint8)
+        host_blob = E.compress_dense(rec)
+        dev_blob = E.compress_dense(jnp.asarray(rec))
+        magic = int(np.frombuffer(host_blob[:4].tobytes(), np.uint32)[0])
+        assert (magic == E._MAGICN2) == want_n2, n
+        np.testing.assert_array_equal(host_blob, dev_blob)
+        np.testing.assert_array_equal(E.decompress(dev_blob), rec)
+    # both windows rejected on device -> plain (still exact)
+    wide = jnp.asarray(rng.integers(0, 256, 1 << 16, dtype=np.uint8))
+    blob = E.compress_dense(wide)
+    assert int(np.frombuffer(blob[:4].tobytes(), np.uint32)[0]) \
+        not in (E._MAGICN, E._MAGICN2)
+    np.testing.assert_array_equal(E.decompress(blob), np.asarray(wide))
