@@ -646,8 +646,9 @@ def main():
                                      np.uint32)[0]) == E._MAGICN2
                    and bool(np.array_equal(E.decompress(blob2), rec2)))
             tp2 = _best_of(lambda: E.compress_dense(rec2), 3)
-            entropy_stats["dense2_fps_exact"] = [
-                round(rec2.size / tp2 / (H2 * W)), ok2]
+            entropy_stats["dense2_fps"] = round(
+                rec2.size / tp2 / (H2 * W))
+            entropy_stats["dense2_exact"] = ok2
             del rec2, blob2
             if use_pallas and time.time() - bench_t0 < 1400:
                 # public device-split pipeline: parts produced on
@@ -688,12 +689,14 @@ def main():
                 kept_mask = (blocks != 127).any(axis=1)
                 kept = blocks[kept_mask].reshape(-1)
                 # default pipeline payload: the ratio-optimal plain
-                # pack on the kept bytes (the SDN1-on-kept variant
-                # measured 914 fps but caps the ratio at ~3.4x vs 10x+
-                # — rejected as default, see LESSONS.md)
-                lengths_s = E.build_lengths(E.histogram(kept, device=False))
-                blob_s = E.compress(kept, lengths_s)
-                tps = _best_of(lambda: E.compress(kept, lengths_s), 3)
+                # pack on the kept bytes, timed EXACTLY as the pipeline
+                # runs it (lengths=None -> per-frame histogram + table
+                # build + stored pre-check; a prebuilt-table variant
+                # overstated the row ~10-20%).  The SDN1-on-kept
+                # variant measured 914 fps but caps ratio at ~3.4x vs
+                # 10x+ — opt-in payload_fast only, see LESSONS.md.
+                blob_s = E.compress(kept)
+                tps = _best_of(lambda: E.compress(kept), 3)
                 # exact recovery through the full sparse stream (device
                 # compaction forced onto the host CPU backend so the
                 # check never rides the tunnel)

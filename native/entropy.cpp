@@ -1557,6 +1557,33 @@ size_t entropy_encode_nib_bound(size_t n) {
 long long nib_escape_payload(const uint8_t* esc, uint64_t esc_n,
                              uint8_t* pay, size_t pay_cap);
 
+// Shared escape-payload DECODER for the nibble-split formats: only
+// stored (SDE0) or SDEG payloads of exactly esc_total bytes are valid
+// inside SDN1/SDN2 — one definition so the validation rules cannot
+// drift between the two decoders.
+static long long nib_escape_decode(const uint8_t* pay, size_t pay_sz,
+                                   uint64_t esc_total, uint8_t* esc) {
+  if (esc_total == 0) return pay_sz == 0 ? 0 : -1;
+  if (pay_sz < 4) return -1;
+  uint32_t pm;
+  std::memcpy(&pm, pay, 4);
+  long long r;
+  if (pm == kMagicStored) {
+    if (pay_sz < 12) return -1;
+    uint64_t sn;
+    std::memcpy(&sn, pay + 4, 8);
+    if (sn != esc_total || pay_sz != 12 + (size_t)sn) return -1;
+    std::memcpy(esc, pay + 12, (size_t)sn);
+    r = (long long)sn;
+  } else if (pm == kMagicGv) {
+    r = entropy_decode_g(pay, pay_sz, esc, (size_t)esc_total);
+  } else {
+    return -1;
+  }
+  if (r != (long long)esc_total) return -1;
+  return r;
+}
+
 long long entropy_encode_nib(const uint8_t* in, size_t n, uint8_t* out,
                              size_t out_cap, uint64_t max_escapes) {
   if (n == 0) return -4;
@@ -2009,28 +2036,9 @@ long long entropy_decode_nib2(const uint8_t* in, size_t n_comp,
   const uint8_t* pay = nib + nib_sz;
   size_t pay_sz = n_comp - (hdr + 2 * bm_sz + nib_sz);
 
-  std::vector<uint8_t> esc((size_t)esc_total);
-  if (esc_total > 0) {
-    if (pay_sz < 4) return -1;
-    uint32_t pm;
-    std::memcpy(&pm, pay, 4);
-    long long r;
-    if (pm == kMagicStored) {
-      if (pay_sz < 12) return -1;
-      uint64_t sn;
-      std::memcpy(&sn, pay + 4, 8);
-      if (sn != esc_total || pay_sz != 12 + (size_t)sn) return -1;
-      std::memcpy(esc.data(), pay + 12, (size_t)sn);
-      r = (long long)sn;
-    } else if (pm == kMagicGv) {
-      r = entropy_decode_g(pay, pay_sz, esc.data(), esc.size());
-    } else {
-      return -1;
-    }
-    if (r != (long long)esc_total) return -1;
-  } else if (pay_sz != 0) {
+  std::vector<uint8_t> esc((size_t)esc_total + 1);
+  if (nib_escape_decode(pay, pay_sz, esc_total, esc.data()) < 0)
     return -1;
-  }
 
   unsigned hw = std::thread::hardware_concurrency();
   int T = (n >= (1u << 20) && hw >= 2) ? (int)std::min(hw, 16u) : 1;
@@ -2139,28 +2147,9 @@ long long entropy_decode_nib(const uint8_t* in, size_t n_comp,
   const uint8_t* pay = nib + nib_sz;
   size_t pay_sz = n_comp - (hdr + bm_sz + nib_sz);
 
-  std::vector<uint8_t> esc((size_t)esc_total);
-  if (esc_total > 0) {
-    if (pay_sz < 4) return -1;
-    uint32_t pm;
-    std::memcpy(&pm, pay, 4);
-    long long r;
-    if (pm == kMagicStored) {
-      if (pay_sz < 12) return -1;
-      uint64_t sn;
-      std::memcpy(&sn, pay + 4, 8);
-      if (sn != esc_total || pay_sz != 12 + (size_t)sn) return -1;
-      std::memcpy(esc.data(), pay + 12, (size_t)sn);
-      r = (long long)sn;
-    } else if (pm == kMagicGv) {
-      r = entropy_decode_g(pay, pay_sz, esc.data(), esc.size());
-    } else {
-      return -1;   // only stored/SDEG payloads are valid inside SDN1
-    }
-    if (r != (long long)esc_total) return -1;
-  } else if (pay_sz != 0) {
+  std::vector<uint8_t> esc((size_t)esc_total + 1);
+  if (nib_escape_decode(pay, pay_sz, esc_total, esc.data()) < 0)
     return -1;
-  }
 
   // per-chunk popcount prepass -> escape offsets; total must match the
   // header (corrupt bitmaps yield a typed error, never a bad index)

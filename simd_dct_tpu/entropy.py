@@ -579,12 +579,19 @@ def compress_dense(records, *, max_escape_frac: float = 0.35) -> np.ndarray:
     out = np.empty(lib.entropy_encode_nib_bound(data.size), np.uint8)
     n = lib.entropy_encode_nib(_u8p(data), data.size, _u8p(out), out.size,
                                int(max_escape_frac * data.size))
-    if n == -6:        # too many escapes: try the wider window
+    if n == -6:        # too many escapes: try the wider window — but
+        # decide from one cheap histogram instead of a second
+        # speculative full split (review finding: sigma>=20 content
+        # paid two wasted plane-writing passes before the plain pack)
+        hist = histogram(data, device=False)
+        esc2 = data.size - int(hist[_NIB2_BASE:_NIB2_BASE + 32].sum())
+        if esc2 > max_escape_frac * data.size:
+            return compress(data)
         out = np.empty(lib.entropy_encode_nib2_bound(data.size), np.uint8)
         n = lib.entropy_encode_nib2(_u8p(data), data.size, _u8p(out),
                                     out.size,
                                     int(max_escape_frac * data.size))
-        if n == -6:    # still too wide: the plain pack wins
+        if n == -6:    # unreachable given the histogram gate; be safe
             return compress(data)
     if n < 0:
         raise EntropyError(f"encode failed (code {n})")

@@ -868,3 +868,33 @@ def test_nib2_device_split_byte_identical():
     assert int(np.frombuffer(blob[:4].tobytes(), np.uint32)[0]) \
         not in (E._MAGICN, E._MAGICN2)
     np.testing.assert_array_equal(E.decompress(blob), np.asarray(wide))
+
+
+def test_sparse_payload_fast_opt_in():
+    """compress_sparse(payload_fast=True): the fps-over-bytes SDN-coded
+    payload — exact recovery, SDN magic inside the SDS1 payload, and a
+    worse-but-bounded ratio vs the plain default (the reason it is an
+    opt-in, LESSONS.md)."""
+    rng = np.random.default_rng(0x56)
+    rec = np.full(64 * 2048, 127, np.uint8)
+    idx = rng.choice(2048, 900, replace=False)
+    for b in idx:
+        rec[b * 64:b * 64 + 12] = rng.integers(119, 135, 12)
+    default = E.compress_sparse(rec)
+    fast = E.compress_sparse(rec, payload_fast=True)
+    np.testing.assert_array_equal(E.decompress(default), rec)
+    np.testing.assert_array_equal(E.decompress(fast), rec)
+    # payload magic: plain family vs SDN family
+    def payload_magic(blob):
+        nblk = int(np.frombuffer(blob[12:16].tobytes(), np.uint32)[0])
+        pay = blob[E._SPARSE_HDR + nblk // 8:]
+        return int(np.frombuffer(pay[:4].tobytes(), np.uint32)[0])
+    assert payload_magic(fast) in (E._MAGICN, E._MAGICN2)
+    assert payload_magic(default) not in (E._MAGICN, E._MAGICN2)
+    assert default.size <= fast.size          # plain is ratio-optimal
+    # batched form carries the flag too
+    batch = E.compress_sparse_batch(np.stack([rec, rec]),
+                                    payload_fast=True)
+    for bl in batch:
+        np.testing.assert_array_equal(E.decompress(bl), rec)
+        assert payload_magic(bl) in (E._MAGICN, E._MAGICN2)
