@@ -67,7 +67,10 @@ def _guard_tunnel():
             _emit_unreachable("bench_watchdog_timeout")
         os._exit(0)
 
-    t = threading.Timer(1700, die)
+    # env-tunable for end-to-end testing of the partial path (the
+    # driver runs with the 1700 s default)
+    t = threading.Timer(float(os.environ.get("BENCH_WATCHDOG_S", 1700)),
+                        die)
     t.daemon = True
     t.start()
     return t
