@@ -27,11 +27,18 @@ class RDPoint:
     bits_per_px: float      # entropy-packed record bits per SOURCE pixel
     raw_bits_per_px: float  # unpacked record bits per source pixel
     psnr_db: float          # decode vs the pixels the mode covers
+    rail_frac: float = 0.0  # record bytes clipped at the 0/255 rails —
+    #                         nonzero means this point sits in the
+    #                         clipping regime where PSNR bends
+    #                         non-monotonically (content-dependent; the
+    #                         base table rails around q<~50-100)
 
     def row(self) -> str:
+        rail = (f" | rail {self.rail_frac:.2%}" if self.rail_frac
+                else "")
         return (f"q={self.quality:<6g} | {self.bits_per_px:6.3f} bpp "
                 f"(raw {self.raw_bits_per_px:5.2f}) | "
-                f"PSNR {self.psnr_db:6.2f} dB")
+                f"PSNR {self.psnr_db:6.2f} dB" + rail)
 
 
 _MODES = ("enc-quant", "enc-quant-pair", "enc-quant32",
@@ -118,6 +125,7 @@ def rd_curve(img, qualities=(50, 75, 100, 150, 200), *,
             bits_per_px=8.0 * packed.size / npx,
             raw_bits_per_px=8.0 * flat.size / npx,
             psnr_db=float(psnr(dec, src)),
+            rail_frac=float(((flat == 0) | (flat == 255)).mean()),
         ))
     return out
 
