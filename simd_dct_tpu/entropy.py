@@ -998,6 +998,49 @@ def _nib_expand_jit(cap: int):
     return expand
 
 
+@functools.cache
+def _nib2_expand_jit(cap: int):
+    """Device-side SDN2 reconstruction: base + nibble + fifth-bit plane
+    + escape scatter in one dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def expand(flags, b4flags, nib_bytes, esc):
+        lo = nib_bytes & jnp.uint8(0x0F)
+        hi = nib_bytes >> 4
+        base = (jnp.stack([lo, hi], axis=1).reshape(-1)
+                + jnp.uint8(_NIB2_BASE))
+        pad = flags.shape[0] - base.shape[0]
+        if pad > 0:
+            base = jnp.concatenate([base, jnp.zeros(pad, jnp.uint8)])
+        base = base[:flags.shape[0]] \
+            + (b4flags[:flags.shape[0]].astype(jnp.uint8) << 4)
+        slot = jnp.clip(jnp.cumsum(flags.astype(jnp.int32)) - 1, 0,
+                        cap - 1)
+        return jnp.where(flags, jnp.take(esc, slot), base) \
+            .astype(jnp.uint8)
+    return expand
+
+
+def expand_nib2_device(bitmap, bit4, nibbles, escapes, n_bytes: int):
+    """SDN2 parts -> flat u8 records ON DEVICE (the SDN2 twin of
+    :func:`expand_nib_device`; ~0.75n + escape bytes uploaded)."""
+    import jax.numpy as jnp
+    bm = jnp.asarray(bitmap, jnp.uint8)
+    flags = jnp.unpackbits(bm, bitorder="little").astype(bool)
+    b4 = jnp.unpackbits(jnp.asarray(bit4, jnp.uint8),
+                        bitorder="little").astype(bool)
+    nb = jnp.asarray(nibbles, jnp.uint8).reshape(-1)
+    esc = np.asarray(escapes, np.uint8).reshape(-1)
+    if esc.size == 0:
+        esc = np.zeros(1, np.uint8)
+    esc = _pow2_pad_rows(esc, np)
+    out = _nib2_expand_jit(int(esc.size))(flags, b4, nb,
+                                          jnp.asarray(esc))
+    return out[:n_bytes]
+
+
 def expand_nib_device(bitmap, nibbles, escapes, n_bytes: int):
     """SDN1 parts -> flat u8 records ON DEVICE: upload ~0.625n + escape
     bytes and reconstruct there (window base + nibble, escapes
@@ -1016,8 +1059,8 @@ def expand_nib_device(bitmap, nibbles, escapes, n_bytes: int):
 
 def decompress_to_device(blob):
     """Compressed stream -> flat u8 records ON DEVICE, minimizing both
-    host decode work and host->device bytes: SDN1 and SDS1 streams ship
-    only their parts (bitmap + nibbles/kept + decoded escapes) and
+    host decode work and host->device bytes: SDN1/SDN2 and SDS1 streams
+    ship only their parts (planes + nibbles/kept + decoded escapes) and
     expand on device; every other format host-decodes then uploads.
     Same validation (and typed errors) as ``decompress``."""
     import jax.numpy as jnp
@@ -1032,7 +1075,8 @@ def decompress_to_device(blob):
             kept.reshape(max(count, 1), -1) if count
             else np.full((1, SPARSE_BLOCK), 127, np.uint8),
             n)
-    if magic == _MAGICN:
+    if magic in (_MAGICN, _MAGICN2):
+        two = magic == _MAGICN2            # SDN2 adds the bit4 plane
         hdr = 4 + 8 + 8
         if data.size < hdr:
             raise EntropyError("stream too short")
@@ -1042,11 +1086,13 @@ def decompress_to_device(blob):
         if n == 0 or n > 2 * data.size or esc_count > n:
             raise EntropyError("corrupt stream: implausible symbol count")
         bm_sz, nib_sz = (n + 7) // 8, (n + 1) // 2
-        if data.size < hdr + bm_sz + nib_sz:
+        planes = 2 * bm_sz if two else bm_sz
+        if data.size < hdr + planes + nib_sz:
             raise EntropyError("stream too short")
         bm = data[hdr:hdr + bm_sz]
-        nib = data[hdr + bm_sz:hdr + bm_sz + nib_sz]
-        pay = data[hdr + bm_sz + nib_sz:]
+        b4 = data[hdr + bm_sz:hdr + 2 * bm_sz] if two else None
+        nib = data[hdr + planes:hdr + planes + nib_sz]
+        pay = data[hdr + planes + nib_sz:]
         # count only bits < n, exactly like the native decoder (review
         # finding: counting pad bits let a crafted last byte trade a
         # real bit for a pad bit and silently corrupt one record byte;
@@ -1070,6 +1116,8 @@ def decompress_to_device(blob):
             if pay.size:
                 raise EntropyError("corrupt stream: unexpected payload")
             esc = np.zeros(0, np.uint8)
+        if two:
+            return expand_nib2_device(bm, b4, nib, esc, n)
         return expand_nib_device(bm, nib, esc, n)
     return jnp.asarray(decompress(data))
 

@@ -898,3 +898,25 @@ def test_sparse_payload_fast_opt_in():
     for bl in batch:
         np.testing.assert_array_equal(E.decompress(bl), rec)
         assert payload_magic(bl) in (E._MAGICN, E._MAGICN2)
+
+
+def test_nib2_device_expansion():
+    """decompress_to_device routes SDN2 through the on-device expansion
+    (bit4 plane + nibbles + escapes), matching the host decode."""
+    rng = np.random.default_rng(0x57)
+    for n in ((1 << 17) + 3, 4096):
+        rec = np.clip(np.round(rng.normal(127, 10, n)),
+                      0, 255).astype(np.uint8)
+        blob = E.compress_dense(rec)
+        assert int(np.frombuffer(blob[:4].tobytes(), np.uint32)[0]) \
+            == E._MAGICN2
+        np.testing.assert_array_equal(
+            np.asarray(E.decompress_to_device(blob)), rec)
+    # corrupt SDN2 via the device route stays typed
+    bad = blob.copy()
+    bad[20] ^= 0x04
+    with pytest.raises(E.EntropyError):
+        E.decompress_to_device(bad)
+    for cut in (19, 25, blob.size - 1):
+        with pytest.raises(E.EntropyError):
+            E.decompress_to_device(blob[:cut])
